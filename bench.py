@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries are materialized via the noop sink (full execution, no driver
+collect). One SparkSession is reused — at this scale JVM startup would
+otherwise dominate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from direct_kafka_stream_spark import QUERIES, get_session
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(pathlib.Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = get_session("bench")
+
+    # Warm the JVM + parquet footer caches once so per-query numbers
+    # measure the queries, not first-touch setup.
+    materialize(QUERIES["q_scan"].spark(spark, sf_dir).limit(1))
+
+    times: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            materialize(q.spark(spark, sf_dir))
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # pragma: no cover - bench must not die
+            times[name] = -1.0
+            print(f"# BENCH ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "n_queries": len(times),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

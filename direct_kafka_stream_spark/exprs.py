@@ -1,0 +1,55 @@
+"""Engine-portable deterministic expression helpers.
+
+Floating-point SUM/AVG over a shuffled dataset is order-dependent, so a
+Spark result and a DuckDB oracle result can differ in the last ulps and
+break exact value-hash comparison. The fix is exact arithmetic: cast
+doubles to DECIMAL(38,10) (deterministic: a double has one exact decimal
+expansion, and rounding it to 10 fractional digits never hits a tie),
+sum exactly (integer arithmetic — associative, order-independent), then
+cast back to double (correctly rounded on both engines).
+
+This costs a little CPU versus a raw double sum but is shuffle-order
+independent — which also means results are *reproducible run-to-run at
+100 TB*, a property worth having beyond oracle checking. Helpers come in
+pairs: a Spark Column builder and the equivalent DuckDB SQL fragment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+DEC = "decimal(38,10)"
+
+
+def dsum(col) -> Column:
+    """Order-independent exact sum of a double column, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,10))) AS DOUBLE)"
+
+
+def davg(col) -> Column:
+    """Order-independent mean: exact decimal sum / count, in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+
+
+def davg_sql(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,10))) AS DOUBLE)"
+        f" / COUNT({expr})"
+    )
+
+
+def epoch_s(col) -> Column:
+    """Timestamp → whole epoch seconds (floor), matching the oracle's
+    ``CAST(epoch(date_trunc('second', ts)) AS BIGINT)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("long")
+
+
+def epoch_s_sql(expr: str) -> str:
+    return f"CAST(epoch(date_trunc('second', {expr})) AS BIGINT)"

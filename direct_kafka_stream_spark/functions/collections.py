@@ -1,0 +1,173 @@
+"""Collection functions: arrays (higher-order fns), maps, JSON, grouped
+collection, pivot (SURVEY.md §2.B: q_array_fns q_map_fns q_json_fns
+q_collect q_pivot).
+
+The embedding column (array<float>) is the vector-workload surface —
+the same higher-order functions power the similarity operators in
+operators/llm.py. Float elements are cast to double and rounded where
+accumulation order could differ between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+
+from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.registry import query
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q_array_fns",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS head,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vmax,
+           round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS vmin,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vsum,
+           list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS head3,
+           list_sort(list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6))) AS head3_sorted,
+           list_contains(embedding, embedding[1]) AS has_head
+    FROM embeddings
+    """,
+    tags=("functions", "array"),
+)
+def q_array_fns(spark: SparkSession, d: str):
+    """Array functions incl. higher-order transform/aggregate — the
+    JVM-side (codegen) path for vector math, no Python involved."""
+    e = load_table(spark, d, "embeddings")
+    emb = F.col("embedding")
+    head3 = F.transform(F.slice(emb, 1, 3), lambda x: F.round(x.cast("double"), 6))
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 6).alias("head"),
+        F.round(F.array_max(emb).cast("double"), 6).alias("vmax"),
+        F.round(F.array_min(emb).cast("double"), 6).alias("vmin"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 6
+        ).alias("vsum"),
+        head3.alias("head3"),
+        F.sort_array(head3).alias("head3_sorted"),
+        F.array_contains(emb, F.element_at(emb, 1)).alias("has_head"),
+    )
+
+
+@query(
+    "q_array_explode",
+    oracle="""
+    SELECT vec_id, pos, round(val, 6) AS val FROM (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+        WHERE vec_id < 10
+    ) WHERE pos <= 4
+    """,
+    tags=("functions", "array"),
+)
+def q_array_explode(spark: SparkSession, d: str):
+    """posexplode / unnest-with-ordinality. Spark pos is 0-based,
+    DuckDB subscripts are 1-based — aligned to 1-based here."""
+    e = load_table(spark, d, "embeddings").filter(F.col("vec_id") < 10)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos0", "fval"))
+        .filter(F.col("pos0") < 4)
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            F.round(F.col("fval").cast("double"), 6).alias("val"),
+        )
+    )
+
+
+@query(
+    "q_collect",
+    oracle="""
+    SELECT label,
+           list_sort(list(vec_id)) AS vec_ids,
+           list_sort(list_distinct(list(vec_id % 10))) AS id_mod_set,
+           COUNT(*) AS n
+    FROM embeddings GROUP BY label
+    """,
+    tags=("functions", "array"),
+)
+def q_collect(spark: SparkSession, d: str):
+    """Grouped collection — collect_list/collect_set wrapped in
+    sort_array for deterministic, engine-portable output."""
+    e = load_table(spark, d, "embeddings")
+    return e.groupBy("label").agg(
+        F.sort_array(F.collect_list("vec_id")).alias("vec_ids"),
+        F.sort_array(F.collect_set(F.col("vec_id") % 10)).alias("id_mod_set"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_map_fns",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+           len(json_keys(props)) AS n_keys
+    FROM events
+    """,
+    tags=("functions", "map"),
+)
+def q_map_fns(spark: SparkSession, d: str):
+    """JSON payload → MapType → element access (the schema-on-read path
+    the reference used downstream of its opaque string payloads)."""
+    e = load_table(spark, d, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+    )
+
+
+@query(
+    "q_json_fns",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract(props, '$.k') AS INTEGER) * 2 AS k_doubled
+    FROM events
+    """,
+    tags=("functions", "json"),
+)
+def q_json_fns(spark: SparkSession, d: str):
+    e = load_table(spark, d, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k INT").getField("k").alias("k_int"),
+        (F.from_json("props", "k INT").getField("k") * 2).alias("k_doubled"),
+    )
+
+
+@query(
+    "q_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {', '.join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+    tags=("functions", "pivot"),
+)
+def q_pivot(spark: SparkSession, d: str):
+    """Pivot event_type → columns. Explicit value list (required at
+    scale anyway — implicit pivot runs an extra distinct job); missing
+    combinations coalesce to 0 to match SQL FILTER counts."""
+    e = load_table(spark, d, "events")
+    piv = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )

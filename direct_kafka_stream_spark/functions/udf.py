@@ -1,0 +1,178 @@
+"""User-defined function surface (SURVEY.md §2.E): row UDF, Arrow
+pandas UDF, grouped-agg UDAF, grouped-map transform, mapInPandas.
+
+UDFs are the engine's slow path — these exist to prove the plumbing
+(and for genuinely non-SQL logic like the multimodal decoders). Each
+one here intentionally computes something SQL-expressible so it stays
+oracle-checkable; pandas results are rounded to 4 dp because pandas
+pairwise summation and SQL aggregation can differ in the last ulps.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.registry import query
+
+
+@F.udf(returnType=StringType())
+def _price_band(p: float) -> str:
+    if p is None:
+        return None
+    if p > 150000:
+        return "high"
+    if p > 50000:
+        return "mid"
+    return "low"
+
+
+@query(
+    "q_udf_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 150000 THEN 'high'
+                WHEN o_totalprice > 50000  THEN 'mid'
+                ELSE 'low' END AS price_band
+    FROM orders
+    """,
+    tags=("udf",),
+)
+def q_udf_scalar(spark: SparkSession, d: str):
+    """Row-at-a-time Python UDF (the anti-pattern kept for API parity —
+    per-row serde; see q_udf_pandas for the right way)."""
+    o = load_table(spark, d, "orders")
+    return o.select("o_orderkey", _price_band("o_totalprice").alias("price_band"))
+
+
+@F.pandas_udf(DoubleType())
+def _net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+    # Vectorized element-wise IEEE double math — bit-identical to the
+    # SQL expression, no rounding needed.
+    return price * (1.0 - discount)
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net
+    FROM lineitem
+    """,
+    tags=("udf",),
+)
+def q_udf_pandas(spark: SparkSession, d: str):
+    """Arrow-batched pandas UDF — the vectorized Python path (~10-100×
+    the row UDF)."""
+    li = load_table(spark, d, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _net_price("l_extendedprice", "l_discount").alias("net"),
+    )
+
+
+def _weighted_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Sort for run-to-run determinism (shuffle order varies), then use
+    # math.fsum (exactly-rounded) so the group result is stable.
+    pdf = pdf.sort_values(["l_orderkey", "l_linenumber"])
+    num = math.fsum((pdf["l_extendedprice"] * pdf["l_quantity"]).tolist())
+    den = math.fsum(pdf["l_quantity"].tolist())
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "weighted_price": [round(num / den, 4)],
+            "n_rows": [len(pdf)],
+        }
+    )
+
+
+@query(
+    "q_udaf_weighted",
+    oracle="""
+    SELECT l_returnflag,
+           round(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS weighted_price,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("udf",),
+)
+def q_udaf_weighted(spark: SparkSession, d: str):
+    """Grouped-aggregate UDAF via applyInPandas: quantity-weighted mean
+    price per returnflag. The whole group streams to Python as Arrow
+    batches — fine for bounded groups, use built-ins for raw sums."""
+    li = load_table(spark, d, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        _weighted_mean,
+        schema="l_returnflag string, weighted_price double, n_rows long",
+    )
+
+
+def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("event_id")
+    v = pdf["value"].to_numpy()
+    mu = v.mean()
+    sd = v.std(ddof=0)  # population stddev, matching STDDEV_POP
+    z = (v - mu) / sd if sd > 0 else v * 0.0
+    return pd.DataFrame(
+        {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": z.round(4)}
+    )
+
+
+@query(
+    "q_udf_grouped_map",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - AVG(value) OVER w) / STDDEV_POP(value) OVER w, 4) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+    tags=("udf",),
+)
+def q_udf_grouped_map(spark: SparkSession, d: str):
+    """Grouped-map transform (UDTF-like): z-score normalize value per
+    event_type with applyInPandas — per-group feature normalization,
+    a standard embedding/feature pipeline stage."""
+    e = load_table(spark, d, "events").select("event_id", "event_type", "value")
+    return e.groupBy("event_type").applyInPandas(
+        _zscore, schema="event_id long, event_type string, z double"
+    )
+
+
+def _token_stats(batches):
+    for pdf in batches:
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["text"].str.split(" ").map(
+                    lambda ws: sum(1 for w in ws if w)
+                ),
+                "n_chars": pdf["text"].str.len(),
+            }
+        )
+        yield out
+
+
+@query(
+    "q_map_in_pandas",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> w != '')) AS n_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    tags=("udf",),
+)
+def q_map_in_pandas(spark: SparkSession, d: str):
+    """mapInPandas — per-partition Arrow batch iterator, the shape used
+    for custom scans and the multimodal decoders."""
+    docs = load_table(spark, d, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        _token_stats, schema="doc_id long, n_tokens long, n_chars long"
+    )

@@ -1,0 +1,721 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.D + north star):
+deduplication (exact hash, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding cosine), similarity search (brute-force top-k and an
+LSH-bucketed ANN variant), and text analysis (tokenize, stats, quality
+scoring, language-ID heuristic, fingerprinting).
+
+Everything is pure DataFrame algebra over JVM built-ins — no Python in
+the hot path — and every hash is md5/sha256 (identical hex output in
+Spark and DuckDB) so each operator is oracle-checkable.
+
+Scale notes (100 TB of documents):
+  * Exact dedup: hash-groupBy — one shuffle on the 64-hex digest,
+    perfectly parallel, AQE handles skew (identical boilerplate docs).
+  * MinHash+LSH: per-doc signatures are embarrassingly parallel; the
+    candidate join shuffles on (band, minhash) — bucket sizes are the
+    knob, never the corpus cross-join.
+  * Brute-force cosine is the correctness baseline; the bucketed ANN
+    variant prunes candidates by an LSH bucket so the per-query scan is
+    corpus/`n_buckets`.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Shared building blocks
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def _materialized(df: DataFrame) -> DataFrame:
+    """Persist + eagerly materialize an intermediate that the downstream
+    DAG references many times (e.g. both sides of a self-join). Without
+    this, Spark re-evaluates the whole subtree per reference — the
+    signature/word tables here are small relative to their compute, so
+    persisting them is the right trade at any scale."""
+    df = df.persist()
+    df.count()
+    return df
+
+
+def _words(docs: DataFrame) -> DataFrame:
+    """documents → one row per (doc_id, position, word), empties removed
+    (texts can carry trailing separators). Position survives the filter
+    via a re-rank so downstream shingling sees contiguous positions."""
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    return (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word"))
+        .filter(F.col("word") != "")
+        .withColumn("pos", F.row_number().over(w))
+        .drop("pos0")
+    )
+
+
+_WORDS_SQL = """
+    SELECT doc_id, word,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents
+    ) WHERE word != ''
+"""
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float vectors via higher-order functions
+    (JVM codegen, no UDF): dot / (|a|·|b|), computed in double."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    nb = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+# Oracle-side: explode embeddings to (vec_id, i, x) and join on position.
+_EV_SQL = """
+    SELECT vec_id,
+           CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+"""
+
+
+def _cosine_vs_query_sql(query_vec_id: int, where: str = "TRUE") -> str:
+    """DuckDB: cosine similarity of every embedding vs one query vector,
+    rounded to 6 dp (cross-engine double accumulation differs ~1e-15)."""
+    return f"""
+    WITH ev AS ({_EV_SQL}),
+    qv AS (SELECT i, x AS qx FROM ev WHERE vec_id = {query_vec_id}),
+    dots AS (
+        SELECT e.vec_id, SUM(e.x * q.qx) AS dot, SUM(e.x * e.x) AS na
+        FROM ev AS e JOIN qv AS q USING (i)
+        GROUP BY e.vec_id
+    ),
+    nq AS (SELECT SUM(qx * qx) AS nq FROM qv)
+    SELECT d.vec_id, round(d.dot / (sqrt(d.na) * sqrt(nq.nq)), 6) AS sim
+    FROM dots AS d, nq
+    WHERE {where}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, d: str):
+    """Exact dedup: sha256(text) hash-groupBy, keep the lowest doc_id.
+    One shuffle on the digest; at 100 TB you'd hash first and shuffle
+    only (digest, doc_id), never the text."""
+    docs = load_table(spark, d, "documents")
+    return (
+        docs.withColumn("h", F.sha2("text", 256))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_N_MINHASH = 4  # bands of size 1 → candidate iff any of 4 minhashes collide
+
+
+def _shingles(words: DataFrame) -> DataFrame:
+    """Word 3-gram shingles via lead() over document position."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        words.withColumn("w1", F.lead("word", 1).over(w))
+        .withColumn("w2", F.lead("word", 2).over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("shingle"))
+    )
+
+
+_SHINGLES_SQL = f"""
+    SELECT doc_id, word || ' ' || w1 || ' ' || w2 AS shingle
+    FROM (
+        SELECT doc_id, word,
+               LEAD(word, 1) OVER w AS w1,
+               LEAD(word, 2) OVER w AS w2
+        FROM ({_WORDS_SQL})
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE w2 IS NOT NULL
+"""
+
+
+@query(
+    "q_dedup_near",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sigs AS (
+        SELECT doc_id,
+               {', '.join(f"MIN(md5('{j}:' || shingle)) AS mh{j}" for j in range(_N_MINHASH))}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        {' UNION ALL '.join(f"SELECT doc_id, {j} AS band, mh{j} AS mh FROM sigs" for j in range(_N_MINHASH))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands AS a JOIN bands AS b
+          ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+    ),
+    wset AS (SELECT DISTINCT doc_id, word FROM ({_WORDS_SQL})),
+    wc AS (SELECT doc_id, COUNT(*) AS nw FROM wset GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        FROM cand AS c
+        JOIN wset AS wa ON wa.doc_id = c.doc_a
+        JOIN wset AS wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.ni AS DOUBLE) / (ca.nw + cb.nw - i.ni), 6) AS jaccard
+    FROM inter AS i
+    JOIN wc AS ca ON ca.doc_id = i.doc_a
+    JOIN wc AS cb ON cb.doc_id = i.doc_b
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_near(spark: SparkSession, d: str):
+    """MinHash + LSH near-dup candidates, verified with word-set
+    Jaccard. Pipeline: shingle (3-gram) → 4 minhash signatures
+    (md5 with per-function seed prefix — identical hex in both engines)
+    → band-join on any colliding minhash → exact Jaccard on candidates.
+    The corpus is never cross-joined: the join key is (band, minhash)."""
+    docs = load_table(spark, d, "documents")
+    words = _materialized(_words(docs))
+    sh = _shingles(words)
+
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
+            for j in range(_N_MINHASH)
+        ]
+    )
+    sigs = _materialized(sigs)
+    bands = reduce(
+        lambda x, y: x.unionByName(y),
+        [
+            sigs.select("doc_id", F.lit(j).alias("band"), F.col(f"mh{j}").alias("mh"))
+            for j in range(_N_MINHASH)
+        ],
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    wset = _materialized(words.select("doc_id", "word").distinct())
+    wc = wset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    wa = wset.select(F.col("doc_id").alias("doc_a"), "word")
+    wb = wset.select(F.col("doc_id").alias("doc_b"), "word")
+    inter = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "word"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    ca = wc.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("nwa"))
+    cb = wc.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nwb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("ni").cast("double") / (F.col("nwa") + F.col("nwb") - F.col("ni")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+_SIMHASH_BITS = 16
+_HI_HEX = tuple("89abcdef")
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        "SUM(CASE WHEN substring(hx, {p}, 1) IN ({hi}) THEN 1 ELSE -1 END) AS s{i}".format(
+            p=i + 1, hi=", ".join(f"'{c}'" for c in _HI_HEX), i=i
+        )
+        for i in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS))
+    return f"""
+    WITH wset AS (SELECT DISTINCT doc_id, word FROM ({_WORDS_SQL})),
+    h AS (SELECT doc_id, md5(word) AS hx FROM wset),
+    bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_sql(), tags=("llm", "dedup"))
+def q_dedup_simhash(spark: SparkSession, d: str):
+    """SimHash document fingerprint (16-bit): each distinct word votes
+    ±1 per bit position according to its md5 hex digit; the fingerprint
+    packs the sign bits. Near-dups have small Hamming distance. One
+    explode + one groupBy — linear in corpus size."""
+    docs = load_table(spark, d, "documents")
+    wset = _words(docs).select("doc_id", "word").distinct()
+    h = wset.select("doc_id", F.md5("word").alias("hx"))
+    bit_sums = [
+        F.sum(
+            F.when(F.substring("hx", i + 1, 1).isin(*_HI_HEX), 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    bits = h.groupBy("doc_id").agg(*bit_sums)
+    fp = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(_SIMHASH_BITS)
+        ],
+    )
+    return bits.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+_SAMPLE_MOD = 25  # deterministic modulo sample for the all-pairs baseline
+
+
+@query(
+    "q_jaccard_pairs",
+    oracle=f"""
+    WITH wset AS (
+        SELECT DISTINCT doc_id, word FROM ({_WORDS_SQL})
+        WHERE doc_id % {_SAMPLE_MOD} = 0
+    ),
+    wc AS (SELECT doc_id, COUNT(*) AS nw FROM wset GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM wc AS a JOIN wc AS b ON a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT wa.doc_id AS doc_a, wb.doc_id AS doc_b, COUNT(*) AS ni
+        FROM wset AS wa JOIN wset AS wb
+          ON wa.word = wb.word AND wa.doc_id < wb.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(coalesce(i.ni, 0) AS DOUBLE)
+                 / (ca.nw + cb.nw - coalesce(i.ni, 0)), 6) AS jaccard
+    FROM pairs AS p
+    LEFT JOIN inter AS i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN wc AS ca ON ca.doc_id = p.doc_a
+    JOIN wc AS cb ON cb.doc_id = p.doc_b
+    """,
+    tags=("llm", "dedup"),
+)
+def q_jaccard_pairs(spark: SparkSession, d: str):
+    """Exact n-gram (word-set) Jaccard over a deterministic modulo
+    sample — the all-pairs ground truth the LSH path approximates.
+    All-pairs is quadratic: only ever run on a sample or per-bucket."""
+    docs = load_table(spark, d, "documents").filter(
+        F.col("doc_id") % _SAMPLE_MOD == 0
+    )
+    wset = _materialized(_words(docs).select("doc_id", "word").distinct())
+    wc = wset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    a, b = wc.alias("a"), wc.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.nw").alias("nwa"),
+        F.col("b.nw").alias("nwb"),
+    )
+    wa, wb = wset.alias("wa"), wset.alias("wb")
+    inter = (
+        wa.join(
+            wb,
+            (F.col("wa.word") == F.col("wb.word"))
+            & (F.col("wa.doc_id") < F.col("wb.doc_id")),
+        )
+        .groupBy(
+            F.col("wa.doc_id").alias("doc_a"), F.col("wb.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("ni", F.coalesce("ni", F.lit(0)))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("ni").cast("double") / (F.col("nwa") + F.col("nwb") - F.col("ni")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_sim_cosine",
+    oracle=_cosine_vs_query_sql(0, where="d.vec_id != 0")
+    + " ORDER BY sim DESC, d.vec_id LIMIT 20",
+    tags=("llm", "similarity"),
+)
+def q_sim_cosine(spark: SparkSession, d: str):
+    """Brute-force cosine top-k vs a query vector (vec_id 0) — the ANN
+    correctness baseline. zip_with/aggregate keep the arithmetic
+    JVM-side; the query vector is broadcast so the scan is a single
+    pass, and top-k is TakeOrderedAndProject (per-partition heaps)."""
+    e = load_table(spark, d, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q_sim_knn_group",
+    oracle=f"""
+    WITH sims AS (
+        SELECT e2.label, s.vec_id, s.sim
+        FROM ({_cosine_vs_query_sql(0, where="d.vec_id != 0")}) AS s
+        JOIN embeddings AS e2 ON e2.vec_id = s.vec_id
+    )
+    SELECT label, vec_id, sim FROM (
+        SELECT label, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM sims
+    ) WHERE rn <= 3
+    """,
+    tags=("llm", "similarity"),
+)
+def q_sim_knn_group(spark: SparkSession, d: str):
+    """Top-3 nearest neighbors of the query vector per label — ranking
+    window over similarity (partition-parallel by label)."""
+    e = load_table(spark, d, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sims = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_id", "sim")
+    )
+
+
+_BUCKET_SQL = "(CAST(embedding[1] > 0 AS INTEGER) * 2 + CAST(embedding[2] > 0 AS INTEGER))"
+
+
+@query(
+    "q_sim_ann_bucket",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings),
+    qb AS (SELECT bucket FROM b WHERE vec_id = 0),
+    cand AS (SELECT b.vec_id, b.bucket FROM b, qb
+             WHERE b.bucket = qb.bucket AND b.vec_id != 0)
+    SELECT c.bucket, s.vec_id, s.sim
+    FROM ({_cosine_vs_query_sql(0, where="d.vec_id != 0")}) AS s
+    JOIN cand AS c ON c.vec_id = s.vec_id
+    ORDER BY s.sim DESC, s.vec_id LIMIT 10
+    """,
+    tags=("llm", "similarity"),
+)
+def q_sim_ann_bucket(spark: SparkSession, d: str):
+    """LSH-bucketed approximate NN: sign-bits of the first two
+    components partition vectors into 4 buckets; only the query's
+    bucket is scanned (corpus/n_buckets work per query). The scale path
+    vs q_sim_cosine's full scan; generalizes to k hyperplanes → 2^k
+    buckets."""
+    e = load_table(spark, d, "embeddings")
+    bucket = (
+        F.element_at("embedding", 1).cast("double") > 0
+    ).cast("int") * 2 + (F.element_at("embedding", 2).cast("double") > 0).cast("int")
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    qrow = b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        b.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .filter(F.col("bucket") == F.col("qbucket"))
+        .select(
+            "bucket",
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "q_dedup_embed",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    sample AS (SELECT * FROM ev WHERE vec_id % 20 = 0),
+    norms AS (SELECT vec_id, SUM(x * x) AS nn FROM sample GROUP BY vec_id),
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
+        FROM sample AS a JOIN sample AS b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT d.vec_a, d.vec_b,
+           round(d.dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS sim
+    FROM dots AS d
+    JOIN norms AS na ON na.vec_id = d.vec_a
+    JOIN norms AS nb ON nb.vec_id = d.vec_b
+    WHERE round(d.dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) > -1.0
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def q_dedup_embed(spark: SparkSession, d: str):
+    """Embedding-cosine near-dup pairs over a deterministic modulo
+    sample (all-pairs is quadratic — at scale this runs per LSH bucket,
+    see q_sim_ann_bucket). Emits every pair with its similarity."""
+    e = load_table(spark, d, "embeddings").filter(F.col("vec_id") % 20 == 0)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_cosine(F.col("ea"), F.col("eb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") > -1.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_text_tokens",
+    oracle=f"""
+    SELECT word, COUNT(*) AS n
+    FROM ({_WORDS_SQL})
+    GROUP BY word
+    """,
+    tags=("llm", "text"),
+)
+def q_text_tokens(spark: SparkSession, d: str):
+    """Tokenize + global word count (the classic)."""
+    docs = load_table(spark, d, "documents")
+    return _words(docs).groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(string_split(text, ' '), w -> w != ''))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(MIN(length(text)) AS INTEGER) AS min_len,
+           CAST(MAX(length(text)) AS INTEGER) AS max_len
+    FROM documents GROUP BY lang
+    """,
+    tags=("llm", "text"),
+)
+def q_text_stats(spark: SparkSession, d: str):
+    """Corpus stats per language: doc/token counts, char stats."""
+    docs = load_table(spark, d, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min(F.length("text")).alias("min_len"),
+        F.max(F.length("text")).alias("max_len"),
+    )
+
+
+@query(
+    "q_text_filter",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE lang IN ('en', 'de') AND n_chars BETWEEN 100 AND 400
+    """,
+    tags=("llm", "text"),
+)
+def q_text_filter(spark: SparkSession, d: str):
+    """Quality filter — the standard LLM-corpus cleaning predicate
+    (lang allowlist + length band). Pushes down to the scan."""
+    docs = load_table(spark, d, "documents")
+    return docs.filter(
+        F.col("lang").isin("en", "de") & F.col("n_chars").between(100, 400)
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, COUNT(*) AS n_tok,
+               COUNT(*) FILTER (WHERE word IN ({', '.join(f"'{w}'" for w in _STOPWORDS)})) AS n_stop
+        FROM ({_WORDS_SQL}) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           t.n_tok,
+           t.n_stop,
+           round(CAST(t.n_stop AS DOUBLE) / t.n_tok, 6) AS stop_ratio,
+           round(CAST(length(replace(d.text, ' ', '')) AS DOUBLE) / t.n_tok, 6) AS avg_token_len,
+           CASE WHEN t.n_tok >= 10 AND CAST(t.n_stop AS DOUBLE) / t.n_tok BETWEEN 0.01 AND 0.6
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM documents AS d JOIN tok AS t USING (doc_id)
+    """,
+    tags=("llm", "text"),
+)
+def q_text_quality(spark: SparkSession, d: str):
+    """Per-document quality scoring: token count, stopword ratio,
+    average token length, keep/drop verdict — the heuristic-filter
+    stage of a training-data pipeline."""
+    docs = load_table(spark, d, "documents")
+    tok = (
+        _words(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count(F.when(F.col("word").isin(*_STOPWORDS), 1)).alias("n_stop"),
+        )
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tok")
+    return (
+        docs.join(tok, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_stop",
+            F.round(stop_ratio, 6).alias("stop_ratio"),
+            F.round(
+                F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+                / F.col("n_tok"),
+                6,
+            ).alias("avg_token_len"),
+            F.when(
+                (F.col("n_tok") >= 10) & stop_ratio.between(0.01, 0.6), "keep"
+            )
+            .otherwise("drop")
+            .alias("verdict"),
+        )
+    )
+
+
+_LANG_MARKERS = ("the", "a", "of")
+
+
+def _marker_hits_sql() -> str:
+    pad = "' ' || text || ' '"
+    terms = []
+    for m in _LANG_MARKERS:
+        pat = f"' {m} '"
+        terms.append(
+            f"(length({pad}) - length(replace({pad}, {pat}, ' '))) / {len(m) + 1}"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_marker_hits_sql()} AS BIGINT) AS en_hits,
+           CASE WHEN {_marker_hits_sql()} > 0 THEN 'en' ELSE 'unknown' END AS lang_guess
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def q_text_langid(spark: SparkSession, d: str):
+    """Language-ID heuristic: count English marker-word occurrences via
+    the length-delta-of-replace trick (portable, no regex dialect
+    divergence). Real pipelines swap in per-language marker n-gram
+    tables — same dataflow shape."""
+    docs = load_table(spark, d, "documents")
+    pad = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    hits = None
+    for m in _LANG_MARKERS:
+        t = (F.length(pad) - F.length(F.replace(pad, F.lit(f" {m} "), F.lit(" ")))) / (
+            len(m) + 1
+        )
+        hits = t if hits is None else hits + t
+    return docs.select(
+        "doc_id",
+        hits.cast("long").alias("en_hits"),
+        F.when(hits > 0, "en").otherwise("unknown").alias("lang_guess"),
+    )
+
+
+@query(
+    "q_multimodal",
+    oracle="""
+    SELECT d.doc_id, d.lang, CAST(length(d.text) AS INTEGER) AS n_text_chars,
+           CAST(len(e.embedding) AS INTEGER) AS dim, e.label,
+           round(CAST(e.embedding[1] AS DOUBLE), 6) AS emb_head
+    FROM documents AS d JOIN embeddings AS e ON d.doc_id = e.vec_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_multimodal(spark: SparkSession, d: str):
+    """Multimodal container: text ⋈ vector into one typed struct column
+    (text + embedding + metadata), then a flattened projection for the
+    oracle. Binary modalities (image/audio) ride the same shape — see
+    functions/multimodal.py for the decode/feature plumbing."""
+    docs = load_table(spark, d, "documents")
+    emb = load_table(spark, d, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).withColumn(
+        "mm",
+        F.struct(
+            F.col("text"), F.col("embedding"), F.col("lang"), F.col("label")
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.col("mm.lang").alias("lang"),
+        F.length(F.col("mm.text")).alias("n_text_chars"),
+        F.size(F.col("mm.embedding")).alias("dim"),
+        F.col("mm.label").alias("label"),
+        F.round(F.element_at(F.col("mm.embedding"), 1).cast("double"), 6).alias("emb_head"),
+    )

@@ -1,0 +1,58 @@
+"""Central query registry: every operator the engine implements is a
+named ``Query`` with (a) a Spark callable ``(spark, sf_dir) -> DataFrame``
+and (b) an equivalent DuckDB oracle SQL string (or ``None`` for ops that
+are not SQL-expressible — those get a weaker rows-only check).
+
+This is the engine's coverage ledger for SURVEY.md §2: the verify
+driver, the pytest suite, and bench.py all iterate this one dict.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from direct_kafka_stream_spark.session import tune_session
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over the fixture views, or None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a query implementation.
+
+    The wrapped callable receives (spark, sf_dir); we defensively apply
+    runtime session tuning first so results don't depend on the caller's
+    session configuration (timezone, Arrow, NTZ inference).
+    """
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = name
+        wrapped.__doc__ = fn.__doc__
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
+        QUERIES[name] = Query(
+            name=name,
+            spark=wrapped,
+            oracle=oracle.strip() if oracle else None,
+            doc=(fn.__doc__ or "").strip(),
+            tags=tuple(tags),
+        )
+        return wrapped
+
+    return deco

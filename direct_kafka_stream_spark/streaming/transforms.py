@@ -1,0 +1,101 @@
+"""Event-time transforms shared by batch and streaming paths.
+
+Each function takes a DataFrame with the events schema
+(event_id long, ts timestamp, user_id long, event_type string,
+value double, props string) and returns a transformed DataFrame.
+Because Structured Streaming incrementalizes the *same* logical plan,
+these run unchanged on ``spark.read.parquet`` (batch-analog oracle
+checks, SURVEY.md §2.C) and on ``spark.readStream`` (streaming tests).
+
+The reference had no event-time semantics at all — only 5 s
+processing-time micro-batches (KafkaDirectStream.scala:41); windows,
+watermarks, and sessionization are part of the mandated extension
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from direct_kafka_stream_spark.exprs import dsum
+
+
+def _win_bounds(win: Column) -> list[Column]:
+    # Project window struct → epoch-second columns so results are
+    # hash-comparable with the DuckDB oracle (timestamp → long floors).
+    return [
+        win.start.cast("long").alias("win_start"),
+        win.end.cast("long").alias("win_end"),
+    ]
+
+
+def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Tumbling event-time window per event_type: count + exact sum."""
+    win = F.window("ts", width)
+    return events.groupBy(win, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    ).select(*_win_bounds(F.col("window")), "event_type", "n_events", "sum_value")
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding windows — each event lands in width/slide windows."""
+    win = F.window("ts", width, slide)
+    return events.groupBy(win, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    ).select(*_win_bounds(F.col("window")), "event_type", "n_events", "sum_value")
+
+
+def session_counts(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Gap-based session windows per user (Spark ≥3.2 session_window).
+
+    A session extends while consecutive events are < gap apart; an event
+    exactly gap after its predecessor starts a new session."""
+    win = F.session_window("ts", gap)
+    return events.groupBy(win, "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    ).select(
+        F.col("session_window").start.cast("long").alias("session_start"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
+def dedup_keep_first(events: DataFrame, keys=("user_id", "event_type")) -> DataFrame:
+    """Deterministic keep-first dedup: earliest (ts, event_id) row per
+    key. Batch form uses a ranking window; the streaming form of the
+    same intent is ``withWatermark(...).dropDuplicates([...])`` (state
+    pruned by the watermark) — see streaming/pipeline.py."""
+    w = Window.partitionBy(*keys).orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+def dedup_streaming(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on the unique event key: exactly-once view of an
+    at-least-once input (the reference's own caveat — its README tells
+    users to 'deal with duplicates down the stream'; this is that
+    operator). Watermark bounds the dedup state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def windowed_counts_with_watermark(
+    events: DataFrame, width: str = "10 minutes", delay: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling counts with a watermark: in streaming mode, rows older
+    than max(event time) − delay are dropped from state (late data)."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(*_win_bounds(F.col("window")), "event_type", "n_events")
+    )

@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns + typed metadata, processed via Arrow-batched mapInPandas.
+
+The Spark-side architecture is real and tested — schema contracts,
+partition-parallel batch iteration, struct metadata — while the codec
+step itself is stubbed (no image/audio libraries in this environment):
+``decode_image`` raises NotImplementedError unless handed a decoder,
+and tests inject ``fake_decoder`` (deterministic, content-derived) to
+exercise the full pipeline shape.
+
+At 100 TB: binaries live in parquet (or are lazily fetched by URI
+inside the batch iterator to keep shuffle payloads small); decode and
+feature-extraction parallelize per input partition with zero shuffle;
+only the (tiny) extracted features flow downstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+# Output schema contract of the image feature extractor.
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id long, width int, height int, n_bytes long, mean_lum double, "
+    "phash long"
+)
+
+
+def attach_binary_column(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixture adapter: derive a deterministic binary payload + metadata
+    struct from a text column, standing in for real image bytes."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").alias("media"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.length(text_col).alias("orig_size"),
+        ).alias("media_meta"),
+    )
+
+
+def fake_decoder(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for an image codec: expands bytes into a
+    small pseudo-image (h, w) uint8 array derived from content."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    h = 8 + int(arr[:4].sum()) % 8
+    w = 8 + int(arr[4:8].sum() if len(arr) >= 8 else 0) % 8
+    tiled = np.resize(arr, (h, w))
+    return tiled
+
+
+def decode_image(payload: bytes, decoder: Callable | None = None) -> np.ndarray:
+    """Codec boundary. Real deployments pass Pillow/libvips/ffmpeg here;
+    this container has none, so without an injected decoder this is an
+    explicit stub."""
+    if decoder is None:
+        raise NotImplementedError(
+            "no image codec available in this environment; inject a decoder"
+        )
+    return decoder(payload)
+
+
+def image_features(
+    df: DataFrame, decoder: Callable | None = None
+) -> DataFrame:
+    """mapInPandas feature extraction over binary media: per Arrow
+    batch, decode each payload and emit fixed-width features (dims,
+    luminance, a 64-bit perceptual-hash-shaped fingerprint). The only
+    Python-side stage in the pipeline; everything downstream is
+    DataFrame algebra again."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                img = decode_image(bytes(payload), decoder)
+                # 8x8 downsample-free average-hash style fingerprint.
+                flat = np.resize(img.astype(np.float64), (8, 8))
+                bits = (flat > flat.mean()).flatten()
+                phash = int(sum(int(b) << i for i, b in enumerate(bits)))
+                # keep phash in signed-long range
+                if phash >= 1 << 63:
+                    phash -= 1 << 64
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        int(len(payload)),
+                        float(img.mean()),
+                        phash,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_bytes", "mean_lum", "phash"],
+            )
+
+    return df.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Video-style frame sampling shape: given (doc_id, media) where the
+    payload notionally contains N frames, emit every nth frame index
+    with its byte-slice bounds — pure DataFrame ops (no decode), showing
+    that sampling/slicing logic stays JVM-side even for binary media."""
+    n_frames = (F.length("media") / 16).cast("int").alias("n_frames")
+    with_frames = df.select("doc_id", F.col("media"), n_frames)
+    idx = F.explode(
+        F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_nth))
+    ).alias("frame_idx")
+    return with_frames.select("doc_id", "n_frames", idx).select(
+        "doc_id",
+        "frame_idx",
+        (F.col("frame_idx") * 16).alias("byte_start"),
+        (F.col("frame_idx") * 16 + 16).alias("byte_end"),
+    )

@@ -578,10 +578,10 @@ def q_win_analytic(spark: SparkSession, d: str):
     "q_win_frame",
     oracle="""
     SELECT event_id, user_id, value,
-           CAST(SUM(CAST(value AS DECIMAL(38,10)))
-                OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
-           CAST(SUM(CAST(value AS DECIMAL(38,10)))
-                OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding_sum,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10)))
+                OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_sum,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10)))
+                OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS sliding_sum,
            COUNT(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sliding_n
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -598,8 +598,8 @@ def q_win_frame(spark: SparkSession, d: str):
         "event_id",
         "user_id",
         "value",
-        F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double").alias("running_sum"),
-        F.sum(dec).over(w.rowsBetween(-3, 0)).cast("double").alias("sliding_sum"),
+        F.round(F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).cast("double").alias("running_sum"),
+        F.round(F.sum(dec).over(w.rowsBetween(-3, 0)), 4).cast("double").alias("sliding_sum"),
         F.count(F.lit(1)).over(w.rowsBetween(-3, 0)).alias("sliding_n"),
     )
 

@@ -1,0 +1,62 @@
+"""Physical-plan inspection helpers — the engine's own guardrails that
+queries compile to the plans we designed for (SURVEY.md §4): filters
+reach the parquet scan, small dims broadcast, scans prune columns,
+whole-stage codegen covers the hot path. Used by tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def plan_contains(df: DataFrame, *needles: str) -> bool:
+    plan = physical_plan(df)
+    return all(n in plan for n in needles)
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return plan_contains(df, "BroadcastHashJoin") or plan_contains(
+        df, "BroadcastNestedLoopJoin"
+    )
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters: [...] section(s) of the scan nodes."""
+    plan = physical_plan(df)
+    return "\n".join(l.strip() for l in plan.splitlines() if "PushedFilters" in l)
+
+
+def read_schema(df: DataFrame) -> str:
+    plan = physical_plan(df)
+    return "\n".join(l.strip() for l in plan.splitlines() if "ReadSchema" in l)
+
+
+def codegen_stage_count(df: DataFrame, execute: bool = True) -> int:
+    """Number of whole-stage-codegen spans. With AQE the final plan only
+    exists after execution, so by default run the query first and read
+    the executed plan."""
+    if execute:
+        # collect() executes THIS QueryExecution so its AQE plan
+        # finalizes (a write would spawn a separate execution).
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    else:
+        plan = physical_plan(df)
+    import re
+
+    ids = set()
+    for line in plan.splitlines():
+        if "codegen id :" in line:
+            ids.add(line.split("codegen id :")[1].split("]")[0].strip())
+        elif "WholeStageCodegen (" in line:
+            ids.add(line.split("WholeStageCodegen (")[1].split(")")[0])
+        else:
+            # executedPlan.toString marks codegen spans as "*(n) Op"
+            ids.update(re.findall(r"\*\((\d+)\)", line))
+    return len(ids)

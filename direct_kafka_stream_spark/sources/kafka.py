@@ -1,0 +1,100 @@
+"""Kafka source/sink for Structured Streaming — the Spark-native
+re-expression of the reference's entire raison d'être.
+
+The reference (KafkaDirectStream.scala) hand-builds a receiver-less
+direct DStream (KDS:64-68), decodes key/value with StringDecoder
+(KDS:9,65,68), manages per-partition offsets as a ZooKeeper CSV znode
+(KDS:77-109), and recovers by seeding fromOffsets (KDS:66-68). All of
+that collapses here into reader options:
+
+  reference                         | this module
+  ----------------------------------+---------------------------------
+  createDirectStream(latest)        | startingOffsets="latest"
+  createDirectStream(fromOffsets)   | startingOffsets=<per-partition json>
+  messageHandler -> (key, message)  | select(key, value) + CAST
+  readOffsets/saveOffsets via ZK    | checkpointLocation offset WAL
+  at-least-once (begin offsets)     | exactly-once with idempotent sinks
+
+One Kafka partition still maps to one input partition; offsets, not
+data, are the recovery state — the same physical design the reference
+chose, provided by the engine instead of 50 lines of driver code.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+KAFKA_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topics: str | list[str],
+    starting_offsets: str | dict = "latest",
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """Streaming DataFrame over Kafka topics (reference R1/R2/R11).
+
+    ``starting_offsets`` accepts "latest"/"earliest" or a dict
+    {topic: {partition: offset}} — the typed replacement for the
+    reference's ``topic:partition:offset`` CSV znode format
+    (reference README.md:146)."""
+    if isinstance(topics, (list, tuple)):
+        topics = ",".join(topics)
+    if isinstance(starting_offsets, dict):
+        starting_offsets = json.dumps(
+            {t: {str(p): o for p, o in parts.items()} for t, parts in starting_offsets.items()}
+        )
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        .load()
+    )
+
+
+def decode_kv(df: DataFrame, value_schema: str | None = None) -> DataFrame:
+    """StringDecoder equivalent (reference R3/R4): binary key/value →
+    strings; optionally parse the value as JSON into typed columns
+    (the reference's payloads were JSON strings, README.md:167)."""
+    out = df.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    )
+    if value_schema is not None:
+        out = out.withColumn("parsed", F.from_json("value", value_schema))
+    return out
+
+
+def kafka_sink(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint_dir: str,
+    query_name: str = "kafka_sink",
+):
+    """writeStream → Kafka with exactly-once-capable checkpointing
+    (supersedes the reference's console sink + manual offset commit)."""
+    return (
+        df.selectExpr(
+            "CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value"
+        )
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

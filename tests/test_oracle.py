@@ -1,0 +1,69 @@
+"""Differential oracle tests (SURVEY.md §5.2 #1): Spark result ==
+DuckDB result, exactly, order-insensitive, at sf0.001.
+
+The full 70-query sweep lives in scripts/check_oracle.py (and runs in
+the verify driver at sf0.01); here a representative slice keeps the
+pytest loop fast while still exercising every operator family.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from direct_kafka_stream_spark import QUERIES, TABLES
+
+from tests.conftest import SF_DIR
+
+sys_path_queries = [
+    # one per family: scan, join, flagship, agg, window, setop, subquery,
+    # streaming analog, llm-dedup, similarity, text, functions, udf
+    "q_filter",
+    "q_join_multiway",
+    "q_agg_group",
+    "q_win_rank",
+    "q_except_all",
+    "q_subquery_in",
+    "q_win_session",
+    "q_dedup_near",
+    "q_sim_cosine",
+    "q_text_quality",
+    "q_date_fns",
+    "q_collect",
+    "q_udaf_weighted",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sys_path_queries)
+def test_query_matches_oracle(spark, oracle, name):
+    from scripts.check_oracle import normalize
+
+    q = QUERIES[name]
+    sdf = q.spark(spark, SF_DIR).toPandas()
+    odf = oracle.sql(q.oracle).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    assert normalize(sdf) == normalize(odf)
+
+
+def test_every_query_registered_with_oracle_or_reason():
+    missing = [n for n, q in QUERIES.items() if q.oracle is None]
+    # approx sketches are legitimately rows-only; anything else needs SQL
+    assert set(missing) <= {"q_agg_approx"}
+
+
+def test_entry_contract():
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    osql = E.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 70

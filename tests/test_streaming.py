@@ -1,0 +1,221 @@
+"""Real Structured Streaming tests (SURVEY.md §5.2 #2-3): streaming ==
+batch equivalence, watermark late-data semantics, and the
+checkpoint-restart exactly-once test — the Structured Streaming
+rendition of the reference's ZooKeeper offset recovery acceptance test
+(reference README.md:160-176, replayed with checkpointLocation instead
+of a znode).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.sources.files import events_schema, file_stream
+from direct_kafka_stream_spark.streaming import pipeline, transforms
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events fixture rewritten as µs-timestamp parquet (streamable)."""
+    d = tmp_path_factory.mktemp("events_stream_src")
+    load_table(spark, SF_DIR, "events").coalesce(1).write.mode("overwrite").parquet(str(d))
+    return str(d)
+
+
+def _await(q):
+    pipeline.await_all(q, timeout_s=180)
+
+
+def test_streaming_equals_batch_tumbling(spark, events_dir, tmp_path):
+    """The same transform, applied to a batch frame and to a stream of
+    the same rows, must produce identical results (complete mode)."""
+    batch = transforms.tumbling_counts(load_table(spark, SF_DIR, "events"))
+    expected = sorted(map(tuple, batch.collect()))
+
+    stream = file_stream(spark, events_dir, events_schema())
+    agg = transforms.tumbling_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_tumbling")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = sorted(map(tuple, spark.table("t_tumbling").collect()))
+    assert got == expected
+
+
+def test_streaming_dedup_drops_duplicates(spark, tmp_path):
+    """dropDuplicates over a watermark: replayed event_ids are dropped —
+    the in-engine version of the reference's 'deal with duplicates
+    down the stream' (README.md:93-95)."""
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    rows1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:01", "2024-01-01 10:02"]),
+            "user_id": [1, 1, 2],
+            "event_type": ["a", "b", "a"],
+            "value": [1.0, 2.0, 3.0],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    rows2 = rows1.assign(event_id=[3, 4, 2])  # 3 and 2 are replays
+    rows1.to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    rows2.to_parquet(src / "b2.parquet", coerce_timestamps="us")
+
+    stream = file_stream(spark, str(src), events_schema(), max_files_per_trigger=1)
+    dedup = transforms.dedup_streaming(stream, watermark="1 hour")
+    q = pipeline.run_to_memory(dedup, "t_dedup", str(tmp_path / "ckpt"))
+    _await(q)
+    got = spark.table("t_dedup").select("event_id").toPandas()["event_id"].tolist()
+    assert sorted(got) == [1, 2, 3, 4]
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics as Spark actually implements them:
+
+    * A late row arriving while its window's state is still live (the
+      window closes at the END of the batch whose watermark passed it)
+      is still merged — delayed-within-threshold data is guaranteed in.
+    * A late row arriving AFTER the window was emitted and its state
+      evicted is dropped: the closed window is never re-emitted and the
+      row never creates a duplicate (append-mode correctness).
+    """
+    import os
+    import time as _time
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def mk(ts_vals, ids):
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime(ts_vals),
+                "user_id": [1] * len(ids),
+                "event_type": ["x"] * len(ids),
+                "value": [1.0] * len(ids),
+                "props": ["{}"] * len(ids),
+            }
+        )
+
+    # batch0: watermark (after) = 10:35 - 10min = 10:25.
+    mk(["2024-01-01 10:05", "2024-01-01 10:35"], [1, 2]).to_parquet(
+        src / "b1.parquet", coerce_timestamps="us"
+    )
+    # batch1: 10:03 is late but window [10:00,10:10) state is still
+    # live → merged (count 2); at batch end the window (end 10:10 ≤
+    # watermark 10:25) is emitted and evicted. Watermark → 10:45.
+    mk(["2024-01-01 10:03", "2024-01-01 10:55"], [3, 4]).to_parquet(
+        src / "b2.parquet", coerce_timestamps="us"
+    )
+    # batch2: 10:04 is later than the already-emitted window → DROPPED
+    # (no duplicate emission). 11:30 advances watermark to 11:20,
+    # finalizing [10:50,11:00).
+    mk(["2024-01-01 10:04", "2024-01-01 11:30"], [5, 6]).to_parquet(
+        src / "b3.parquet", coerce_timestamps="us"
+    )
+    now = _time.time()
+    for i, f in enumerate(["b1.parquet", "b2.parquet", "b3.parquet"]):
+        os.utime(src / f, (now - 300 + i * 120, now - 300 + i * 120))
+
+    stream = file_stream(spark, str(src), events_schema(), max_files_per_trigger=1)
+    agg = transforms.windowed_counts_with_watermark(stream, "10 minutes", "10 minutes")
+    q = pipeline.run_to_memory(agg, "t_late", str(tmp_path / "ckpt"))
+    _await(q)
+    rows = spark.table("t_late").collect()
+    by_min = {}
+    for r in rows:
+        m = (r["win_start"] % 86400) // 60
+        by_min.setdefault(m, []).append(r["n_events"])
+    assert by_min.get(600) == [2]  # merged late row; emitted exactly once
+    assert by_min.get(630) == [1]
+    assert by_min.get(650) == [1]
+    assert 604 not in by_min  # the post-eviction late row created nothing
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stop → append data → restart with the same checkpoint: every
+    input row lands in the sink exactly once (offset WAL + idempotent
+    file sink). Third run with no new data writes nothing."""
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    ev = load_table(spark, SF_DIR, "events").orderBy("event_id")
+    first, second = ev.limit(400), ev.subtract(ev.limit(400))
+    first.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "f1"))
+    shutil.copy(
+        next((tmp_path / "f1").glob("*.parquet")), src / "file1.parquet"
+    )
+
+    stream = lambda: file_stream(spark, str(src), events_schema())  # noqa: E731
+    q = pipeline.run_to_parquet(stream(), str(sink), str(ckpt))
+    _await(q)
+    n1 = spark.read.parquet(str(sink)).count()
+    assert n1 == 400
+
+    second.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "f2"))
+    shutil.copy(
+        next((tmp_path / "f2").glob("*.parquet")), src / "file2.parquet"
+    )
+    q = pipeline.run_to_parquet(stream(), str(sink), str(ckpt))
+    _await(q)
+    out = spark.read.parquet(str(sink))
+    assert out.count() == 1000
+    assert out.select("event_id").distinct().count() == 1000  # no replays
+
+    q = pipeline.run_to_parquet(stream(), str(sink), str(ckpt))
+    _await(q)
+    assert spark.read.parquet(str(sink)).count() == 1000  # idempotent restart
+
+
+def test_stream_static_join(spark, events_dir, tmp_path):
+    """Stream ⋈ static dimension — dim is re-read per micro-batch,
+    no state required."""
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("user_id"), (F.col("id") % 3).alias("cohort")
+    )
+    stream = file_stream(spark, events_dir, events_schema())
+    joined = stream.join(dim, "user_id").groupBy("cohort").count()
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ss_join")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {r["cohort"]: r["count"] for r in spark.table("t_ss_join").collect()}
+    batch = load_table(spark, SF_DIR, "events").join(dim, "user_id").groupBy("cohort").count()
+    want = {r["cohort"]: r["count"] for r in batch.collect()}
+    assert got == want
+
+
+def test_foreach_batch_hook(spark, events_dir, tmp_path):
+    """foreachBatch — successor of the reference's foreachRDD hook
+    (KDS:43-51): per-batch DataFrame with a stable batch_id."""
+    seen: list[tuple[int, int]] = []
+
+    stream = file_stream(spark, events_dir, events_schema())
+    q = pipeline.run_foreach_batch(
+        stream,
+        lambda df, bid: seen.append((bid, df.count())),
+        str(tmp_path / "ckpt"),
+    )
+    _await(q)
+    assert sum(n for _, n in seen) == 1000
+    assert [b for b, _ in seen] == sorted({b for b, _ in seen})

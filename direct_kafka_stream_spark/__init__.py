@@ -26,6 +26,7 @@ from direct_kafka_stream_spark.registry import QUERIES, Query, query
 # Populate the registry (import side effects register queries).
 from direct_kafka_stream_spark.operators import relational  # noqa: F401
 from direct_kafka_stream_spark.operators import streaming_analog  # noqa: F401
+from direct_kafka_stream_spark.operators import stats  # noqa: F401
 from direct_kafka_stream_spark.operators import llm  # noqa: F401
 from direct_kafka_stream_spark.functions import scalar  # noqa: F401
 from direct_kafka_stream_spark.functions import collections  # noqa: F401

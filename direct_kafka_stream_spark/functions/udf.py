@@ -176,3 +176,44 @@ def q_map_in_pandas(spark: SparkSession, d: str):
     return docs.mapInPandas(
         _token_stats, schema="doc_id long, n_tokens long, n_chars long"
     )
+
+
+@query(
+    "q_udtf_split",
+    oracle="""
+    SELECT doc_id, word, pos FROM (
+        SELECT doc_id, word,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) AS INTEGER) - 1 AS pos
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS ord
+            FROM documents
+        ) WHERE word != ''
+    ) WHERE doc_id < 20
+    """,
+    tags=("udf", "udtf"),
+)
+def q_udtf_split(spark: SparkSession, d: str):
+    """Python UDTF (Spark ≥3.5): one input row → many output rows via a
+    LATERAL join — the user-extensible table function surface. Kept on
+    a small slice: a Python UDTF is the slow path; the production
+    tokenizer is the higher-order-function pipeline in operators/llm.py."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos int")
+    class SplitWords:
+        def eval(self, text: str):
+            pos = 0
+            for w in (text or "").split(" "):
+                if w:
+                    yield w, pos
+                    pos += 1
+
+    spark.udtf.register("split_words", SplitWords)
+    docs = load_table(spark, d, "documents").filter("doc_id < 20")
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.word, s.pos "
+        "FROM udtf_docs AS d, LATERAL split_words(d.text) AS s"
+    )

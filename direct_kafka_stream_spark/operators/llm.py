@@ -47,28 +47,26 @@ def _materialized(df: DataFrame) -> DataFrame:
     return df
 
 
+def _tokens(col: str = "text") -> Column:
+    """Non-empty token array (texts can carry trailing separators)."""
+    return F.filter(F.split(col, " "), lambda w: w != "")
+
+
 def _words(docs: DataFrame) -> DataFrame:
-    """documents → one row per (doc_id, position, word), empties removed
-    (texts can carry trailing separators). Position survives the filter
-    via a re-rank so downstream shingling sees contiguous positions."""
-    w = Window.partitionBy("doc_id").orderBy("pos0")
-    return (
-        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word"))
-        .filter(F.col("word") != "")
-        .withColumn("pos", F.row_number().over(w))
-        .drop("pos0")
-    )
+    """documents → one row per (doc_id, position, word). The empty-token
+    filter runs on the ARRAY before exploding, so positions are
+    contiguous by construction — no shuffle, no ranking window; the
+    whole thing stays in one codegen stage per input partition."""
+    return docs.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
 
 
 _WORDS_SQL = """
-    SELECT doc_id, word,
-           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
-    FROM (
-        SELECT doc_id,
-               unnest(string_split(text, ' ')) AS word,
-               generate_subscripts(string_split(text, ' '), 1) AS ord
-        FROM documents
-    ) WHERE word != ''
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word,
+           generate_subscripts(list_filter(string_split(text, ' '), w -> w != ''), 1) AS pos
+    FROM documents
 """
 
 
@@ -139,15 +137,24 @@ def q_dedup_exact(spark: SparkSession, d: str):
 _N_MINHASH = 4  # bands of size 1 → candidate iff any of 4 minhashes collide
 
 
-def _shingles(words: DataFrame) -> DataFrame:
-    """Word 3-gram shingles via lead() over document position."""
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        words.withColumn("w1", F.lead("word", 1).over(w))
-        .withColumn("w2", F.lead("word", 2).over(w))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("shingle"))
-    )
+def _shingles_from_docs(docs: DataFrame) -> DataFrame:
+    """Word 3-gram shingles built array-side (transform over an index
+    sequence) — zero shuffles, contrast the oracle's window-LEAD
+    formulation which must sort per doc. Semantically identical."""
+    toks = _tokens()
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 _SHINGLES_SQL = f"""
@@ -204,7 +211,7 @@ def q_dedup_near(spark: SparkSession, d: str):
     The corpus is never cross-joined: the join key is (band, minhash)."""
     docs = load_table(spark, d, "documents")
     words = _materialized(_words(docs))
-    sh = _shingles(words)
+    sh = _shingles_from_docs(docs)
 
     sigs = sh.groupBy("doc_id").agg(
         *[
@@ -718,4 +725,122 @@ def q_multimodal(spark: SparkSession, d: str):
         F.size(F.col("mm.embedding")).alias("dim"),
         F.col("mm.label").alias("label"),
         F.round(F.element_at(F.col("mm.embedding"), 1).cast("double"), 6).alias("emb_head"),
+    )
+
+
+@query(
+    "q_text_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(
+                list_filter(string_split(text, ' '), w -> w != ''),
+                w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_pieces,
+           CAST(len(list_filter(string_split(text, ' '), w -> w != '')) AS INTEGER) AS n_words
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def q_text_bpe(spark: SparkSession, d: str):
+    """Subword (BPE-ish) token counting: each word contributes
+    ceil(len/4) pieces — the fixed-rate approximation used for corpus
+    budgeting when a real tokenizer is too expensive to run inline.
+    Pure higher-order array functions, no Python."""
+    docs = load_table(spark, d, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    pieces = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0),
+    )
+    return docs.select(
+        "doc_id",
+        pieces.alias("n_pieces"),
+        F.size(toks).alias("n_words"),
+    )
+
+
+_IVF_CENTROIDS = (1, 2, 3, 4)
+
+
+def _centroid_sims_sql() -> str:
+    """DuckDB: cosine sim of every vector vs each centroid vector."""
+    cids = ", ".join(str(c) for c in _IVF_CENTROIDS)
+    return f"""
+    WITH ev AS ({_EV_SQL}),
+    cv AS (SELECT vec_id AS cid, i, x AS cx FROM ev WHERE vec_id IN ({cids})),
+    norms AS (SELECT vec_id, SUM(x * x) AS nn FROM ev GROUP BY vec_id),
+    sims AS (
+        SELECT e.vec_id, c.cid,
+               SUM(e.x * c.cx) / (sqrt(nv.nn) * sqrt(nc.nn)) AS csim
+        FROM ev AS e
+        JOIN cv AS c USING (i)
+        JOIN norms AS nv ON nv.vec_id = e.vec_id
+        JOIN norms AS nc ON nc.vec_id = c.cid
+        GROUP BY e.vec_id, c.cid, nv.nn, nc.nn
+    )
+    """
+
+
+@query(
+    "q_sim_ivf",
+    oracle=f"""
+    {_centroid_sims_sql()},
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY round(csim, 6) DESC, cid) AS rn
+            FROM sims
+        ) WHERE rn = 1
+    ),
+    qc AS (SELECT cid FROM assign WHERE vec_id = 0),
+    bucket AS (
+        SELECT a.vec_id, a.cid FROM assign AS a, qc
+        WHERE a.cid = qc.cid AND a.vec_id != 0
+    )
+    SELECT b.cid, s.vec_id, s.sim
+    FROM ({_cosine_vs_query_sql(0, where="d.vec_id != 0")}) AS s
+    JOIN bucket AS b ON b.vec_id = s.vec_id
+    ORDER BY s.sim DESC, s.vec_id LIMIT 5
+    """,
+    tags=("llm", "similarity"),
+)
+def q_sim_ivf(spark: SparkSession, d: str):
+    """IVF-style ANN: a coarse quantizer (4 fixed centroid vectors)
+    partitions the corpus into inverted lists; a query probes only its
+    centroid's list. The scale architecture behind FAISS-style IVF —
+    here the centroids are fixture vectors so the oracle can replay the
+    assignment exactly; production would train them with k-means and
+    persist the assignment as a bucketed table."""
+    e = load_table(spark, d, "embeddings")
+    cents = e.filter(F.col("vec_id").isin(*_IVF_CENTROIDS)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    sims = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        F.round(_cosine(F.col("embedding"), F.col("cv")), 6).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
+    assign = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    assign = assign.persist()
+    qc = assign.filter(F.col("vec_id") == 0).select(F.col("cid").alias("qcid"))
+    bucket = assign.join(F.broadcast(qc), assign.cid == qc.qcid).filter(
+        F.col("vec_id") != 0
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        e.join(bucket.select("vec_id", "cid"), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
     )

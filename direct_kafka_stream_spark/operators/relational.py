@@ -753,3 +753,32 @@ def q_subquery_scalar(spark: SparkSession, d: str):
     an AVG here would be shuffle-order dependent)."""
     load_table(spark, d, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SUBQ_SCALAR)
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("join", "skew"),
+)
+def q_join_salted(spark: SparkSession, d: str):
+    """Skew-mitigated join via key salting: the fact side derives a
+    deterministic salt, the dim side is replicated once per salt value,
+    and the join key becomes (key, salt) — a hot customer's rows spread
+    over N_SALT reducers instead of one. Value-identical to
+    q_join_inner (same oracle). At scale this is the manual fallback
+    when AQE skew-join splitting isn't available (e.g. bucketed SMJ)."""
+    n_salt = 8
+    o = load_table(spark, d, "orders").withColumn(
+        "salt", (F.col("o_orderkey") % n_salt).cast("int")
+    )
+    c = load_table(spark, d, "customer").crossJoin(
+        spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+    )
+    return o.join(
+        c,
+        (o.o_custkey == c.c_custkey) & (o.salt == c.salt),
+        "inner",
+    ).select("o_orderkey", "c_custkey", "c_name", "o_totalprice")

@@ -32,6 +32,30 @@ KAFKA_SCHEMA = (
 )
 
 
+def format_starting_offsets(offsets: str | dict) -> str:
+    """"latest"/"earliest" passthrough, or {topic: {partition: offset}}
+    → the Kafka source's JSON — the typed replacement for the
+    reference's ``topic:partition:offset`` CSV znode format
+    (reference README.md:146; parser at KafkaDirectStream.scala:84-87)."""
+    if isinstance(offsets, dict):
+        return json.dumps(
+            {t: {str(p): o for p, o in parts.items()} for t, parts in offsets.items()},
+            sort_keys=True,
+        )
+    return offsets
+
+
+def parse_reference_offsets(csv: str) -> dict[str, dict[int, int]]:
+    """Parse the reference's legacy ZooKeeper CSV format
+    ("topic:partition:offset,...") into the typed offsets dict — a
+    migration shim for users coming from the reference system."""
+    out: dict[str, dict[int, int]] = {}
+    for item in filter(None, (s.strip() for s in csv.split(","))):
+        topic, partition, offset = item.split(":")
+        out.setdefault(topic, {})[int(partition)] = int(offset)
+    return out
+
+
 def kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -39,18 +63,10 @@ def kafka_stream(
     starting_offsets: str | dict = "latest",
     fail_on_data_loss: bool = False,
 ) -> DataFrame:
-    """Streaming DataFrame over Kafka topics (reference R1/R2/R11).
-
-    ``starting_offsets`` accepts "latest"/"earliest" or a dict
-    {topic: {partition: offset}} — the typed replacement for the
-    reference's ``topic:partition:offset`` CSV znode format
-    (reference README.md:146)."""
+    """Streaming DataFrame over Kafka topics (reference R1/R2/R11)."""
     if isinstance(topics, (list, tuple)):
         topics = ",".join(topics)
-    if isinstance(starting_offsets, dict):
-        starting_offsets = json.dumps(
-            {t: {str(p): o for p, o in parts.items()} for t, parts in starting_offsets.items()}
-        )
+    starting_offsets = format_starting_offsets(starting_offsets)
     return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)

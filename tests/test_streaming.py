@@ -219,3 +219,131 @@ def test_foreach_batch_hook(spark, events_dir, tmp_path):
     _await(q)
     assert sum(n for _, n in seen) == 1000
     assert [b for b, _ in seen] == sorted({b for b, _ in seen})
+
+
+def test_stream_stream_interval_join(spark, events_dir, tmp_path):
+    """Stream–stream inner join with watermarks + event-time range
+    condition (the stateful join the reference could never express;
+    state pruned by the watermark bound)."""
+    a = file_stream(spark, events_dir, events_schema()).withWatermark("ts", "1 hour")
+    b = (
+        file_stream(spark, events_dir, events_schema())
+        .selectExpr(
+            "event_id AS b_event_id", "ts AS b_ts", "user_id AS b_user_id"
+        )
+        .withWatermark("b_ts", "1 hour")
+    )
+    joined = a.join(
+        b,
+        F.expr(
+            "user_id = b_user_id AND b_ts > ts AND b_ts <= ts + INTERVAL 10 MINUTES"
+        ),
+    ).select("event_id", "b_event_id")
+    q = pipeline.run_to_memory(joined, "t_ssj", str(tmp_path / "ckpt"))
+    _await(q)
+    got = spark.table("t_ssj").count()
+
+    ev = load_table(spark, SF_DIR, "events")
+    ea = ev.alias("a")
+    eb = ev.alias("b")
+    want = ea.join(
+        eb,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).count()
+    assert got == want > 0
+
+
+def test_apply_in_pandas_with_state(spark, tmp_path):
+    """Custom stateful streaming operator: per-user running event count
+    via applyInPandasWithState, state carried across micro-batches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = tmp_path / "state_src"
+    src.mkdir()
+
+    def mk(ids, users):
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime(["2024-01-01 10:00"] * len(ids)),
+                "user_id": users,
+                "event_type": ["x"] * len(ids),
+                "value": [1.0] * len(ids),
+                "props": ["{}"] * len(ids),
+            }
+        )
+
+    mk([1, 2, 3], [7, 7, 8]).to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    mk([4, 5], [7, 9]).to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    import os
+    import time as _time
+
+    now = _time.time()
+    os.utime(src / "b1.parquet", (now - 120, now - 120))
+    os.utime(src / "b2.parquet", (now, now))
+
+    def running_count(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    stream = file_stream(spark, str(src), events_schema(), max_files_per_trigger=1)
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        running_count,
+        outputStructType="user_id long, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = pipeline.run_to_memory(
+        counted, "t_state", str(tmp_path / "ckpt"), output_mode="update"
+    )
+    _await(q)
+    rows = spark.table("t_state").collect()
+    final = {}
+    for r in rows:  # update mode: later rows supersede earlier ones
+        final[r["user_id"]] = max(r["n"], final.get(r["user_id"], 0))
+    assert final == {7: 3, 8: 1, 9: 1}
+
+
+def test_update_output_mode(spark, tmp_path):
+    """Update mode emits per-batch deltas for changed keys; the final
+    value per key equals the batch aggregate."""
+    import pandas as pd
+
+    src = tmp_path / "upd_src"
+    src.mkdir()
+    df1 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:01"]),
+            "user_id": [1, 1],
+            "event_type": ["a", "a"],
+            "value": [1.0, 1.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    df2 = df1.assign(event_id=[3, 4], event_type=["a", "b"])
+    df1.to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    df2.to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    import os
+    import time as _time
+
+    now = _time.time()
+    os.utime(src / "b1.parquet", (now - 120, now - 120))
+    os.utime(src / "b2.parquet", (now, now))
+
+    stream = file_stream(spark, str(src), events_schema(), max_files_per_trigger=1)
+    agg = stream.groupBy("event_type").count()
+    q = pipeline.run_to_memory(agg, "t_upd", str(tmp_path / "ckpt"), output_mode="update")
+    _await(q)
+    rows = spark.table("t_upd").collect()
+    final = {}
+    for r in rows:
+        final[r["event_type"]] = max(r["count"], final.get(r["event_type"], 0))
+    assert final == {"a": 3, "b": 1}

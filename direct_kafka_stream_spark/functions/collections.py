@@ -140,11 +140,12 @@ def q_map_fns(spark: SparkSession, d: str):
 )
 def q_json_fns(spark: SparkSession, d: str):
     e = load_table(spark, d, "events")
-    return e.select(
+    parsed = e.withColumn("j", F.from_json("props", "k INT"))  # parse once
+    return parsed.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
-        F.from_json("props", "k INT").getField("k").alias("k_int"),
-        (F.from_json("props", "k INT").getField("k") * 2).alias("k_doubled"),
+        F.col("j.k").alias("k_int"),
+        (F.col("j.k") * 2).alias("k_doubled"),
     )
 
 

@@ -782,3 +782,35 @@ def q_join_salted(spark: SparkSession, d: str):
         (o.o_custkey == c.c_custkey) & (o.salt == c.salt),
         "inner",
     ).select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS is_null_safe_eq,
+           coalesce(nullif(o_orderstatus, 'O'), 'fallback') AS coalesced,
+           CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN -1
+                ELSE length(nullif(o_orderstatus, 'O')) END AS null_branch
+    FROM orders
+    """,
+    tags=("core", "nulls"),
+)
+def q_null_semantics(spark: SparkSession, d: str):
+    """Three-valued-logic surface: NULL propagation, null-safe equality
+    (<=> / IS NOT DISTINCT FROM), coalesce fallbacks, NULL branches in
+    CASE. The fixtures are null-free, so NULLs are manufactured with
+    nullif — the semantics under test are the engine's, not the data's."""
+    o = load_table(spark, d, "orders")
+    s = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        s.alias("status_or_null"),
+        s.eqNullSafe(F.lit(None).cast("string")).alias("is_null_safe_eq"),
+        F.coalesce(s, F.lit("fallback")).alias("coalesced"),
+        F.when(s.isNull(), F.lit(-1))
+        .otherwise(F.length(s))
+        .cast("int")
+        .alias("null_branch"),
+    )

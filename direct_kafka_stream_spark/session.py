@@ -64,8 +64,11 @@ def get_session(
 ) -> SparkSession:
     cpus = default_parallelism()
     master = master or f"local[{cpus}]"
+    # Post-shuffle parallelism: AQE coalesces downward anyway, so cap
+    # the initial number at 16 for the local bench scales (BASELINE.md);
+    # a cluster deployment overrides via env or argument.
     shuffle = shuffle_partitions or int(
-        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", min(cpus, 16))
     )
     builder = (
         SparkSession.builder.master(master)

@@ -31,6 +31,10 @@ sys_path_queries = [
     "q_date_fns",
     "q_collect",
     "q_udaf_weighted",
+    "q_agg_percentile",
+    "q_tpch_q3",
+    "q_sim_ivf",
+    "q_join_salted",
 ]
 
 
@@ -66,4 +70,4 @@ def test_entry_contract():
     qs = E.queries()
     osql = E.oracle_sql()
     assert set(osql) <= set(qs)
-    assert len(qs) >= 70
+    assert len(qs) >= 80

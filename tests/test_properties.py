@@ -1,0 +1,77 @@
+"""Property-based algebraic spot checks (SURVEY.md §5.2 #4):
+hypothesis-generated frames asserting optimizer-independent identities —
+filter placement invariance, join key commutativity, union cardinality,
+dedup idempotence. These hold for ANY plan Catalyst picks, so they
+guard rewrite rules rather than specific queries."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-5, max_value=5),
+        st.integers(min_value=0, max_value=3),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(data, "k int, g int, v double")
+
+
+@given(data=rows)
+@_settings
+def test_filter_pushdown_invariance(spark, data):
+    """filter(project(df)) == project(filter(df)) — the identity that
+    licenses Catalyst's pushdown rule."""
+    df = _df(spark, data)
+    a = df.select("k", "g").filter(F.col("k") > 0)
+    b = df.filter(F.col("k") > 0).select("k", "g")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@given(data=rows, data2=rows)
+@_settings
+def test_inner_join_commutativity(spark, data, data2):
+    l = _df(spark, data)
+    r = _df(spark, data2).withColumnRenamed("g", "g2").withColumnRenamed("v", "v2")
+    ab = l.join(r, "k").select("k", "g", "g2")
+    ba = r.join(l, "k").select("k", "g", "g2")
+    assert sorted(map(tuple, ab.collect())) == sorted(map(tuple, ba.collect()))
+
+
+@given(data=rows, data2=rows)
+@_settings
+def test_union_all_cardinality(spark, data, data2):
+    a, b = _df(spark, data), _df(spark, data2)
+    assert a.unionByName(b).count() == len(data) + len(data2)
+
+
+@given(data=rows)
+@_settings
+def test_distinct_idempotent(spark, data):
+    df = _df(spark, data).select("k", "g")
+    once = df.distinct()
+    twice = once.distinct()
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(data=rows)
+@_settings
+def test_groupby_count_totals(spark, data):
+    """Sum of group counts == total row count (partial aggregation
+    correctness)."""
+    df = _df(spark, data)
+    per_group = df.groupBy("g").count().agg(F.sum("count")).collect()[0][0]
+    assert (per_group or 0) == len(data)

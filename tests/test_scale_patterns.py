@@ -60,3 +60,25 @@ def test_offset_format_roundtrip():
     js = format_starting_offsets(typed)
     assert js == '{"abhishek": {"0": 5}, "dilip": {"0": 38100000, "1": 38200000}}'
     assert format_starting_offsets("latest") == "latest"
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Hive-style partitioned layout + a partition-key filter: the scan
+    must prune to one partition directory (PartitionFilters in the
+    plan), reading none of the others — the mechanism that turns a
+    100 TB table scan into a 100 GB one."""
+    out = str(tmp_path / "events_by_type")
+    load_table(spark, SF_DIR, "events").write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+
+    batch = load_table(spark, SF_DIR, "events").filter(
+        F.col("event_type") == "click"
+    )
+    assert df.count() == batch.count() > 0

@@ -347,3 +347,22 @@ def test_update_output_mode(spark, tmp_path):
     for r in rows:
         final[r["event_type"]] = max(r["count"], final.get(r["event_type"], 0))
     assert final == {"a": 3, "b": 1}
+
+
+def test_streaming_session_window(spark, events_dir, tmp_path):
+    """session_window aggregation on a real stream (watermarked,
+    append mode): emitted sessions must be a non-empty subset of the
+    batch sessionization — only sessions the final watermark closed are
+    flushed; none may disagree with the batch result."""
+    batch = transforms.session_counts(load_table(spark, SF_DIR, "events"))
+    want = {tuple(r) for r in batch.collect()}
+
+    stream = file_stream(spark, events_dir, events_schema()).withWatermark(
+        "ts", "1 hour"
+    )
+    agg = transforms.session_counts(stream)
+    q = pipeline.run_to_memory(agg, "t_sess", str(tmp_path / "ckpt"))
+    _await(q)
+    got = {tuple(r) for r in spark.table("t_sess").collect()}
+    assert got
+    assert got <= want

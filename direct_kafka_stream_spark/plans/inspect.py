@@ -60,3 +60,15 @@ def codegen_stage_count(df: DataFrame, execute: bool = True) -> int:
             # executedPlan.toString marks codegen spans as "*(n) Op"
             ids.update(re.findall(r"\*\((\d+)\)", line))
     return len(ids)
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange nodes in the physical plan (broadcast
+    exchanges excluded) — the scale-critical number: each one is a full
+    re-partition of its input across the cluster."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+    return plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )

@@ -35,6 +35,9 @@ sys_path_queries = [
     "q_tpch_q3",
     "q_sim_ivf",
     "q_join_salted",
+    "q_join_asof",
+    "q_rollup_hypertable",
+    "q_subquery_correlated",
 ]
 
 

@@ -63,3 +63,33 @@ def test_partition_pruning_shape(spark):
     df = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     pushed = inspect.pushed_filters(df)
     assert "r_name" in pushed
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The as-of join must plan as ONE hash shuffle on the key (union +
+    running window), never a quadratic range join — the property that
+    makes it survive 100 TB."""
+    df = QUERIES["q_join_asof"].spark(spark, SF_DIR)
+    assert inspect.exchange_count(df) == 1
+    assert "NestedLoop" not in inspect.physical_plan(df)
+
+
+def test_q18_broadcasts_filtered_aggregate(spark):
+    """Q18's HAVING-filtered order set must broadcast into the orders
+    join (no second fact shuffle) and the final top-k must be
+    TakeOrdered, not a global sort."""
+    df = QUERIES["q_tpch_q18"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert inspect.plan_contains(df, "TakeOrderedAndProject")
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """Catalyst must rewrite the Q17 correlated subquery into an
+    aggregate + join (no per-row subquery execution): the plan contains
+    a join and a partial/final aggregate pair, not a Subquery node per
+    row."""
+    df = QUERIES["q_subquery_correlated"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "Join" in plan
+    assert "HashAggregate" in plan

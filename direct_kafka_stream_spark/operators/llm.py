@@ -844,3 +844,78 @@ def q_sim_ivf(spark: SparkSession, d: str):
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(5)
     )
+
+
+@query(
+    "q_text_winnow",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                   list_transform(generate_series(1, len(t) - 2),
+                       i -> substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16))
+               ELSE [] END AS g
+        FROM toks
+    ),
+    sel AS (
+        SELECT doc_id,
+               CASE WHEN len(g) >= 4 THEN
+                   list_distinct(list_transform(generate_series(1, len(g) - 3),
+                       i -> list_aggregate(g[i:i+3], 'min')))
+               WHEN len(g) >= 1 THEN [list_aggregate(g, 'min')]
+               ELSE [] END AS fps
+        FROM grams
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM sel
+    """,
+    tags=("llm", "fingerprint"),
+)
+def q_text_winnow(spark: SparkSession, d: str):
+    """Winnowing document fingerprints (Schleimer et al.): rolling
+    3-gram hashes, then the minimum hash of every 4-gram-wide sliding
+    window — guarantees any shared run of >= 6 tokens between two
+    documents shares a fingerprint, with ~1/4 the storage of all grams.
+    Everything runs array-side inside the scan stage (transform over a
+    sequence — zero shuffles, no explode until the final projection);
+    md5 hex prefixes are bit-identical across engines so the oracle
+    needs no tolerance. At 100 TB the (doc_id, fp) output feeds the
+    same band-join dedup as MinHash with a containment (not just
+    resemblance) guarantee."""
+    docs = load_table(spark, d, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                    )
+                ),
+                1,
+                16,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", grams.alias("g"))
+    ng = F.size(F.col("g"))
+    fps = (
+        F.when(
+            ng >= 4,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), ng - 3),
+                    lambda i: F.array_min(F.slice(F.col("g"), i, 4)),
+                )
+            ),
+        )
+        .when(ng >= 1, F.array(F.array_min(F.col("g"))))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return g.select("doc_id", F.explode(fps).alias("fp"))

@@ -35,6 +35,21 @@ def main() -> None:
     # measure the queries, not first-touch setup.
     materialize(QUERIES["q_scan"].spark(spark, sf_dir).limit(1))
 
+    # Spin up the Arrow Python worker pool once — forking 32 workers +
+    # importing pandas in each is multi-second, one-time setup cost that
+    # would otherwise land on whichever pandas-UDF query runs first.
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(s):
+        return s * 1.0
+
+    materialize(
+        spark.range(0, 1024, 1, int(spark.sparkContext.defaultParallelism))
+        .select(_warm(F.col("id").cast("double")).alias("x"))
+    )
+
     def run_once(name, q) -> float:
         t0 = time.perf_counter()
         materialize(q.spark(spark, sf_dir))

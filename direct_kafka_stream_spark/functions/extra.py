@@ -179,3 +179,59 @@ def q_values_join(spark: SparkSession, d: str):
     dims belong in the query, broadcast for free (shared SQL dialect)."""
     load_table(spark, d, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_VALUES_SQL)
+
+
+@query(
+    "q_csv_roundtrip",
+    oracle="SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
+    tags=("format", "csv"),
+)
+def q_csv_roundtrip(spark: SparkSession, d: str):
+    """CSV codec round-trip inside the plan: rows → to_csv lines →
+    from_csv back to typed columns (the schema-on-read path a CSV
+    landing zone would run, minus the FS). Restricted to long/string
+    columns so serialization is lossless; the oracle is the identity
+    projection. Both codecs are JVM-side Catalyst expressions — one
+    codegen stage, no shuffle."""
+    o = load_table(spark, d, "orders")
+    line = F.to_csv(F.struct("o_orderkey", "o_custkey", "o_orderstatus"))
+    return (
+        o.select(line.alias("line"))
+        .select(
+            F.from_csv(
+                "line", "o_orderkey long, o_custkey long, o_orderstatus string"
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+
+
+@query(
+    "q_json_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(json_extract(j, '$.event_id') AS BIGINT) AS parsed_id
+    FROM (
+        SELECT event_id, user_id, event_type,
+               to_json(struct_pack(event_id := event_id,
+                                   user_id := user_id,
+                                   event_type := event_type)) AS j
+        FROM events
+    )
+    """,
+    tags=("format", "json"),
+)
+def q_json_roundtrip(spark: SparkSession, d: str):
+    """JSON codec round-trip: struct → to_json document → extraction
+    path pulls a typed field back out (the events.props pattern run in
+    reverse). Field order in the serialized document follows struct
+    declaration order in both engines; extraction result is cast to
+    BIGINT on both sides."""
+    e = load_table(spark, d, "events")
+    j = F.to_json(F.struct("event_id", "user_id", "event_type"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.get_json_object(j, "$.event_id").cast("long").alias("parsed_id"),
+    )

@@ -919,3 +919,186 @@ def q_text_winnow(spark: SparkSession, d: str):
         .otherwise(F.array().cast("array<string>"))
     )
     return g.select("doc_id", F.explode(fps).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF and duplicate-cluster components
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_text_tfidf",
+    oracle=f"""
+    WITH tok AS ({_WORDS_SQL}),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+    dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.word,
+               ROUND(t.tf * ln((n.n + 1.0) / (d.df + 1.0)), 6) AS tfidf
+        FROM tf t JOIN dfreq d ON t.word = d.word CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, word
+        ) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("llm", "text"),
+)
+def q_text_tfidf(spark: SparkSession, d: str):
+    """Top-5 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
+    Three aggregates — term frequency, document frequency, corpus
+    size — all map-side combinable; df and N are tiny (vocab-sized /
+    single-row) and broadcast back onto tf, so the only fact-sized
+    shuffle is the (doc_id, word) groupBy. Ranking orders by the
+    ROUNDED score (bit-identical across engines) with the term as
+    tie-break, so the top-5 set is deterministic."""
+    docs = load_table(spark, d, "documents")
+    tf = (
+        _words(docs)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "word", "tfidf", "rank")
+    )
+
+
+def _minhash_band_edges(docs: DataFrame) -> DataFrame:
+    """Symmetric LSH edge list: (src, dst) iff any of the _N_MINHASH
+    per-band minimum shingle hashes collide. Join key is (band, mh) —
+    the corpus is never cross-joined, and at 100 TB hot buckets (very
+    common signatures) are the skew to watch: cap bucket size or salt."""
+    sh = _shingles_from_docs(docs)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
+            for j in range(_N_MINHASH)
+        ]
+    )
+    bands = reduce(
+        lambda x, y: x.unionByName(y),
+        [
+            sigs.select("doc_id", F.lit(j).alias("band"), F.col(f"mh{j}").alias("mh"))
+            for j in range(_N_MINHASH)
+        ],
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+
+
+_BANDS_SQL = f"""
+    shingles AS ({_SHINGLES_SQL}),
+    sigs AS (
+        SELECT doc_id,
+               {', '.join(f"MIN(md5('{j}:' || shingle)) AS mh{j}" for j in range(_N_MINHASH))}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        {' UNION ALL '.join(f"SELECT doc_id, {j} AS band, mh{j} AS mh FROM sigs" for j in range(_N_MINHASH))}
+    ),
+    edges AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM bands AS a JOIN bands AS b
+          ON a.band = b.band AND a.mh = b.mh AND a.doc_id != b.doc_id
+    )
+"""
+
+
+@query(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_BANDS_SQL},
+    comp(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, c.label FROM comp c JOIN edges e ON c.doc_id = e.src
+    )
+    SELECT doc_id, MIN(label) AS component FROM comp GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def q_dedup_components(spark: SparkSession, d: str):
+    """Duplicate-cluster connected components: the transitive closure
+    of the MinHash-LSH collision graph, labeling every document with
+    the minimum doc_id reachable from it (singletons label themselves).
+    This is the step that turns pairwise near-dup hits into KEEP/DROP
+    decisions for a corpus.
+
+    Spark side runs iterative min-label propagation with pointer
+    jumping — per round, each node takes the min of its neighbors'
+    labels (src ⋈ labels join + groupBy(dst) min) and then of its
+    label's label (one self-join), so chains contract in O(log
+    diameter) rounds instead of O(diameter). Convergence test: the
+    global label sum stops falling (labels decrease monotonically, so
+    one exact long sum is a complete test — no row-level diff join).
+
+    Each round ends in ``localCheckpoint()``: without it the logical
+    plan doubles per iteration and Catalyst analysis time explodes
+    exponentially (measured: 1s/round → 98s by round 5 at 500 docs).
+    At 100 TB use reliable ``checkpoint()`` to HDFS/S3 instead — same
+    truncation, executor-loss-safe. The oracle is DuckDB's recursive
+    CTE of the same closure."""
+    docs = load_table(spark, d, "documents")
+    edges = _materialized(_minhash_band_edges(docs))
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(15):
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(prop, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        ptr = stepped.select(
+            F.col("doc_id").alias("p_doc"), F.col("label").alias("p_label")
+        )
+        nxt = (
+            stepped.join(ptr, stepped.label == ptr.p_doc, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("p_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        nxt_sum = nxt.agg(F.sum("label")).collect()[0][0]
+        labels = nxt
+        if nxt_sum == cur_sum:
+            break
+        cur_sum = nxt_sum
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("component"))

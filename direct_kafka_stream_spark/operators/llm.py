@@ -52,6 +52,17 @@ def _tokens(col: str = "text") -> Column:
     return F.filter(F.split(col, " "), lambda w: w != "")
 
 
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-repartition a small-file scan across all cores. The
+    documents fixture arrives as one parquet file → ONE input partition,
+    which serializes every CPU-bound per-row stage (shingling, md5,
+    higher-order array transforms) onto a single core. The repartition
+    ships a few MB once and buys full parallelism — the same call that,
+    at 100 TB, balances skewed file sizes after a selective filter.
+    Keyed (not round-robin) so no determinism sort is needed."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
 def _words(docs: DataFrame) -> DataFrame:
     """documents → one row per (doc_id, position, word). The empty-token
     filter runs on the ARRAY before exploding, so positions are
@@ -209,7 +220,7 @@ def q_dedup_near(spark: SparkSession, d: str):
     (md5 with per-function seed prefix — identical hex in both engines)
     → band-join on any colliding minhash → exact Jaccard on candidates.
     The corpus is never cross-joined: the join key is (band, minhash)."""
-    docs = load_table(spark, d, "documents")
+    docs = _spread(load_table(spark, d, "documents"))
     words = _materialized(_words(docs))
     sh = _shingles_from_docs(docs)
 
@@ -290,7 +301,7 @@ def q_dedup_simhash(spark: SparkSession, d: str):
     ±1 per bit position according to its md5 hex digit; the fingerprint
     packs the sign bits. Near-dups have small Hamming distance. One
     explode + one groupBy — linear in corpus size."""
-    docs = load_table(spark, d, "documents")
+    docs = _spread(load_table(spark, d, "documents"))
     wset = _words(docs).select("doc_id", "word").distinct()
     h = wset.select("doc_id", F.md5("word").alias("hx"))
     bit_sums = [
@@ -882,7 +893,7 @@ def q_text_winnow(spark: SparkSession, d: str):
     needs no tolerance. At 100 TB the (doc_id, fp) output feeds the
     same band-join dedup as MinHash with a containment (not just
     resemblance) guarantee."""
-    docs = load_table(spark, d, "documents")
+    docs = _spread(load_table(spark, d, "documents"))
     toks = _tokens()
     n = F.size(toks)
     grams = F.when(
@@ -905,13 +916,21 @@ def q_text_winnow(spark: SparkSession, d: str):
     ).otherwise(F.array().cast("array<string>"))
     g = docs.select("doc_id", grams.alias("g"))
     ng = F.size(F.col("g"))
+    # 4-wide sliding min via a flat least() over shifted element_at —
+    # no per-position sub-array allocation (slice+array_min would build
+    # one array per window position).
     fps = (
         F.when(
             ng >= 4,
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), ng - 3),
-                    lambda i: F.array_min(F.slice(F.col("g"), i, 4)),
+                    lambda i: F.least(
+                        F.element_at(F.col("g"), i),
+                        F.element_at(F.col("g"), i + 1),
+                        F.element_at(F.col("g"), i + 2),
+                        F.element_at(F.col("g"), i + 3),
+                    ),
                 )
             ),
         )
@@ -955,7 +974,7 @@ def q_text_tfidf(spark: SparkSession, d: str):
     shuffle is the (doc_id, word) groupBy. Ranking orders by the
     ROUNDED score (bit-identical across engines) with the term as
     tie-break, so the top-5 set is deterministic."""
-    docs = load_table(spark, d, "documents")
+    docs = _spread(load_table(spark, d, "documents"))
     tf = (
         _words(docs)
         .groupBy("doc_id", "word")
@@ -987,7 +1006,7 @@ def _minhash_band_edges(docs: DataFrame) -> DataFrame:
     per-band minimum shingle hashes collide. Join key is (band, mh) —
     the corpus is never cross-joined, and at 100 TB hot buckets (very
     common signatures) are the skew to watch: cap bucket size or salt."""
-    sh = _shingles_from_docs(docs)
+    sh = _shingles_from_docs(_spread(docs))
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")

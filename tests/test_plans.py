@@ -93,3 +93,46 @@ def test_correlated_subquery_decorrelates(spark):
     plan = inspect.physical_plan(df)
     assert "Join" in plan
     assert "HashAggregate" in plan
+
+
+def test_q21_decorrelates_to_semi_and_anti(spark):
+    """Q21's EXISTS/NOT EXISTS must become semi/anti joins — a
+    per-row subquery execution would be quadratic in lineitem."""
+    df = QUERIES["q_tpch_q21"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_prunes_before_join(spark):
+    """Q19's OR-of-conjunctions must not force a cartesian product;
+    the equi key (p_partkey = l_partkey) stays the join key with the
+    disjunction as a post-join (or pushed) filter."""
+    df = QUERIES["q_tpch_q19"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    df = QUERIES["q_tpch_q4"].spark(spark, SF_DIR)
+    assert inspect.plan_contains(df, "LeftSemi")
+
+
+def test_q8_star_broadcasts_all_dims(spark):
+    """Seven-table star: every dimension join must broadcast; the only
+    shuffle joins allowed are between fact-sized inputs."""
+    df = QUERIES["q_tpch_q8"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_broadcasts_dims_onto_tf(spark):
+    """df (vocab-sized) and N (single row) must broadcast back onto
+    the term-frequency table — re-shuffling tf on word would double
+    the fact-sized exchanges."""
+    df = QUERIES["q_text_tfidf"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2

@@ -34,6 +34,7 @@ from direct_kafka_stream_spark.functions import udf  # noqa: F401
 from direct_kafka_stream_spark.functions import extra  # noqa: F401
 from direct_kafka_stream_spark.operators import advanced  # noqa: F401
 from direct_kafka_stream_spark.operators import tpch  # noqa: F401
+from direct_kafka_stream_spark.functions import sweep4  # noqa: F401
 
 __all__ = [
     "get_session",

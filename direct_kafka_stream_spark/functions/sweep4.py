@@ -1,0 +1,170 @@
+"""Fourth scalar-function sweep (SURVEY.md §2.B `q_str_fns`/
+`q_date_fns`/`q_math_fns` continuation): edit distance, bitwise
+algebra, ISO-calendar fields, trigonometry — every function chosen to
+exist with identical semantics in both Spark and DuckDB so the oracle
+stays exact (transcendentals rounded to 6 dp per the established
+convention; calendar outputs as strings, never DATE objects).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+
+from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.registry import query
+
+
+@query(
+    "q_str_fns2",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_name, 'red widget') AS lev_red,
+           reverse(p_name)                   AS rname,
+           repeat(p_brand, 2)                AS brand2,
+           ascii(p_name)                     AS first_code,
+           left(p_name, 3)                   AS l3,
+           right(p_name, 3)                  AS r3,
+           starts_with(p_name, 'small')      AS is_small,
+           contains(p_name, 'widget')        AS has_widget
+    FROM part
+    """,
+    tags=("functions", "string"),
+)
+def q_str_fns2(spark: SparkSession, d: str):
+    """String sweep 2: Levenshtein edit distance (the classic fuzzy
+    title-match primitive — O(len²) per pair, so at scale it runs
+    after LSH blocking, never all-pairs), reverse/repeat/ascii,
+    left/right slices, prefix/containment predicates."""
+    p = load_table(spark, d, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", F.lit("red widget")).alias("lev_red"),
+        F.reverse("p_name").alias("rname"),
+        F.repeat("p_brand", 2).alias("brand2"),
+        F.ascii("p_name").alias("first_code"),
+        F.left("p_name", F.lit(3)).alias("l3"),
+        F.right("p_name", F.lit(3)).alias("r3"),
+        F.startswith("p_name", F.lit("small")).alias("is_small"),
+        F.contains("p_name", F.lit("widget")).alias("has_widget"),
+    )
+
+
+@query(
+    "q_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255                  AS and255,
+           l_orderkey | 4096                 AS or4096,
+           xor(l_orderkey, l_linenumber)     AS xorln,
+           l_linenumber << 4                 AS shl4,
+           l_orderkey >> 2                   AS shr2,
+           bit_count(l_orderkey)             AS popcnt
+    FROM lineitem
+    """,
+    tags=("functions", "bitwise"),
+)
+def q_bitwise(spark: SparkSession, d: str):
+    """Bitwise algebra — the workhorse of packed flags, bloom/bitset
+    membership, and SimHash-style fingerprints. All JVM codegen."""
+    li = load_table(spark, d, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("and255"),
+        F.col("l_orderkey").bitwiseOR(F.lit(4096)).alias("or4096"),
+        F.col("l_orderkey")
+        .bitwiseXOR(F.col("l_linenumber").cast("long"))
+        .alias("xorln"),
+        F.shiftleft(F.col("l_linenumber"), 4).alias("shl4"),
+        F.shiftright(F.col("l_orderkey"), 2).alias("shr2"),
+        F.bit_count("l_orderkey").cast("long").alias("popcnt"),
+    )
+
+
+@query(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(l_orderkey) AS band,
+           bit_or(l_orderkey)  AS bor,
+           bit_xor(l_orderkey) AS bxor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "bitwise"),
+)
+def q_agg_bitwise(spark: SparkSession, d: str):
+    """Bitwise aggregates (AND/OR/XOR fold) — order-independent and
+    map-side combinable, i.e. safe under any partitioning."""
+    li = load_table(spark, d, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_orderkey").alias("band"),
+        F.bit_or("l_orderkey").alias("bor"),
+        F.bit_xor("l_orderkey").alias("bxor"),
+    )
+
+
+@query(
+    "q_date_fns2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(weekofyear(o_orderdate) AS INT)  AS iso_week,
+           CAST(dayofyear(o_orderdate) AS INT)   AS doy,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(make_date(2000, CAST(month(o_orderdate) AS INT), 1),
+                    '%Y-%m-%d')                  AS y2k_month,
+           strftime(o_orderdate, '%Y/%m/%d')     AS slashed
+    FROM orders
+    """,
+    tags=("functions", "date"),
+)
+def q_date_fns2(spark: SparkSession, d: str):
+    """Date sweep 2: ISO week numbers (both engines are ISO-8601 here),
+    day-of-year, month boundaries, date construction, custom format
+    patterns. Calendar values leave as strings — DATE objects
+    materialize differently across the two engines' pandas paths."""
+    o = load_table(spark, d, "orders")
+    return o.select(
+        "o_orderkey",
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(
+            F.make_date(F.lit(2000), F.month("o_orderdate"), F.lit(1)), "yyyy-MM-dd"
+        ).alias("y2k_month"),
+        F.date_format("o_orderdate", "yyyy/MM/dd").alias("slashed"),
+    )
+
+
+@query(
+    "q_math_fns2",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sin(l_discount), 6)              AS s,
+           round(cos(l_discount), 6)              AS c,
+           round(atan2(l_quantity, 10.0), 6)      AS a2,
+           round(degrees(l_discount), 6)          AS deg,
+           round(radians(l_quantity), 6)          AS rad,
+           round(cbrt(l_extendedprice), 6)        AS cr,
+           round(log2(l_extendedprice), 6)        AS lg2,
+           CAST(factorial(l_linenumber) AS BIGINT) AS fact
+    FROM lineitem
+    """,
+    tags=("functions", "math"),
+)
+def q_math_fns2(spark: SparkSession, d: str):
+    """Math sweep 2: trig/angle conversions (rounded 6 dp — libm
+    implementations differ in the last ulp), cube root, log2,
+    factorial (exact integers, line numbers ≤ 7)."""
+    li = load_table(spark, d, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin("l_discount"), 6).alias("s"),
+        F.round(F.cos("l_discount"), 6).alias("c"),
+        F.round(F.atan2(F.col("l_quantity"), F.lit(10.0)), 6).alias("a2"),
+        F.round(F.degrees("l_discount"), 6).alias("deg"),
+        F.round(F.radians("l_quantity"), 6).alias("rad"),
+        F.round(F.cbrt("l_extendedprice"), 6).alias("cr"),
+        F.round(F.log2("l_extendedprice"), 6).alias("lg2"),
+        F.factorial("l_linenumber").alias("fact"),
+    )

@@ -1,0 +1,175 @@
+"""Training-data preparation operators, second LLM-pipeline pass
+(north-star extension surface; anchor = the reference's processing
+hook at KafkaDirectStream.scala:43-51): document chunking, sequence
+packing, stratified sampling, and embedding pooling — the steps
+between a cleaned corpus and a tokenized training set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.operators.llm import _spread, _tokens
+from direct_kafka_stream_spark.registry import query
+
+_CHUNK = 20  # tokens per chunk
+_STRIDE = 15  # 5-token overlap between consecutive chunks
+
+
+@query(
+    "q_text_chunk",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(start AS INT) AS chunk_start,
+           array_to_string(t[start : start + {_CHUNK - 1}], ' ') AS chunk_text,
+           CAST(len(t[start : start + {_CHUNK - 1}]) AS INT) AS chunk_tokens
+    FROM (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS t
+        FROM documents
+    ), LATERAL unnest(generate_series(1, len(t), {_STRIDE})) AS u(start)
+    """,
+    tags=("llm", "chunk"),
+)
+def q_text_chunk(spark: SparkSession, d: str):
+    """Sliding-window document chunking ({_CHUNK} tokens, stride
+    {_STRIDE} → 5-token overlap) — the context-window split every
+    pretraining pipeline runs. The chunk starts come from an array-side
+    sequence (no join, no window function); each row explodes into
+    ceil(n/stride) chunks inside the same scan stage, so the operator
+    is embarrassingly parallel at any corpus size."""
+    docs = _spread(load_table(spark, d, "documents"))
+    toks = _tokens()
+    withs = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 1)
+    return (
+        withs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(_STRIDE))).alias(
+                "chunk_start"
+            ),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.concat_ws(" ", F.slice("t", F.col("chunk_start"), _CHUNK)).alias(
+                "chunk_text"
+            ),
+            F.size(F.slice("t", F.col("chunk_start"), _CHUNK)).alias("chunk_tokens"),
+        )
+    )
+
+
+_CTX = 256  # packing target: tokens per training sequence
+
+
+@query(
+    "q_text_pack",
+    oracle=f"""
+    SELECT doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS stream_offset,
+           CAST((cum - n_tokens) // {_CTX} AS BIGINT) AS bin
+    FROM (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), w -> w != '')) AS n_tokens,
+               SUM(len(list_filter(string_split(text, ' '), w -> w != '')))
+                   OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents
+    )
+    """,
+    tags=("llm", "pack"),
+)
+def q_text_pack(spark: SparkSession, d: str):
+    """Sequence packing: lay documents end-to-end in doc_id order and
+    assign each to the {_CTX}-token training bin its first token lands
+    in — the deterministic streaming form of sample packing (no
+    bin-packing search, single pass). The global running sum is a
+    single-partition window here; at 100 TB you pack per shard
+    (partitionBy(shard) in the window) so every partition packs
+    independently — same operator, sharded key."""
+    docs = load_table(spark, d, "documents")
+    n = F.size(_tokens())
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs.select("doc_id", n.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("cum") - F.col("n_tokens")).alias("stream_offset"),
+            F.floor((F.col("cum") - F.col("n_tokens")) / _CTX).alias("bin"),
+        )
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, CAST(rn AS INT) AS rn
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn % 10 = 1
+    """,
+    tags=("llm", "sample"),
+)
+def q_sample_stratified(spark: SparkSession, d: str):
+    """Stratified 10% sample with equal treatment per language — every
+    10th document within each lang stratum, deterministically by
+    doc_id (cross-engine reproducible, unlike rand()). The pattern
+    behind language-balanced training mixes; the window shuffles
+    (lang, doc_id) pairs only."""
+    docs = load_table(spark, d, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") % 10 == 1)
+    )
+
+
+@query(
+    "q_embed_centroid",
+    oracle="""
+    SELECT label, CAST(i AS INT) AS i,
+           round(CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6)
+               AS centroid
+    FROM (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    )
+    GROUP BY label, i
+    """,
+    tags=("llm", "embedding"),
+)
+def q_embed_centroid(spark: SparkSession, d: str):
+    """Per-label embedding centroid (mean pooling), flattened to
+    (label, dimension, value) rows. Explode-then-aggregate shuffles
+    (label, i, x) triples — fully parallel and map-side combinable,
+    vs. collecting whole vectors per group. Exact decimal sum / count
+    keeps the division input bit-identical across engines; IVF
+    training (q_sim_ivf) is this operator iterated."""
+    e = load_table(spark, d, "embeddings")
+    return (
+        e.select(
+            "label",
+            F.posexplode("embedding").alias("pos0", "xf"),
+        )
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("i"),
+            F.col("xf").cast("double").alias("x"),
+        )
+        .groupBy("label", "i")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid")
+        )
+    )

@@ -1,0 +1,76 @@
+"""Structural invariants of the training-data-prep operators — the
+properties a correct chunker/packer/cluster labeling must satisfy
+regardless of fixture content (complementing the value-level oracle,
+which pins one dataset's answers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from direct_kafka_stream_spark import QUERIES, load_table
+from direct_kafka_stream_spark.operators.llm import _minhash_band_edges, _tokens
+from direct_kafka_stream_spark.operators.llm2 import _CHUNK, _CTX, _STRIDE
+
+from tests.conftest import SF_DIR
+
+
+def test_chunking_covers_every_token_with_fixed_stride(spark):
+    chunks = QUERIES["q_text_chunk"].spark(spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(_tokens()).alias("n")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.min("chunk_start").alias("first"),
+        F.max(F.col("chunk_start") + F.col("chunk_tokens") - 1).alias("covered_to"),
+        F.max("chunk_tokens").alias("max_len"),
+    )
+    joined = per_doc.join(docs, "doc_id")
+    # every chunk bounded, first chunk starts at 1, last chunk reaches
+    # the final token, starts spaced exactly by the stride
+    assert joined.filter(F.col("max_len") > _CHUNK).count() == 0
+    assert joined.filter(F.col("first") != 1).count() == 0
+    assert joined.filter(F.col("covered_to") != F.col("n")).count() == 0
+    bad_spacing = (
+        chunks.withColumn(
+            "prev",
+            F.lag("chunk_start").over(
+                Window.partitionBy("doc_id").orderBy("chunk_start")
+            ),
+        )
+        .filter(F.col("prev").isNotNull())
+        .filter(F.col("chunk_start") - F.col("prev") != _STRIDE)
+    )
+    assert bad_spacing.count() == 0
+
+
+def test_packing_is_a_consistent_token_stream(spark):
+    packed = QUERIES["q_text_pack"].spark(spark, SF_DIR).orderBy("doc_id").collect()
+    offset = 0
+    for row in packed:
+        assert row.stream_offset == offset, "documents must abut exactly"
+        assert row.bin == offset // _CTX
+        offset += row.n_tokens
+
+
+def test_component_labels_are_closed_over_edges(spark):
+    """Both endpoints of every LSH edge must land in the same component,
+    and every label must be a member of its own component (the min)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    comp = QUERIES["q_dedup_components"].spark(spark, SF_DIR)
+    edges = _minhash_band_edges(docs)
+    lab_src = comp.select(
+        F.col("doc_id").alias("src"), F.col("component").alias("c_src")
+    )
+    lab_dst = comp.select(
+        F.col("doc_id").alias("dst"), F.col("component").alias("c_dst")
+    )
+    mismatched = (
+        edges.join(lab_src, "src").join(lab_dst, "dst")
+        .filter(F.col("c_src") != F.col("c_dst"))
+    )
+    assert mismatched.count() == 0
+    # labels are canonical: the component id is the min doc_id in it
+    canon = comp.groupBy("component").agg(F.min("doc_id").alias("lo"))
+    assert canon.filter(F.col("component") != F.col("lo")).count() == 0

@@ -366,3 +366,38 @@ def test_streaming_session_window(spark, events_dir, tmp_path):
     got = {tuple(r) for r in spark.table("t_sess").collect()}
     assert got
     assert got <= want
+
+
+def test_rocksdb_state_store_provider(spark, events_dir, tmp_path):
+    """The same stateful aggregation runs on the RocksDB state store —
+    the provider that keeps 100-TB-scale state on executor local disk
+    with incremental checkpointing, instead of the default JVM-heap
+    HDFSBackedStateStore — and produces identical results."""
+    batch = transforms.tumbling_counts(load_table(spark, SF_DIR, "events"))
+    expected = sorted(map(tuple, batch.collect()))
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = file_stream(spark, events_dir, events_schema())
+        agg = transforms.tumbling_counts(stream)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("t_rocksdb")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        got = sorted(map(tuple, spark.table("t_rocksdb").collect()))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == expected

@@ -221,7 +221,6 @@ def q_dedup_near(spark: SparkSession, d: str):
     → band-join on any colliding minhash → exact Jaccard on candidates.
     The corpus is never cross-joined: the join key is (band, minhash)."""
     docs = _spread(load_table(spark, d, "documents"))
-    words = _materialized(_words(docs))
     sh = _shingles_from_docs(docs)
 
     sigs = sh.groupBy("doc_id").agg(
@@ -250,7 +249,7 @@ def q_dedup_near(spark: SparkSession, d: str):
         .distinct()
     )
 
-    wset = _materialized(words.select("doc_id", "word").distinct())
+    wset = _materialized(_words(docs).select("doc_id", "word").distinct())
     wc = wset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
     wa = wset.select(F.col("doc_id").alias("doc_a"), "word")
     wb = wset.select(F.col("doc_id").alias("doc_b"), "word")

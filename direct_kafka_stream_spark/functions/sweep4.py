@@ -168,3 +168,55 @@ def q_math_fns2(spark: SparkSession, d: str):
         F.round(F.log2("l_extendedprice"), 6).alias("lg2"),
         F.factorial("l_linenumber").alias("fact"),
     )
+
+
+@query(
+    "q_agg_modern",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(count_if(l_quantity > 30) AS BIGINT) AS n_heavy,
+           round(median(l_quantity), 6)              AS med_qty,
+           round(median(l_extendedprice), 6)         AS med_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("agg",),
+)
+def q_agg_modern(spark: SparkSession, d: str):
+    """count_if + median — the modern-SQL aggregate sugar. median is
+    the interpolated 0.5-quantile in both engines (a per-group sort at
+    scale; prefer approx_percentile when 100-TB exactness isn't
+    required)."""
+    li = load_table(spark, d, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_quantity") > 30).alias("n_heavy"),
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+        F.round(F.median("l_extendedprice"), 6).alias("med_price"),
+    )
+
+
+@query(
+    "q_agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q_agg_regression(spark: SparkSession, d: str):
+    """Linear-regression aggregates (price ~ quantity per flag):
+    single-pass moment accumulation, map-side combinable — the
+    distributed OLS primitive. Rounded (slope/r2 to 6 dp, intercept to
+    4 — it's price-scaled) since the two engines accumulate moments in
+    different orders."""
+    li = load_table(spark, d, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("icept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )

@@ -511,3 +511,57 @@ def test_stateful_agg_resumes_from_checkpoint(spark, tmp_path):
     )
     got = sorted(map(tuple, spark.table("t_resume").collect()))
     assert got == expected
+
+
+def test_stream_stream_left_outer_join(spark, events_dir, tmp_path):
+    """Stream–stream LEFT OUTER join: matched pairs emit eagerly;
+    unmatched left rows are held in state and emitted with NULLs only
+    once the watermark proves no future match can arrive. The final
+    watermark stops at max(ts) - delay, so an unmatched row within
+    (join window + delay) of the stream end is legitimately never
+    finalized — the assertion is exact over the finalizable zone and
+    bounded over the tail."""
+    a = file_stream(spark, events_dir, events_schema()).withWatermark("ts", "10 seconds")
+    b = (
+        file_stream(spark, events_dir, events_schema())
+        .selectExpr("event_id AS b_event_id", "ts AS b_ts", "user_id AS b_user_id")
+        .filter(F.col("b_event_id") % 3 == 0)
+        .withWatermark("b_ts", "10 seconds")
+    )
+    joined = a.join(
+        b,
+        F.expr(
+            "user_id = b_user_id AND b_ts > ts AND b_ts <= ts + INTERVAL 10 MINUTES"
+        ),
+        "leftOuter",
+    ).select("event_id", "b_event_id")
+    q = pipeline.run_to_memory(joined, "t_ssoj", str(tmp_path / "ckpt"))
+    _await(q)
+    got = spark.table("t_ssoj")
+
+    ev = load_table(spark, SF_DIR, "events")
+    ea = ev.alias("a")
+    eb = ev.filter(F.col("event_id") % 3 == 0).alias("b")
+    want = ea.join(
+        eb,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left",
+    )
+    # matched pairs emit eagerly — exact equality
+    assert (
+        got.filter(F.col("b_event_id").isNotNull()).count()
+        == want.filter(F.col("b.event_id").isNotNull()).count()
+        > 0
+    )
+    # outer rows: exact over the finalizable zone, bounded overall
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    finalizable = want.filter(F.col("b.event_id").isNull()).filter(
+        F.col("a.ts")
+        < F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES") - F.expr("INTERVAL 10 SECONDS")
+    )
+    got_outer = got.filter(F.col("b_event_id").isNull()).count()
+    all_outer = want.filter(F.col("b.event_id").isNull()).count()
+    assert finalizable.count() <= got_outer <= all_outer
+    assert got_outer > 0

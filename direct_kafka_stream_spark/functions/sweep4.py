@@ -220,3 +220,44 @@ def q_agg_regression(spark: SparkSession, d: str):
         F.round(F.regr_r2(y, x), 6).alias("r2"),
         F.regr_count(y, x).alias("n"),
     )
+
+
+@query("q_agg_approx_pct", oracle=None, tags=("agg", "sketch"))
+def q_agg_approx_pct(spark: SparkSession, d: str):
+    """Approximate percentiles (Greenwald-Khanna sketch): the one-pass,
+    bounded-memory, mergeable replacement for exact percentiles at
+    100 TB (exact q_agg_percentile needs a per-group sort). Different
+    sketch family than DuckDB → rows-only check, like the HLL."""
+    li = load_table(spark, d, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("l_quantity", F.lit(0.95), F.lit(10000)).alias("p95"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text)               AS digest,
+           left(text, 12)             AS head
+    FROM documents
+    """,
+    tags=("functions", "binary"),
+)
+def q_binary_meta(spark: SparkSession, d: str):
+    """Binary-column handling on the oracle path: text encoded to a
+    BINARY column, with byte length + content digest projected out as
+    comparable scalars (raw binary never crosses the comparison — the
+    two engines' pandas materializations of blobs differ). The same
+    shape an image/audio ingest runs: opaque bytes + typed metadata."""
+    docs = load_table(spark, d, "documents")
+    b = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(b).cast("long").alias("n_bytes"),
+        F.sha2("text", 256).alias("digest"),
+        F.left("text", F.lit(12)).alias("head"),
+    )

@@ -1000,11 +1000,19 @@ def q_text_tfidf(spark: SparkSession, d: str):
     )
 
 
+_BUCKET_CAP = 64  # drop degenerate LSH buckets (boilerplate signatures)
+
+
 def _minhash_band_edges(docs: DataFrame) -> DataFrame:
     """Symmetric LSH edge list: (src, dst) iff any of the _N_MINHASH
     per-band minimum shingle hashes collide. Join key is (band, mh) —
-    the corpus is never cross-joined, and at 100 TB hot buckets (very
-    common signatures) are the skew to watch: cap bucket size or salt."""
+    the corpus is never cross-joined — and buckets larger than
+    _BUCKET_CAP are dropped BEFORE the self-join: a degenerate bucket
+    (boilerplate/empty-doc signatures) of size m would emit m² edges,
+    and at 100 TB a single million-doc bucket is a 10¹²-pair skew bomb.
+    The cap is a window count over the same (band, mh) shuffle the join
+    needs anyway — no extra exchange. (Fixture buckets max out at 4, so
+    the cap binds only at scale; the oracle applies the identical cap.)"""
     sh = _shingles_from_docs(_spread(docs))
     sigs = sh.groupBy("doc_id").agg(
         *[
@@ -1019,7 +1027,11 @@ def _minhash_band_edges(docs: DataFrame) -> DataFrame:
             for j in range(_N_MINHASH)
         ],
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    wb = Window.partitionBy("band", "mh")
+    capped = bands.withColumn("bn", F.count(F.lit(1)).over(wb)).filter(
+        F.col("bn") <= _BUCKET_CAP
+    )
+    a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(
             b,
@@ -1042,9 +1054,16 @@ _BANDS_SQL = f"""
     bands AS (
         {' UNION ALL '.join(f"SELECT doc_id, {j} AS band, mh{j} AS mh FROM sigs" for j in range(_N_MINHASH))}
     ),
+    capped AS (
+        SELECT doc_id, band, mh FROM (
+            SELECT doc_id, band, mh,
+                   COUNT(*) OVER (PARTITION BY band, mh) AS bn
+            FROM bands
+        ) WHERE bn <= 64
+    ),
     edges AS (
         SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-        FROM bands AS a JOIN bands AS b
+        FROM capped AS a JOIN capped AS b
           ON a.band = b.band AND a.mh = b.mh AND a.doc_id != b.doc_id
     )
 """

@@ -108,3 +108,78 @@ def q_dedup(spark: SparkSession, d: str):
     """Keep-first dedup per (user_id, event_type) — the deterministic
     batch shape of streaming ``dropDuplicates`` + watermark."""
     return transforms.dedup_keep_first(load_table(spark, d, "events"))
+
+
+_FUNNEL_SQL = """
+    WITH su AS (
+        SELECT user_id, MIN(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT DISTINCT s.user_id
+        FROM su s JOIN events e
+          ON e.user_id = s.user_id AND e.event_type = 'purchase'
+         AND e.ts > s.signup_ts
+         AND e.ts <= s.signup_ts + INTERVAL 1 HOUR
+    )
+    SELECT CAST((SELECT COUNT(*) FROM su) AS BIGINT)   AS n_signup,
+           CAST((SELECT COUNT(*) FROM conv) AS BIGINT) AS n_converted
+"""
+
+
+@query("q_funnel", oracle=_FUNNEL_SQL, tags=("streaming", "analytics"))
+def q_funnel(spark: SparkSession, d: str):
+    """Conversion funnel: users who purchased within one hour of their
+    first signup. The earliest-signup aggregate is user-sized and
+    broadcasts into an event-time range join — the batch analog of a
+    stream-stream interval join keyed the same way (state bounded by
+    the 1-hour window, exactly like the streaming watermark bound).
+    Same SQL text runs on both engines."""
+    load_table(spark, d, "events").createOrReplaceTempView("events")
+    return spark.sql(_FUNNEL_SQL)
+
+
+@query(
+    "q_retention",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 604800 AS wk
+        FROM events
+    )
+    SELECT a.wk,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active,
+           CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS retained
+    FROM uw a LEFT JOIN uw b
+      ON b.user_id = a.user_id AND b.wk = a.wk + 1
+    GROUP BY a.wk
+    """,
+    tags=("streaming", "analytics"),
+)
+def q_retention(spark: SparkSession, d: str):
+    """Week-over-week cohort retention: of the users active in epoch
+    week w, how many return in w+1. Distinct (user, week) pairs are
+    tiny relative to raw events — the self-join runs post-aggregation,
+    so the fact table is scanned once and the join input is bounded by
+    users × weeks."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, d, "events")
+    uw = e.select(
+        "user_id", F.expr("CAST(ts AS LONG) DIV 604800").alias("wk")
+    ).distinct()
+    a = uw.alias("a")
+    b = uw.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.wk") == F.col("a.wk") + 1),
+            "left",
+        )
+        .groupBy(F.col("a.wk").alias("wk"))
+        .agg(
+            F.countDistinct(F.col("a.user_id")).alias("active"),
+            F.countDistinct(F.col("b.user_id")).alias("retained"),
+        )
+    )

@@ -64,7 +64,7 @@ def test_query_matches_oracle(spark, oracle, name):
 def test_every_query_registered_with_oracle_or_reason():
     missing = [n for n, q in QUERIES.items() if q.oracle is None]
     # approx sketches are legitimately rows-only; anything else needs SQL
-    assert set(missing) <= {"q_agg_approx"}
+    assert set(missing) <= {"q_agg_approx", "q_agg_approx_pct"}
 
 
 def test_entry_contract():

@@ -261,3 +261,64 @@ def q_binary_meta(spark: SparkSession, d: str):
         F.sha2("text", 256).alias("digest"),
         F.left("text", F.lit(12)).alias("head"),
     )
+
+
+@query(
+    "q_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(json_extract(props, '$.missing') AS INT) AS absent
+    FROM events
+    """,
+    tags=("functions", "variant"),
+)
+def q_variant(spark: SparkSession, d: str):
+    """Spark 4 VARIANT type: parse_json → binary semi-structured value,
+    typed field extraction with variant_get (no schema declared, no
+    per-row string re-parsing downstream — the open-schema ingestion
+    path for the reference's JSON payloads, reference README.md:167).
+    Oracle is DuckDB's JSON extraction of the same paths."""
+    e = load_table(spark, d, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.variant_get(v, "$.missing", "int").alias("absent"),
+    )
+
+
+@query(
+    "q_try_fns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_quantity - l_quantity, 0.0) AS div0,
+           floor((l_extendedprice / l_quantity) * 1000000) / 1000000 AS unit_price,
+           try_cast(l_returnflag AS INT)                          AS flag_int,
+           CASE WHEN l_orderkey > 0 THEN NULL
+                ELSE 9223372036854775807 END                      AS ovf
+    FROM lineitem
+    """,
+    tags=("functions", "ansi"),
+)
+def q_try_fns(spark: SparkSession, d: str):
+    """ANSI-safe try_* arithmetic: division by zero, bad casts, and
+    long overflow yield NULL instead of failing the job — at 100 TB a
+    single poisoned row must never kill a 6-hour pipeline; NULLs are
+    auditable afterwards (count them), exceptions are not."""
+    li = load_table(spark, d, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", F.col("l_quantity") - F.col("l_quantity")).alias(
+            "div0"
+        ),
+        (
+            F.floor(
+                F.try_divide("l_extendedprice", "l_quantity") * 1000000
+            )
+            / 1000000
+        ).alias("unit_price"),
+        F.try_to_number("l_returnflag", F.lit("999")).cast("int").alias("flag_int"),
+        F.try_add(F.lit(9223372036854775807), "l_orderkey").alias("ovf"),
+    )

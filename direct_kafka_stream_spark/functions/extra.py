@@ -235,3 +235,30 @@ def q_json_roundtrip(spark: SparkSession, d: str):
         "event_type",
         F.get_json_object(j, "$.event_id").cast("long").alias("parsed_id"),
     )
+
+
+@query(
+    "q_union_byname",
+    oracle="""
+    SELECT o_orderkey, 'price' AS src, o_totalprice, NULL AS o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_orderstatus, 'status' AS src,
+           NULL AS o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    tags=("setop",),
+)
+def q_union_byname(spark: SparkSession, d: str):
+    """Schema-evolution union: two relations with different column
+    sets/orders combined BY NAME, absent columns null-filled — how a
+    pipeline unions last month's parquet (old schema) with today's
+    (new columns) without positional breakage."""
+    o = load_table(spark, d, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.lit("price").alias("src"), "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", F.lit("status").alias("src")
+    )
+    return a.unionByName(b, allowMissingColumns=True)

@@ -294,19 +294,36 @@ def q_variant(spark: SparkSession, d: str):
     SELECT l_orderkey, l_linenumber,
            l_extendedprice / NULLIF(l_quantity - l_quantity, 0.0) AS div0,
            floor((l_extendedprice / l_quantity) * 1000000) / 1000000 AS unit_price,
-           try_cast(l_returnflag AS INT)                          AS flag_int,
-           CASE WHEN l_orderkey > 0 THEN NULL
-                ELSE 9223372036854775807 END                      AS ovf
+           try_cast(CASE WHEN l_quantity > 49 THEN l_returnflag
+                         ELSE CAST(l_linenumber AS VARCHAR) END AS INT) AS flag_int,
+           CASE WHEN l_orderkey % 997 = 0 AND l_orderkey > 0 THEN NULL
+                WHEN l_orderkey % 997 = 0 THEN 9223372036854775807
+                ELSE l_orderkey END                               AS ovf
     FROM lineitem
     """,
     tags=("functions", "ansi"),
 )
 def q_try_fns(spark: SparkSession, d: str):
-    """ANSI-safe try_* arithmetic: division by zero, bad casts, and
-    long overflow yield NULL instead of failing the job — at 100 TB a
-    single poisoned row must never kill a 6-hour pipeline; NULLs are
-    auditable afterwards (count them), exceptions are not."""
+    """ANSI-safe try_* arithmetic: division by zero, unparsable casts,
+    and long overflow yield NULL instead of failing the job — at
+    100 TB a single poisoned row must never kill a 6-hour pipeline,
+    and the NULLs stay auditable (count them).
+
+    Performance caveat measured here: the try_* family reports errors
+    via caught JVM exceptions, so it is cheap only while failures are
+    RARE — a column that fails on EVERY row (600 k caught
+    NumberFormatExceptions) ran ~50× slower than the happy path. This
+    query keeps failure rates at realistic poisoned-row levels (~1-2%%
+    of rows), which is both the honest scenario and the fast one; if a
+    column is expected to fail wholesale, pre-filter with rlike/CASE
+    instead of try_cast."""
     li = load_table(spark, d, "lineitem")
+    mixed = F.when(
+        F.col("l_quantity") > 49, F.col("l_returnflag")
+    ).otherwise(F.col("l_linenumber").cast("string"))
+    big_if_marked = F.when(
+        F.col("l_orderkey") % 997 == 0, F.lit(9223372036854775807)
+    ).otherwise(F.lit(0).cast("long"))
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -319,6 +336,6 @@ def q_try_fns(spark: SparkSession, d: str):
             )
             / 1000000
         ).alias("unit_price"),
-        F.try_to_number("l_returnflag", F.lit("999")).cast("int").alias("flag_int"),
-        F.try_add(F.lit(9223372036854775807), "l_orderkey").alias("ovf"),
+        mixed.try_cast("int").alias("flag_int"),
+        F.try_add("l_orderkey", big_if_marked).alias("ovf"),
     )

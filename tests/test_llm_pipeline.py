@@ -74,3 +74,26 @@ def test_component_labels_are_closed_over_edges(spark):
     # labels are canonical: the component id is the min doc_id in it
     canon = comp.groupBy("component").agg(F.min("doc_id").alias("lo"))
     assert canon.filter(F.col("component") != F.col("lo")).count() == 0
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """A bucket bigger than _BUCKET_CAP (e.g. thousands of identical
+    boilerplate docs sharing every minhash) must produce NO edges —
+    that's the m² skew guard — while normal near-dup pairs still do."""
+    from direct_kafka_stream_spark.operators.llm import (
+        _BUCKET_CAP,
+        _minhash_band_edges,
+    )
+
+    boiler = [(i, "the exact same boilerplate text repeated verbatim here")
+              for i in range(_BUCKET_CAP + 10)]
+    near = [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    docs = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    edges = _minhash_band_edges(docs).collect()
+    endpoints = {r.src for r in edges} | {r.dst for r in edges}
+    assert endpoints == {1000, 1001}, (
+        "degenerate bucket must be dropped, near-dup pair kept"
+    )

@@ -1105,7 +1105,19 @@ def q_dedup_components(spark: SparkSession, d: str):
     CTE of the same closure."""
     docs = load_table(spark, d, "documents")
     edges = _materialized(_minhash_band_edges(docs))
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    # Iterate ONLY over nodes that have at least one edge; singleton
+    # documents (the overwhelming majority of a deduped corpus) never
+    # enter the loop and are unioned back labeled with themselves —
+    # at 100 TB this shrinks every per-round join from corpus-sized to
+    # duplicate-cluster-sized.
+    connected = (
+        edges.select(F.col("src").alias("doc_id"))
+        .union(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    labels = connected.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint()
     cur_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(15):
         prop = (
@@ -1138,4 +1150,10 @@ def q_dedup_components(spark: SparkSession, d: str):
             break
         cur_sum = nxt_sum
     edges.unpersist()
-    return labels.select("doc_id", F.col("label").alias("component"))
+    singletons = docs.join(labels, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    return (
+        labels.unionByName(singletons)
+        .select("doc_id", F.col("label").alias("component"))
+    )

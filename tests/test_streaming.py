@@ -565,3 +565,88 @@ def test_stream_stream_left_outer_join(spark, events_dir, tmp_path):
     all_outer = want.filter(F.col("b.event_id").isNull()).count()
     assert finalizable.count() <= got_outer <= all_outer
     assert got_outer > 0
+
+
+def test_foreach_batch_idempotent_merge(spark, tmp_path):
+    """The production exactly-once sink pattern the reference's README
+    tells users to hand-roll downstream (reference README.md:76,
+    93-95): foreachBatch maintains a per-user-cohort aggregate table
+    with DYNAMIC partition overwrite, so a replayed batch (crash after
+    write, before commit) rewrites the same partitions with the same
+    content instead of duplicating — idempotence makes at-least-once
+    delivery exactly-once at the table level."""
+    src = tmp_path / "src"
+    src.mkdir()
+    table = tmp_path / "agg_table"
+    ckpt = tmp_path / "ckpt"
+
+    ev = load_table(spark, SF_DIR, "events").orderBy("event_id")
+    for i, part in enumerate([ev.limit(500), ev.subtract(ev.limit(500))]):
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"h{i}"))
+        shutil.copy(
+            next((tmp_path / f"h{i}").glob("*.parquet")), src / f"f{i}.parquet"
+        )
+
+    def merge_batch(batch_df, batch_id):
+        # aggregate the batch, then overwrite only the touched cohorts
+        agg = (
+            batch_df.groupBy((F.col("user_id") % 8).alias("cohort"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        )
+        prev_mode = batch_df.sparkSession.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        batch_df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            existing = None
+            try:
+                existing = batch_df.sparkSession.read.parquet(str(table))
+            except Exception:
+                pass
+            if existing is not None:
+                merged = (
+                    existing.join(agg.select("cohort"), "cohort", "left_semi")
+                    .unionByName(agg)
+                    .groupBy("cohort")
+                    .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+                    .unionByName(
+                        existing.join(agg.select("cohort"), "cohort", "left_anti")
+                    )
+                )
+            else:
+                merged = agg
+            merged.write.mode("overwrite").partitionBy("cohort").parquet(str(table))
+        finally:
+            batch_df.sparkSession.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+
+    stream = file_stream(spark, str(src), events_schema(), max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+
+    want = sorted(
+        map(
+            tuple,
+            load_table(spark, SF_DIR, "events")
+            .groupBy((F.col("user_id") % 8).alias("cohort"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(str(table)).select("cohort", "n", "v").collect(),
+        )
+    )
+    assert [(c, n, round(v, 6)) for c, n, v in got] == [
+        (c, n, round(v, 6)) for c, n, v in want
+    ]

@@ -11,7 +11,7 @@ from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from direct_kafka_stream_spark.io import load_table
-from direct_kafka_stream_spark.operators.llm import _spread, _tokens
+from direct_kafka_stream_spark.operators.llm import _SHINGLES_SQL, _spread, _tokens
 from direct_kafka_stream_spark.registry import query
 
 _CHUNK = 20  # tokens per chunk
@@ -171,5 +171,92 @@ def q_embed_centroid(spark: SparkSession, d: str):
                 / F.count(F.lit(1)),
                 6,
             ).alias("centroid")
+        )
+    )
+
+
+@query(
+    "q_text_repetition",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL})
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct,
+           round(1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*), 6)
+               AS rep_ratio
+    FROM shingles GROUP BY doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def q_text_repetition(spark: SparkSession, d: str):
+    """Duplicate-3-gram repetition ratio per document — the Gopher/C4
+    corpus-quality rule that catches boilerplate and degenerate
+    repetition (high ratio = the same phrases loop). One shingle
+    explode + one groupBy; COUNT DISTINCT expands to the standard
+    two-phase aggregate. Docs under 3 tokens have no 3-grams and drop
+    out on both engines."""
+    from direct_kafka_stream_spark.operators.llm import _shingles_from_docs
+
+    docs = _spread(load_table(spark, d, "documents"))
+    sh = _shingles_from_docs(docs)
+    return sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("shingle").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("shingle").cast("double") / F.count(F.lit(1)), 6
+        ).alias("rep_ratio"),
+    )
+
+
+@query(
+    "q_text_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word
+        FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+    total AS (SELECT COUNT(*) AS t FROM toks),
+    scored AS (
+        SELECT tk.doc_id,
+               round(ln(CAST(f.cnt AS DOUBLE) / total.t), 6) AS lp
+        FROM toks tk JOIN freq f ON tk.word = f.word CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(ROUND(SUM(CAST(lp AS DECIMAL(38,10))), 6) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def q_text_logprob(spark: SparkSession, d: str):
+    """Unigram log-probability score per document — the language-model
+    filtering proxy (low average log-prob ≈ gibberish / OCR noise /
+    wrong-language text). Corpus word frequencies broadcast back onto
+    the token stream; each token's ln(p) is rounded to 6 dp FIRST (so
+    both engines sum identical doubles), then summed exactly in
+    decimal and averaged. Two shuffles: word-frequency groupBy and the
+    per-doc aggregate."""
+    from direct_kafka_stream_spark.operators.llm import _words
+
+    docs = _spread(load_table(spark, d, "documents"))
+    toks = _words(docs).select("doc_id", "word")
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    lp = F.round(F.log(F.col("cnt").cast("double") / F.col("t")), 6)
+    return (
+        toks.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.round(F.sum(F.col("lp").cast("decimal(38,10)")), 6).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
         )
     )

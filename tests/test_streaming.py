@@ -650,3 +650,30 @@ def test_foreach_batch_idempotent_merge(spark, tmp_path):
     assert [(c, n, round(v, 6)) for c, n, v in got] == [
         (c, n, round(v, 6)) for c, n, v in want
     ]
+
+
+def test_query_progress_metrics(spark, events_dir, tmp_path):
+    """The engine-provided replacement for the reference's hand-rolled
+    Stopwatch (reference KafkaDirectStream.scala:111-114, R12):
+    per-batch progress objects expose rows read, processing durations,
+    and state-store metrics — no user instrumentation code."""
+    stream = file_stream(spark, events_dir, events_schema())
+    agg = transforms.tumbling_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_metrics")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    progress = q.recentProgress
+    assert progress, "recentProgress must capture the executed batches"
+    total_rows = sum(p["numInputRows"] for p in progress)
+    assert total_rows == 1000  # every event accounted for
+    last = progress[-1]
+    assert "durationMs" in last and "stateOperators" in last
+    assert any(
+        op.get("numRowsTotal", 0) > 0 for op in last["stateOperators"]
+    ), "stateful aggregate must report its state size"

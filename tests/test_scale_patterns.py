@@ -82,3 +82,29 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
         F.col("event_type") == "click"
     )
     assert df.count() == batch.count() > 0
+
+
+def test_kafka_decode_kv_shape(spark):
+    """R3/R4 parity without a broker: a Kafka-shaped frame (binary
+    key/value + topic/partition/offset) through decode_kv must yield
+    string key/value and, given a schema, typed columns parsed from
+    the JSON payload (the reference's StringDecoder + map(_._2),
+    KafkaDirectStream.scala:9,43,65-68 — plus the schema-on-read step
+    its README says happened downstream)."""
+    from pyspark.sql import functions as F
+
+    from direct_kafka_stream_spark.sources.kafka import decode_kv
+
+    raw = spark.createDataFrame(
+        [
+            (b"k1", b'{"user": 7, "amount": 1.5}', "dilip", 0, 100),
+            (b"k2", b'{"user": 8, "amount": 2.5}', "abhishek", 1, 200),
+        ],
+        "key binary, value binary, topic string, partition int, offset long",
+    ).withColumn("timestamp", F.current_timestamp())
+
+    decoded = decode_kv(raw, value_schema="user long, amount double")
+    rows = {r.key: r for r in decoded.collect()}
+    assert rows["k1"].value == '{"user": 7, "amount": 1.5}'
+    assert rows["k1"].parsed.user == 7 and rows["k2"].parsed.amount == 2.5
+    assert rows["k2"].topic == "abhishek" and rows["k2"].offset == 200

@@ -136,3 +136,20 @@ def test_tfidf_broadcasts_dims_onto_tf(spark):
     df = QUERIES["q_text_tfidf"].spark(spark, SF_DIR)
     plan = inspect.physical_plan(df)
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_rag_retrieve_is_topk_with_broadcast_query_vector(spark):
+    df = QUERIES["q_rag_retrieve"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_upsert_merge_single_key_shuffle(spark):
+    """The MERGE emulation must plan as one full-outer join on the key
+    — no cartesian, no double shuffle of the base table."""
+    df = QUERIES["q_upsert_merge"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan

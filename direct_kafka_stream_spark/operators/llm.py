@@ -41,7 +41,13 @@ def _materialized(df: DataFrame) -> DataFrame:
     DAG references many times (e.g. both sides of a self-join). Without
     this, Spark re-evaluates the whole subtree per reference — the
     signature/word tables here are small relative to their compute, so
-    persisting them is the right trade at any scale."""
+    persisting them is the right trade at any scale.
+
+    Lifetime note: the cache must outlive the returned DataFrame (the
+    caller collects AFTER the query callable returns), so these persists
+    are intentionally not unpersisted here; they are evicted LRU by the
+    block manager. A long-lived service would wrap query execution and
+    unpersist on completion."""
     df = df.persist()
     df.count()
     return df

@@ -482,3 +482,98 @@ def q_tpch_q21(spark: SparkSession, d: str):
     load_table(spark, d, "lineitem").createOrReplaceTempView("lineitem")
     load_table(spark, d, "orders").createOrReplaceTempView("orders")
     return spark.sql(_Q21_SQL)
+
+
+@query(
+    "q_tpch_q6",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch",),
+)
+def q_tpch_q6(spark: SparkSession, d: str):
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    scan-filter-aggregate — zero joins, zero shuffles past the partial
+    aggregate. All three predicates push into the parquet scan
+    (min/max row-group pruning on l_shipdate at scale); the plan is
+    one codegen stage ending in a single-row exchange."""
+    li = load_table(spark, d, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q2_SQL = """
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey,
+               l_extendedprice / l_quantity AS unit_price
+        FROM lineitem
+    ),
+    mincost AS (
+        SELECT l_partkey, MIN(unit_price) AS min_price
+        FROM unit GROUP BY l_partkey
+    )
+    SELECT u.l_partkey, u.l_suppkey, s.s_name, u.unit_price
+    FROM unit u
+    JOIN mincost m ON u.l_partkey = m.l_partkey
+                   AND u.unit_price = m.min_price
+    JOIN supplier s ON s.s_suppkey = u.l_suppkey
+"""
+
+
+@query("q_tpch_q2", oracle=_Q2_SQL, tags=("tpch", "subquery"))
+def q_tpch_q2(spark: SparkSession, d: str):
+    """TPC-H Q2 shape (minimum-cost supplier): for every part, the
+    supplier(s) offering its minimum observed unit price (lineitem
+    standing in for the missing partsupp). The classic
+    min-per-group-join-back decorrelation: one aggregate over the fact
+    + an equi-join back on (partkey, price) — price equality is safe
+    because both sides compute the identical double from identical
+    inputs. Ties (two suppliers at the min) are all kept, same as the
+    original Q2."""
+    load_table(spark, d, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, d, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_Q2_SQL)
+
+
+_Q20_SQL = f"""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+        )
+        GROUP BY l_suppkey
+        HAVING {dsum_sql('l_quantity')} > 100
+    )
+"""
+
+
+@query("q_tpch_q20", oracle=_Q20_SQL, tags=("tpch", "subquery"))
+def q_tpch_q20(spark: SparkSession, d: str):
+    """TPC-H Q20 shape (potential part promotion): suppliers who
+    shipped a large volume of 'small'-named parts — nested IN
+    subqueries (part filter inside, grouped HAVING outside) that
+    Catalyst flattens into two semi joins. The part-side IN prunes
+    lineitem before the per-supplier aggregate; the decimal-exact
+    HAVING threshold agrees across engines at the boundary."""
+    load_table(spark, d, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, d, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, d, "part").createOrReplaceTempView("part")
+    return spark.sql(_Q20_SQL)

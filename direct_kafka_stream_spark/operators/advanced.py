@@ -192,8 +192,9 @@ def q_subquery_exists(spark: SparkSession, d: str):
 )
 def q_tpch_q18(spark: SparkSession, d: str):
     """TPC-H Q18 (large-volume orders): HAVING-filtered fact aggregate
-    drives the join, so the (tiny) big-orders set broadcasts against
-    orders and customer rather than shuffling the fact table twice.
+    drives the join; the big-orders set is small after the filter, and
+    AQE converts the join to broadcast at runtime when it fits (no
+    static hint — the set grows with SF).
     Top-k is deterministic: ties broken by the unique o_orderkey."""
     li = load_table(spark, d, "lineitem")
     o = load_table(spark, d, "orders")
@@ -204,7 +205,7 @@ def q_tpch_q18(spark: SparkSession, d: str):
         .filter(F.col("qty") > 200)
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "qty")
         .orderBy(F.desc("qty"), "o_orderkey")

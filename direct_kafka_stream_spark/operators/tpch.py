@@ -148,7 +148,9 @@ _Q8_SHARE_NATIONS = ("NATION_5", "NATION_15")
 def q_tpch_q8(spark: SparkSession, d: str):
     """TPC-H Q8 shape (national market share): the supplier nations'
     share of PROMO-part volume sold into ASIA, by order year. A 7-table
-    star where every dim broadcasts and the two fact-side shuffles
+    star: bounded dims (nation/region) carry explicit broadcast hints,
+    SF-scaled ones (part/customer path) broadcast by threshold/AQE at
+    this scale and shuffle at 100 TB; the two fact-side shuffles
     (lineitem⋈orders) carry only pruned columns. Share = conditional
     decimal sum / decimal sum, divided once in double — identical
     structure both engines, then rounded."""
@@ -173,7 +175,7 @@ def q_tpch_q8(spark: SparkSession, d: str):
         .join(F.broadcast(asia), F.col("c_rk") == asia.r_regionkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(dsum(nat_vol) / dsum(vol), 6).alias("mkt_share"),
@@ -203,10 +205,13 @@ def q_tpch_q8(spark: SparkSession, d: str):
 def q_tpch_q9(spark: SparkSession, d: str):
     """TPC-H Q9 shape (product-type profit): net margin per supplier
     nation per year (retail price × 5% standing in for the missing
-    partsupp supplycost). part/supplier/nation broadcast; lineitem
-    joins orders on the shuffle. The amount expression is left-assoc
-    multiply both engines → bit-identical doubles into the exact
-    decimal sum."""
+    partsupp supplycost). Only the bounded nation dim carries an
+    explicit broadcast HINT; part and supplier grow with SF, so their
+    join strategy is left to the threshold + AQE (they broadcast at
+    bench scale, shuffle at 100 TB — forcing the hint would OOM the
+    build side there). The amount expression is left-assoc multiply
+    both engines → bit-identical doubles into the exact decimal
+    sum."""
     li = load_table(spark, d, "lineitem")
     s = load_table(spark, d, "supplier")
     p = load_table(spark, d, "part").filter(F.col("p_name").like("%e%"))
@@ -214,8 +219,8 @@ def q_tpch_q9(spark: SparkSession, d: str):
     n = load_table(spark, d, "nation")
     amount = _vol() - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.05)
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
@@ -342,7 +347,7 @@ def q_tpch_q14(spark: SparkSession, d: str):
     vol = _vol()
     promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(F.lit(100.0) * dsum(promo) / dsum(vol), 6).alias("promo_revenue")
         )
@@ -441,7 +446,7 @@ def q_tpch_q19(spark: SparkSession, d: str):
         & F.col("l_quantity").between(20, 40)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

@@ -153,3 +153,14 @@ def test_upsert_merge_single_key_shuffle(spark):
     plan = inspect.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "FullOuter" in plan
+
+
+def test_aqe_converts_q18_join_to_broadcast_at_runtime(spark):
+    """Q18 carries no static broadcast hint (its big-orders set grows
+    with SF) — AQE must convert the join to broadcast AT RUNTIME when
+    the filtered aggregate turns out small. This is the mechanism that
+    makes the no-hint policy safe at every scale."""
+    df = QUERIES["q_tpch_q18"].spark(spark, SF_DIR)
+    df.collect()  # finalize the AQE plan of THIS execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final or "BroadcastQueryStage" in final

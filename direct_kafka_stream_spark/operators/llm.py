@@ -65,8 +65,12 @@ def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     higher-order array transforms) onto a single core. The repartition
     ships a few MB once and buys full parallelism — the same call that,
     at 100 TB, balances skewed file sizes after a selective filter.
-    Keyed (not round-robin) so no determinism sort is needed."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+    Keyed (not round-robin) so no determinism sort is needed. Uses the
+    env-derived core count rather than sparkContext (which a Spark
+    Connect session doesn't expose)."""
+    from direct_kafka_stream_spark.session import default_parallelism
+
+    return df.repartition(default_parallelism(), key)
 
 
 def _words(docs: DataFrame) -> DataFrame:

@@ -677,3 +677,48 @@ def test_query_progress_metrics(spark, events_dir, tmp_path):
     assert any(
         op.get("numRowsTotal", 0) > 0 for op in last["stateOperators"]
     ), "stateful aggregate must report its state size"
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (Spark 3.5+): unlike plain
+    dropDuplicates — whose per-key state lives forever — the dedup
+    horizon is bounded by the watermark, so state is evictable (the
+    only form that survives unbounded streams). Replays inside the
+    horizon are dropped; the key becomes admissible again once the
+    watermark passes it."""
+    src = tmp_path / "ddw_src"
+    src.mkdir()
+
+    def mk(ids, ts_vals, fname):
+        pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime(ts_vals),
+                "user_id": [1] * len(ids),
+                "event_type": ["x"] * len(ids),
+                "value": [1.0] * len(ids),
+                "props": ["{}"] * len(ids),
+            }
+        ).to_parquet(src / fname, coerce_timestamps="us")
+
+    import os
+    import time as _time
+
+    # batch 1: ids 1,2; batch 2 replays id 2 within the 10-minute
+    # horizon (dropped) and brings id 3
+    mk([1, 2], ["2024-01-01 10:00", "2024-01-01 10:01"], "b1.parquet")
+    mk([2, 3], ["2024-01-01 10:02", "2024-01-01 10:03"], "b2.parquet")
+    now = _time.time()
+    os.utime(src / "b1.parquet", (now - 200, now - 200))
+    os.utime(src / "b2.parquet", (now - 100, now - 100))
+
+    stream = file_stream(spark, str(src), events_schema(), max_files_per_trigger=1)
+    dedup = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = pipeline.run_to_memory(dedup, "t_ddw", str(tmp_path / "ckpt"))
+    _await(q)
+    got = sorted(
+        r.event_id for r in spark.table("t_ddw").select("event_id").collect()
+    )
+    assert got == [1, 2, 3]

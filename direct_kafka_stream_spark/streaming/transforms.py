@@ -70,8 +70,9 @@ def session_counts(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
 def dedup_keep_first(events: DataFrame, keys=("user_id", "event_type")) -> DataFrame:
     """Deterministic keep-first dedup: earliest (ts, event_id) row per
     key. Batch form uses a ranking window; the streaming form of the
-    same intent is ``withWatermark(...).dropDuplicates([...])`` (state
-    pruned by the watermark) — see streaming/pipeline.py."""
+    same intent is ``withWatermark(...).dropDuplicatesWithinWatermark``
+    (state evicted as the watermark passes each key) — see
+    dedup_streaming below."""
     w = Window.partitionBy(*keys).orderBy("ts", "event_id")
     return (
         events.withColumn("rn", F.row_number().over(w))
@@ -84,8 +85,17 @@ def dedup_streaming(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup on the unique event key: exactly-once view of an
     at-least-once input (the reference's own caveat — its README tells
     users to 'deal with duplicates down the stream'; this is that
-    operator). Watermark bounds the dedup state."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    operator).
+
+    Uses dropDuplicatesWithinWatermark, NOT plain dropDuplicates: with
+    a key subset that excludes the event-time column, plain
+    dropDuplicates never evicts its state (the watermark only drops
+    late input) — unbounded state on an unbounded stream. The
+    WithinWatermark variant evicts each key once the watermark passes
+    it, which is the only formulation that survives 100 TB/day."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def windowed_counts_with_watermark(

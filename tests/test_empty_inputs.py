@@ -1,0 +1,58 @@
+"""Empty-input robustness: every operator must return an empty (or
+well-defined) result on zero-row tables rather than crash — at scale,
+empty partitions, empty date ranges, and freshly-created tables are
+routine, and a driver-side error on one of them kills the whole job.
+Covers the operator families with the most assumptions baked in
+(iterative loop seeds, query-vector lookups, ratio denominators,
+global windows)."""
+
+from __future__ import annotations
+
+import pytest
+
+from direct_kafka_stream_spark import QUERIES, TABLES, load_table
+
+from tests.conftest import SF_DIR
+
+_REPRESENTATIVE = [
+    "q_join_multiway",    # star join + agg
+    "q_tpch_q8",          # ratio with empty denominator groups
+    "q_text_tfidf",       # broadcast of empty dims
+    "q_text_winnow",      # higher-order array ops on no rows
+    "q_dedup_near",       # persisted intermediates, self-join
+    "q_dedup_components", # iterative loop must converge on no edges
+    "q_text_chunk",       # explode over empty
+    "q_text_pack",        # global window over empty
+    "q_sim_cosine",       # query-vector lookup finds nothing
+    "q_rag_retrieve",     # composite with top-k over empty
+    "q_funnel",           # scalar subqueries over empty
+    "q_retention",        # self-join over empty
+    "q_scd2",             # lead window over empty
+    "q_upsert_merge",     # full outer of two empties
+    "q_recursive_calendar",  # recursion independent of data; LEFT JOIN empty
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(0).write.mode("overwrite").parquet(
+            str(d / f"{t}.parquet")
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _REPRESENTATIVE)
+def test_runs_on_empty_tables(spark, empty_sf_dir, name):
+    rows = QUERIES[name].spark(spark, empty_sf_dir).collect()
+    if name == "q_recursive_calendar":
+        # the calendar is generated, not scanned: 79 months, all empty
+        assert len(rows) == 79
+        assert all(r.n_orders == 0 for r in rows)
+    elif name == "q_funnel":
+        # ungrouped aggregates yield exactly one zero-count row on
+        # empty input — ANSI semantics, not a bug
+        assert [(r.n_signup, r.n_converted) for r in rows] == [(0, 0)]
+    else:
+        assert rows == []

@@ -164,3 +164,34 @@ def test_aqe_converts_q18_join_to_broadcast_at_runtime(spark):
     df.collect()  # finalize the AQE plan of THIS execution
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final or "BroadcastQueryStage" in final
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime Bloom-filter injection: when a selective dim filters a
+    shuffle join, Spark builds a bloom filter from the dim keys and
+    applies it to the fact scan — row-level runtime pruning that cuts
+    the shuffled fact volume at 100 TB. Off by default below size
+    thresholds (it only pays when the fact side is huge); this test
+    lowers the thresholds to pin that the engine wires it up."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = inspect.physical_plan(j)
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

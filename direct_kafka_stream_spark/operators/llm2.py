@@ -320,3 +320,96 @@ def q_rag_retrieve(spark: SparkSession, d: str):
         .orderBy(F.col("sim").desc(), "doc_id")
         .limit(10)
     )
+
+
+_KM_SEEDS = (1, 2, 3, 4)  # fixture vectors used as initial centers
+
+
+@query(
+    "q_kmeans_step",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    cv AS (SELECT vec_id AS cid, i, x AS cx FROM ev
+           WHERE vec_id IN {_KM_SEEDS!r}),
+    dists AS (
+        SELECT e.vec_id, c.cid,
+               round(SUM((e.x - c.cx) * (e.x - c.cx)), 6) AS d2
+        FROM ev e JOIN cv c USING (i)
+        GROUP BY e.vec_id, c.cid
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    )
+    SELECT a.cid, CAST(e.i AS INT) AS i,
+           round(CAST(SUM(CAST(e.x AS DECIMAL(38,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS new_center,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM assign a
+    JOIN ev e ON e.vec_id = a.vec_id
+    GROUP BY a.cid, e.i
+    """,
+    tags=("llm", "embedding", "iterative"),
+)
+def q_kmeans_step(spark: SparkSession, d: str):
+    """One Lloyd's k-means iteration over the embedding corpus
+    (k = 4, fixture vectors as fixed seeds): assign every vector to
+    its nearest center by squared L2, then recompute each center as
+    the exact decimal mean of its members — the training step behind
+    the IVF index (q_sim_ivf) and corpus clustering for mixture
+    balancing. Distances are rounded to 6 dp before the argmin (the
+    two engines accumulate the position sum in different orders) and
+    ties break on center id, so the assignment is bit-stable. Fully
+    shuffled-bounded: distances are a (corpus × k) join on position,
+    means are one groupBy — no driver iteration inside the step (the
+    outer k-means loop would checkpoint between steps exactly like
+    q_dedup_components)."""
+    from direct_kafka_stream_spark.operators.llm import _spread
+
+    e = load_table(spark, d, "embeddings")
+    ev = _spread(e, "vec_id").select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "vec_id", (F.col("pos0") + 1).alias("i"), F.col("xf").cast("double").alias("x")
+    )
+    cv = (
+        ev.filter(F.col("vec_id").isin(*_KM_SEEDS))
+        .select(F.col("vec_id").alias("cid"), "i", F.col("x").alias("cx"))
+    )
+    dists = (
+        ev.join(F.broadcast(cv), "i")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))), 6
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assign = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    return (
+        assign.join(ev, "vec_id")
+        .groupBy("cid", "i")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("new_center"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select("cid", "i", "new_center", "n_members")
+    )

@@ -86,6 +86,61 @@ def q_join_asof(spark: SparkSession, d: str):
 
 
 @query(
+    "q_join_asof_forward",
+    oracle="""
+    WITH views AS (
+        SELECT user_id, ts, max(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, v.view_value
+    FROM clicks c
+    ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts >= c.ts
+    """,
+    tags=("join", "timeseries"),
+)
+def q_join_asof_forward(spark: SparkSession, d: str):
+    """Forward as-of join: each click matched to the NEXT same-user
+    view at-or-after it (the look-ahead twin of q_join_asof — e.g.
+    "first fill after the order"). Same single-scan single-shuffle
+    composition, mirrored: clicks sort before same-ts views
+    (is_probe desc) and a ``first(ignorenulls)`` window over
+    [current, unbounded following] picks the nearest following view;
+    view_value desc makes the within-instant tie land on the max,
+    matching the oracle's max() pre-dedup."""
+    e = load_table(spark, d, "events")
+    unioned = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("event_id"),
+        "user_id",
+        "ts",
+        (F.col("event_type") == "click").cast("int").alias("is_probe"),
+        F.when(F.col("event_type") == "view", F.col("value")).alias("view_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(), F.col("is_probe").desc(), F.col("view_value").desc()
+        )
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return (
+        unioned.withColumn(
+            "next_view", F.first("view_value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("next_view").alias("view_value"),
+        )
+    )
+
+
+@query(
     "q_rollup_hypertable",
     oracle=f"""
     WITH hourly AS (

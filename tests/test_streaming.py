@@ -722,3 +722,40 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
         r.event_id for r in spark.table("t_ddw").select("event_id").collect()
     )
     assert got == [1, 2, 3]
+
+
+def test_processing_time_trigger_micro_batches(spark, events_dir, tmp_path):
+    """Processing-time micro-batch trigger — the reference's actual
+    execution mode (5 s batches, KafkaDirectStream.scala:41), here at
+    1 s with maxFilesPerTrigger pacing. The query ticks on wall-clock
+    until the source drains; we poll the sink, then stop gracefully
+    (reference R10's ssc.stop(true, true), done right — the hook there
+    was dead code, KDS:28-34)."""
+    import time as _time
+
+    stream = file_stream(
+        spark, events_dir, events_schema(), max_files_per_trigger=1
+    )
+    q = (
+        stream.groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("t_proctime")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            total = sum(r["count"] for r in spark.table("t_proctime").collect())
+            if total == 1000:
+                break
+            _time.sleep(0.5)
+        assert total == 1000
+        assert q.isActive  # keeps ticking until told to stop
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert not q.isActive

@@ -413,3 +413,135 @@ def q_kmeans_step(spark: SparkSession, d: str):
         )
         .select("cid", "i", "new_center", "n_members")
     )
+
+
+_CURATION_LANGS = ("en", "es", "de", "fr")
+_CURATION_TAU = 0.8
+
+
+@query(
+    "q_curation_pipeline",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+            WHERE lang IN {_CURATION_LANGS!r}
+              AND n_chars BETWEEN 50 AND 100000
+        ) WHERE rn = 1
+    ),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word,
+               generate_subscripts(list_filter(string_split(text, ' '), w -> w != ''), 1) AS pos
+        FROM base
+    ),
+    shingles AS (
+        SELECT doc_id, word || ' ' || w1 || ' ' || w2 AS shingle
+        FROM (
+            SELECT doc_id, word,
+                   LEAD(word, 1) OVER w AS w1,
+                   LEAD(word, 2) OVER w AS w2
+            FROM toks
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE w2 IS NOT NULL
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {', '.join(f"MIN(md5('{j}:' || shingle)) AS mh{j}" for j in range(4))}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        {' UNION ALL '.join(f"SELECT doc_id, {j} AS band, mh{j} AS mh FROM sigs" for j in range(4))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+    ),
+    wset AS (SELECT DISTINCT doc_id, word FROM toks),
+    wc AS (SELECT doc_id, COUNT(*) AS nw FROM wset GROUP BY doc_id),
+    jac AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(COUNT(*) AS DOUBLE)
+                   / (ca.nw + cb.nw - COUNT(*)) AS jaccard
+        FROM cand c
+        JOIN wset wa ON wa.doc_id = c.doc_a
+        JOIN wset wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
+        JOIN wc ca ON ca.doc_id = c.doc_a
+        JOIN wc cb ON cb.doc_id = c.doc_b
+        GROUP BY c.doc_a, c.doc_b, ca.nw, cb.nw
+    ),
+    drops AS (SELECT DISTINCT doc_b AS doc_id FROM jac
+              WHERE jaccard >= {_CURATION_TAU})
+    SELECT b.doc_id,
+           CAST(len(list_filter(string_split(b.text, ' '), w -> w != '')) AS BIGINT)
+               AS n_tokens
+    FROM base b
+    WHERE b.doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+    tags=("llm", "dedup", "composite"),
+)
+def q_curation_pipeline(spark: SparkSession, d: str):
+    """The whole corpus-curation pass as ONE declarative pipeline:
+    language/length quality gate → exact dedup (sha256 keep-first) →
+    MinHash-LSH candidate pairs → exact-Jaccard confirmation (τ=0.8)
+    → drop the newer of each near-dup pair → surviving docs with token
+    counts. Every stage is the already-verified operator (q_text_filter,
+    q_dedup_exact, q_dedup_near) composed in a single DAG: the scan
+    happens once, filters push into it, and the only fact-sized
+    shuffles are the signature groupBy and the (band, mh) candidate
+    join — the same shape this runs at 100 TB, where each stage's
+    output feeds the next without materializing to storage."""
+    from direct_kafka_stream_spark.operators.llm import (
+        _materialized,
+        _minhash_band_edges,
+        _spread,
+        _words,
+    )
+
+    docs = _spread(load_table(spark, d, "documents")).filter(
+        F.col("lang").isin(*_CURATION_LANGS)
+        & F.col("n_chars").between(50, 100000)
+    )
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    base = _materialized(
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    edges = _minhash_band_edges(base).filter(F.col("src") < F.col("dst"))
+    wset = _materialized(_words(base).select("doc_id", "word").distinct())
+    wc = wset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    wa = wset.select(F.col("doc_id").alias("src"), "word")
+    wb = wset.select(F.col("doc_id").alias("dst"), "word")
+    inter = (
+        edges.join(wa, "src")
+        .join(wb, ["dst", "word"])
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    ca = wc.select(F.col("doc_id").alias("src"), F.col("nw").alias("nwa"))
+    cb = wc.select(F.col("doc_id").alias("dst"), F.col("nw").alias("nwb"))
+    drops = (
+        inter.join(ca, "src")
+        .join(cb, "dst")
+        .filter(
+            F.col("ni").cast("double")
+            / (F.col("nwa") + F.col("nwb") - F.col("ni"))
+            >= _CURATION_TAU
+        )
+        .select(F.col("dst").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        base.join(drops, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+                "n_tokens"
+            ),
+        )
+    )

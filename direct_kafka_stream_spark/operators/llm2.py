@@ -506,11 +506,14 @@ def q_curation_pipeline(spark: SparkSession, d: str):
         F.col("lang").isin(*_CURATION_LANGS)
         & F.col("n_chars").between(50, 100000)
     )
-    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    # keep-first by hash via min_by: a HASH aggregate (map-side
+    # combinable), not a sort window — at 100 TB this avoids a
+    # per-partition sort of the full corpus text
+    keeper = F.min_by(F.struct("doc_id", "text"), "doc_id").alias("k")
     base = _materialized(
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text")
+        docs.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(keeper)
+        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.text").alias("text"))
     )
     edges = _minhash_band_edges(base).filter(F.col("src") < F.col("dst"))
     wset = _materialized(_words(base).select("doc_id", "word").distinct())

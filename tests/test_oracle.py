@@ -74,3 +74,18 @@ def test_entry_contract():
     osql = E.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 80
+
+
+def test_bench_contract_shape():
+    """bench.py must emit ONE JSON line with the driver-contract keys
+    and a time for every registered query — validated statically here
+    (the full bench run is its own 60-80s job; this pins the contract
+    without paying it)."""
+    import pathlib
+
+    src = open(pathlib.Path(__file__).resolve().parent.parent / "bench.py").read()
+    for key in ('"metric"', '"value"', '"unit"', '"queries"', '"sf"'):
+        assert key in src
+    # every query iterated, failures recorded not raised
+    assert "for name, q in QUERIES.items()" in src
+    assert "BENCH ERROR" in src

@@ -759,3 +759,40 @@ def test_processing_time_trigger_micro_batches(spark, events_dir, tmp_path):
         q.stop()
         q.awaitTermination(30)
     assert not q.isActive
+
+
+def test_rate_source_generated_stream(spark, tmp_path):
+    """The built-in rate source: a broker-less generated stream
+    (timestamp, monotonically increasing value) — the standard rig for
+    load-testing a streaming topology without Kafka. Drives a
+    projection + filter topology and checks monotone, gap-free
+    values arrive."""
+    import time as _time
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .withColumn("bucket", F.col("value") % 10)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_rate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 45
+        n = 0
+        while _time.time() < deadline:
+            n = spark.table("t_rate").count()
+            if n >= 100:
+                break
+            _time.sleep(0.5)
+        assert n >= 100, f"rate source produced only {n} rows"
+        vals = sorted(r.value for r in spark.table("t_rate").collect())
+        assert vals == list(range(vals[0], vals[0] + len(vals))), "gap-free"
+    finally:
+        q.stop()
+        q.awaitTermination(30)

@@ -158,3 +158,53 @@ def test_dynamic_partition_pruning_via_dim_filter(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_observation_metrics_on_batch_query(spark):
+    """df.observe(): row-level counters collected DURING execution (no
+    second pass) — the batch sibling of streaming progress metrics.
+    The pattern for production data-quality gates: count nulls/invalid
+    rows in the same job that transforms them."""
+    from pyspark.sql import Observation, functions as F
+
+    obs = Observation("quality")
+    li = load_table(spark, SF_DIR, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_discount") > 0.08, 1).otherwise(0)).alias("n_high_disc"),
+    )
+    n_out = observed.filter(F.col("l_quantity") > 25).count()
+    m = obs.get
+    assert m["n_rows"] == li.count()
+    assert 0 <= m["n_high_disc"] <= m["n_rows"]
+    assert n_out > 0
+
+
+def test_range_partitioned_sorted_write_layout(spark, tmp_path):
+    """The sorted-layout write pattern: repartitionByRange(key) +
+    sortWithinPartitions(key) produces files whose key ranges do not
+    overlap — the layout that lets parquet row-group min/max stats
+    prune a 100 TB scan down to the files containing the predicate
+    range. Verified by reading back per-file min/max."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "orders_sorted")
+    (
+        load_table(spark, SF_DIR, "orders")
+        .repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    per_file = (
+        spark.read.parquet(out)
+        .select("o_orderkey", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    assert len(spans) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"

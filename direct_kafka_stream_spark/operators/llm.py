@@ -830,8 +830,13 @@ def q_sim_ivf(spark: SparkSession, d: str):
     partitions the corpus into inverted lists; a query probes only its
     centroid's list. The scale architecture behind FAISS-style IVF —
     here the centroids are fixture vectors so the oracle can replay the
-    assignment exactly; production would train them with k-means and
-    persist the assignment as a bucketed table."""
+    assignment exactly; production would train them with k-means
+    (q_kmeans_step) and persist the assignment as a bucketed table.
+    Measured: with the index built INLINE (as here, for oracle
+    replayability) a single query shows no speedup over brute force at
+    60 k vectors — the assignment pass costs what the probe saves. The
+    IVF win is real only when the inverted lists are persisted and
+    amortized across many queries, which is how it deploys."""
     e = load_table(spark, d, "embeddings")
     cents = e.filter(F.col("vec_id").isin(*_IVF_CENTROIDS)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")

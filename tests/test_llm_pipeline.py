@@ -126,3 +126,40 @@ def test_ann_paths_recall_against_brute_force(spark):
     for v, s in bucket.items():
         if v in truth:
             assert abs(s - truth[v]) < 1e-9
+
+
+def test_ivf_persisted_index_prunes_to_one_list(spark, tmp_path):
+    """The IVF deploy path: inverted lists persisted as a parquet
+    layout partitioned by centroid id. A query probes exactly ONE
+    partition directory (partition pruning on cid) — the amortized
+    form where the index build cost is paid once, and each query scans
+    corpus/k vectors instead of the corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from direct_kafka_stream_spark.operators.llm import _cosine
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    cents = e.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    sims = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cid",
+        F.round(_cosine(F.col("embedding"), F.col("cv")), 6).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
+    index = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cid", "vec_id", "embedding")
+    )
+    out = str(tmp_path / "ivf_index")
+    index.write.partitionBy("cid").mode("overwrite").parquet(out)
+
+    lists = spark.read.parquet(out)
+    qcid = [r.cid for r in lists.filter(F.col("vec_id") == 0).collect()][0]
+    probe = lists.filter(F.col("cid") == qcid)
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters", 1)[1][:120]
+    # the probe scans one inverted list, not the corpus
+    assert 0 < probe.count() < lists.count()

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from direct_kafka_stream_spark.exprs import dsum, dsum_sql
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -103,4 +104,68 @@ def q_scd2(spark: SparkSession, d: str):
             "valid_to"
         ),
         nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_rfm",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', MAX(o_orderdate),
+                              TIMESTAMP '2002-01-01') AS INT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               {dsum_sql('o_totalprice')} AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+               AS segment
+    FROM (
+        SELECT *,
+               NTILE(4) OVER (ORDER BY recency_days ASC,  o_custkey) AS r,
+               NTILE(4) OVER (ORDER BY frequency    DESC, o_custkey) AS f,
+               NTILE(4) OVER (ORDER BY monetary     DESC, o_custkey) AS m
+        FROM per_cust
+    )
+    """,
+    tags=("analytics", "window"),
+)
+def q_rfm(spark: SparkSession, d: str):
+    """RFM customer segmentation: recency (days before a fixed
+    reference date), frequency, monetary value per customer, each
+    quartiled into 1-4 and concatenated into the classic segment code
+    ('111' = best). Quartiles via NTILE with c_custkey tie-breaks so
+    bucket edges are deterministic across engines. NTILE needs a total
+    order — fine over per-customer aggregates (customers ≪ orders);
+    at 100 TB you'd cut on approx_percentile thresholds instead of a
+    global sort, trading exact quartile boundaries for a single
+    pass."""
+    o = load_table(spark, d, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.max("o_orderdate").cast("date")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r"),
+        F.ntile(4).over(wf).alias("f"),
+        F.ntile(4).over(wm).alias("m"),
+    ).withColumn(
+        "segment",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ),
     )

@@ -339,3 +339,31 @@ def q_try_fns(spark: SparkSession, d: str):
         mixed.try_cast("int").alias("flag_int"),
         F.try_add("l_orderkey", big_if_marked).alias("ovf"),
     )
+
+
+@query(
+    "q_numeral_fns",
+    oracle="""
+    SELECT l_orderkey,
+           hex(l_orderkey)         AS h,
+           to_base(l_orderkey, 2)  AS b2,
+           to_base(l_orderkey, 16) AS b16,
+           to_base(l_orderkey, 36) AS b36
+    FROM lineitem WHERE l_orderkey > 0
+    """,
+    tags=("functions", "numeral"),
+)
+def q_numeral_fns(spark: SparkSession, d: str):
+    """Numeral-system conversions (hex / arbitrary radix) — key
+    encodings for compact string ids and shard prefixes. Uppercase
+    digit alphabet in both engines; zero excluded (DuckDB renders
+    to_base(0) as '' vs Spark '0')."""
+    li = load_table(spark, d, "lineitem").filter(F.col("l_orderkey") > 0)
+    k = F.col("l_orderkey").cast("string")
+    return li.select(
+        "l_orderkey",
+        F.hex("l_orderkey").alias("h"),
+        F.conv(k, 10, 2).alias("b2"),
+        F.conv(k, 10, 16).alias("b16"),
+        F.conv(k, 10, 36).alias("b36"),
+    )

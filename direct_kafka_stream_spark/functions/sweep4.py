@@ -367,3 +367,35 @@ def q_numeral_fns(spark: SparkSession, d: str):
         F.conv(k, 10, 16).alias("b16"),
         F.conv(k, 10, 36).alias("b36"),
     )
+
+
+@query(
+    "q_interval_fns",
+    oracle="""
+    SELECT event_id,
+           strftime(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus90m,
+           strftime(ts - INTERVAL 2 DAY,     '%Y-%m-%d %H:%M:%S') AS minus2d,
+           strftime(ts + INTERVAL 1 HOUR + INTERVAL 30 SECOND,
+                    '%Y-%m-%d %H:%M:%S')                          AS plus_mixed,
+           (ts + INTERVAL 90 MINUTE > ts)                         AS moved_fwd
+    FROM events
+    """,
+    tags=("functions", "date"),
+)
+def q_interval_fns(spark: SparkSession, d: str):
+    """Interval arithmetic on event-time: minute/day/mixed offsets and
+    an interval-shifted comparison — the building blocks of watermark
+    and join-window expressions, exercised as batch scalars. Outputs
+    second-formatted strings (the events fixture is µs-aligned)."""
+    e = load_table(spark, d, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return e.select(
+        "event_id",
+        F.date_format(F.col("ts") + F.expr("INTERVAL 90 MINUTES"), fmt).alias("plus90m"),
+        F.date_format(F.col("ts") - F.expr("INTERVAL 2 DAYS"), fmt).alias("minus2d"),
+        F.date_format(
+            F.col("ts") + F.expr("INTERVAL 1 HOUR") + F.expr("INTERVAL 30 SECONDS"),
+            fmt,
+        ).alias("plus_mixed"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES") > F.col("ts")).alias("moved_fwd"),
+    )

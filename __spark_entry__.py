@@ -24,7 +24,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Callables are session-safe but not mutually concurrent: SQL-form
+    queries register fixture temp views by bare table name (matching
+    the oracle's view names), so run queries sequentially within one
+    SparkSession — which is the driver's execution model."""
     return {name: q.spark for name, q in QUERIES.items()}
 
 

@@ -89,3 +89,28 @@ def test_bench_contract_shape():
     # every query iterated, failures recorded not raised
     assert "for name, q in QUERIES.items()" in src
     assert "BENCH ERROR" in src
+
+
+def test_hll_sketch_error_is_bounded():
+    """The rows-only HLL query still has testable semantics: the
+    approximate distinct count must land within a few relative standard
+    deviations of the exact count (rsd=0.02 requested)."""
+    from direct_kafka_stream_spark import get_session, load_table
+    from pyspark.sql import functions as F
+
+    spark = get_session("tests-hll")
+    approx_rows = {
+        r.l_returnflag: r.approx_orders
+        for r in QUERIES["q_agg_approx"].spark(spark, SF_DIR).collect()
+    }
+    exact_rows = {
+        r.l_returnflag: r.n
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(approx_rows) == set(exact_rows)
+    for flag, exact in exact_rows.items():
+        rel_err = abs(approx_rows[flag] - exact) / exact
+        assert rel_err <= 0.08, f"{flag}: rel_err {rel_err:.3f} exceeds 4*rsd"

@@ -114,3 +114,31 @@ def test_hll_sketch_error_is_bounded():
     for flag, exact in exact_rows.items():
         rel_err = abs(approx_rows[flag] - exact) / exact
         assert rel_err <= 0.08, f"{flag}: rel_err {rel_err:.3f} exceeds 4*rsd"
+
+
+def test_gk_percentile_sketch_error_is_bounded():
+    """The approx-percentile sketch with accuracy=10000 must land
+    within 1/accuracy-grade relative error of the exact interpolated
+    percentile (loose 2% gate — the fixture quantity range is small)."""
+    from direct_kafka_stream_spark import get_session, load_table
+    from pyspark.sql import functions as F
+
+    spark = get_session("tests-gk")
+    approx = {
+        r.l_returnflag: (r.p50, r.p95)
+        for r in QUERIES["q_agg_approx_pct"].spark(spark, SF_DIR).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.p50, r.p95)
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+            F.percentile("l_quantity", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    for flag, (e50, e95) in exact.items():
+        a50, a95 = approx[flag]
+        assert abs(a50 - e50) / e50 <= 0.02
+        assert abs(a95 - e95) / e95 <= 0.02

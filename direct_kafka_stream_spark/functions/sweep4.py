@@ -399,3 +399,32 @@ def q_interval_fns(spark: SparkSession, d: str):
         ).alias("plus_mixed"),
         (F.col("ts") + F.expr("INTERVAL 90 MINUTES") > F.col("ts")).alias("moved_fwd"),
     )
+
+
+@query(
+    "q_format_str",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           printf('%d x %.2f [%s]', CAST(l_quantity AS INT),
+                  l_extendedprice, l_returnflag) AS line_desc,
+           lpad(CAST(l_orderkey AS VARCHAR), 12, '0') AS padded_key
+    FROM lineitem
+    """,
+    tags=("functions", "string"),
+)
+def q_format_str(spark: SparkSession, d: str):
+    """C-style printf formatting (identical %d/%.2f/%s semantics in
+    both engines) + zero-padded fixed-width keys — the formatting
+    layer of export/reporting sinks."""
+    li = load_table(spark, d, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.format_string(
+            "%d x %.2f [%s]",
+            F.col("l_quantity").cast("int"),
+            F.col("l_extendedprice"),
+            F.col("l_returnflag"),
+        ).alias("line_desc"),
+        F.lpad(F.col("l_orderkey").cast("string"), 12, "0").alias("padded_key"),
+    )

@@ -428,3 +428,34 @@ def q_format_str(spark: SparkSession, d: str):
         ).alias("line_desc"),
         F.lpad(F.col("l_orderkey").cast("string"), 12, "0").alias("padded_key"),
     )
+
+
+@query(
+    "q_mask_pii",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS masked_name,
+           regexp_replace(CAST(c_custkey AS VARCHAR), '[0-9]', '*', 'g')
+               AS masked_key
+    FROM customer
+    """,
+    tags=("functions", "privacy"),
+)
+def q_mask_pii(spark: SparkSession, d: str):
+    """PII masking: Spark's mask() expression (class-preserving
+    character substitution — uppercase→X, lowercase→x, digit→n) and a
+    custom digit mask — the redaction step compliance pipelines run
+    before data leaves a boundary. The oracle replays the same policy
+    as regex classes; shapes (length, separators) survive, values
+    don't."""
+    c = load_table(spark, d, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_name"),
+        F.mask(
+            F.col("c_custkey").cast("string"),
+            digitChar=F.lit("*"),
+        ).alias("masked_key"),
+    )

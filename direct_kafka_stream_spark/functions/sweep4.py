@@ -459,3 +459,27 @@ def q_mask_pii(spark: SparkSession, d: str):
             digitChar=F.lit("*"),
         ).alias("masked_key"),
     )
+
+
+@query(
+    "q_base64_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(left(text, 24))) AS b64,
+           decode(from_base64(base64(encode(left(text, 24))))) AS back
+    FROM documents
+    """,
+    tags=("functions", "binary"),
+)
+def q_base64_roundtrip(spark: SparkSession, d: str):
+    """Base64 encode/decode round-trip over text prefixes — the wire
+    encoding for binary payloads embedded in JSON/Kafka messages
+    (the reference's payload channel, reference README.md:167).
+    Identical RFC 4648 output both engines."""
+    docs = load_table(spark, d, "documents")
+    b = F.encode(F.left("text", F.lit(24)), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.base64(b).alias("b64"),
+        F.decode(F.unbase64(F.base64(b)), "utf-8").alias("back"),
+    )

@@ -7,11 +7,13 @@ Spark callable and (where SQL-expressible) a DuckDB oracle string.
 
 from __future__ import annotations
 
+import json
 import pathlib
 import sys
 from collections.abc import Callable
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+_HERE = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(_HERE))
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -23,6 +25,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
+def _checked_ok() -> set[str]:
+    """Query names already verified green in a prior round's
+    CORRECTNESS_r*.json (hash_match, or a declared no-oracle rows-only
+    check that ran). Failed or never-checked names are excluded so they
+    sort to the front of the next round's check window."""
+    ok: set[str] = set()
+    for p in sorted(_HERE.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            ):
+                ok.add(name)
+    return ok
+
+
+def _ordered_names() -> list[str]:
+    """Registry order, rotated: the correctness driver checks a bounded
+    prefix of this dict per round, so names without a green row from any
+    prior round come first (stable within each group)."""
+    done = _checked_ok()
+    names = list(QUERIES)
+    return sorted(names, key=lambda n: (n in done, names.index(n)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -30,10 +62,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries register fixture temp views by bare table name (matching
     the oracle's view names), so run queries sequentially within one
     SparkSession — which is the driver's execution model."""
-    return {name: q.spark for name, q in QUERIES.items()}
+    return {name: QUERIES[name].spark for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every hash-checkable query; queries
     without an entry (approx sketches) get the rows-only check."""
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle}
+    return {
+        name: QUERIES[name].oracle for name in _ordered_names() if QUERIES[name].oracle
+    }

@@ -28,7 +28,10 @@ def materialize(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(pathlib.Path(sf_dir).name.replace("sf", "") or 0.1)
+    try:
+        sf = float(pathlib.Path(sf_dir).name.replace("sf", "") or 0.1)
+    except ValueError:  # non-sf<N> dir name — keep the one-JSON-line contract
+        sf = -1.0
     spark = get_session("bench")
 
     # Warm the JVM + parquet footer caches once so per-query numbers

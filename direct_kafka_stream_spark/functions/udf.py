@@ -139,6 +139,8 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     v = pdf["value"].to_numpy()
     mu = v.mean()
     sd = v.std(ddof=0)  # population stddev, matching STDDEV_POP
+    # Degenerate (constant-value) group: emit 0.0; the oracle mirrors
+    # this via COALESCE(... / NULLIF(stddev, 0), 0.0).
     z = (v - mu) / sd if sd > 0 else v * 0.0
     return pd.DataFrame(
         {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": z.round(4)}
@@ -149,7 +151,8 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     "q_udf_grouped_map",
     oracle="""
     SELECT event_id, event_type,
-           round((value - AVG(value) OVER w) / STDDEV_POP(value) OVER w, 4) AS z
+           round(COALESCE((value - AVG(value) OVER w)
+                          / NULLIF(STDDEV_POP(value) OVER w, 0), 0.0), 4) AS z
     FROM events
     WINDOW w AS (PARTITION BY event_type)
     """,

@@ -1134,6 +1134,7 @@ def q_dedup_components(spark: SparkSession, d: str):
         "doc_id", F.col("doc_id").alias("label")
     ).localCheckpoint()
     cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(15):
         prop = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -1162,9 +1163,17 @@ def q_dedup_components(spark: SparkSession, d: str):
         nxt_sum = nxt.agg(F.sum("label")).collect()[0][0]
         labels = nxt
         if nxt_sum == cur_sum:
+            converged = True
             break
         cur_sum = nxt_sum
     edges.unpersist()
+    if not converged:
+        # Pointer jumping converges in O(log diameter) rounds, so 15
+        # covers any real graph — but wrong labels must never be
+        # returned silently if that assumption ever breaks.
+        raise RuntimeError(
+            "q_dedup_components: label propagation did not converge in 15 rounds"
+        )
     singletons = docs.join(labels, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("label")
     )

@@ -71,6 +71,7 @@ def run_one(spark, con, name: str, sf_dir: str) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("-v", action="store_true", help="print tracebacks on query errors")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -86,7 +87,7 @@ def main():
             status = run_one(spark, con, name, args.sf)
         except Exception as e:
             status = f"ERROR: {type(e).__name__}: {e}"
-            if "-v" in sys.argv or len(names) == 1:
+            if args.v or len(names) == 1:
                 traceback.print_exc()
         if not (status.startswith("OK") or status.startswith("ROWS_ONLY")):
             failures += 1

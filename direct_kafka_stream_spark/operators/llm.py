@@ -44,13 +44,15 @@ def _materialized(df: DataFrame) -> DataFrame:
     persisting them is the right trade at any scale.
 
     Lifetime note: the cache must outlive the returned DataFrame (the
-    caller collects AFTER the query callable returns), so these persists
-    are intentionally not unpersisted here; they are evicted LRU by the
-    block manager. A long-lived service would wrap query execution and
-    unpersist on completion."""
+    caller collects AFTER the query callable returns), so nothing
+    unpersists here; every persist is tracked in ``caching`` and freed
+    by the registry wrapper when the NEXT query starts — sequential
+    sweeps pin at most one query's intermediates."""
+    from direct_kafka_stream_spark.caching import track
+
     df = df.persist()
     df.count()
-    return df
+    return track(df)
 
 
 def _tokens(col: str = "text") -> Column:
@@ -155,7 +157,39 @@ def q_dedup_exact(spark: SparkSession, d: str):
     )
 
 
-_N_MINHASH = 4  # bands of size 1 → candidate iff any of 4 minhashes collide
+# Banded MinHash-LSH signature: b bands × r rows. A pair is a candidate
+# iff ALL r row-minhashes agree in AT LEAST ONE band — the classic
+# S-curve P(cand) = 1 - (1 - s^r)^b, here ≈0.99 at shingle-Jaccard 0.9
+# and ≈0.0004 at 0.1. (Round 1 shipped 4 bands of size 1, where a single
+# hash collision made a candidate — fine on fixtures, a false-positive
+# flood on a real corpus.)
+_MH_ROWS = 4  # r: AND within a band
+_MH_BANDS = 4  # b: OR across bands
+_N_MINHASH = _MH_ROWS * _MH_BANDS  # 16 independent minhash functions
+
+# Each shingle is hashed ONCE (md5 → 60-bit int); the 16 "permutations"
+# are affine maps (a·h + b) mod p over the Mersenne prime 2³¹−1 — exact
+# 64-bit integer arithmetic, bit-identical in Spark and DuckDB, and ~16×
+# cheaper than 16 seeded md5 calls per shingle (measured: the md5-per-seed
+# variant doubled the capstone's wall time at sf0.1).
+_MH_P = 2147483647  # 2^31 - 1; a*h + b < 2^62 — no int64 overflow
+
+
+def _mh_coeff(tag: str) -> int:
+    """Deterministic pseudo-random coefficient in [1, p): md5 of a fixed
+    tag. The (a, b) pairs must be mutually independent — arithmetic
+    progressions like a_j = c·(j+1) make the "permutations" scaled
+    copies of one another, the r rows of a band stop being independent
+    tests, and random pairs collide at the single-hash rate (measured:
+    16 false-positive candidates at shingle-Jaccard ~0.01 on the sf0.001
+    fixture; 0 with independent coefficients)."""
+    import hashlib
+
+    return int(hashlib.md5(tag.encode()).hexdigest()[:15], 16) % (_MH_P - 1) + 1
+
+
+_MH_A = [_mh_coeff(f"minhash-a-{j}") for j in range(_N_MINHASH)]
+_MH_B = [_mh_coeff(f"minhash-b-{j}") for j in range(_N_MINHASH)]
 
 
 def _shingles_from_docs(docs: DataFrame) -> DataFrame:
@@ -190,97 +224,160 @@ _SHINGLES_SQL = f"""
 """
 
 
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """shingles → one row per doc with _N_MINHASH min-hash columns.
+    One md5 per shingle (first 15 hex digits → 60-bit int, identical to
+    DuckDB's hex cast), then _N_MINHASH affine permutations — so the
+    whole signature is oracle-replayable."""
+    h0 = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % _MH_P
+    ).alias("h0")
+    return (
+        sh.select("doc_id", h0)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(_MH_A[j]) * F.col("h0") + F.lit(_MH_B[j])) % _MH_P).alias(
+                    f"mh{j}"
+                )
+                for j in range(_N_MINHASH)
+            ]
+        )
+    )
+
+
+def _minhash_bands(sigs: DataFrame) -> DataFrame:
+    """signatures → (doc_id, band, mh) where mh = md5 of the band's r
+    concatenated row-hashes: equality on mh is equality on ALL r rows
+    (AND), and the union across bands gives the OR. The md5 re-hash
+    keeps the join key one fixed-width column."""
+    return reduce(
+        lambda x, y: x.unionByName(y),
+        [
+            sigs.select(
+                "doc_id",
+                F.lit(B).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{B * _MH_ROWS + i}").cast("string")
+                            for i in range(_MH_ROWS)
+                        ],
+                    )
+                ).alias("mh"),
+            )
+            for B in range(_MH_BANDS)
+        ],
+    )
+
+
+_H0_FROM_SHINGLES_SQL = (
+    "SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)"
+    f" % {_MH_P} AS h0 FROM shingles"
+)
+_SIGS_AGG_SQL = ", ".join(
+    f"MIN(({_MH_A[j]} * h0 + {_MH_B[j]}) % {_MH_P}) AS mh{j}"
+    for j in range(_N_MINHASH)
+)
+_SIGS_CTE_SQL = (
+    f"sigs AS (SELECT doc_id, {_SIGS_AGG_SQL}"
+    f" FROM ({_H0_FROM_SHINGLES_SQL}) GROUP BY doc_id)"
+)
+_BANDS_SELECT_SQL = " UNION ALL ".join(
+    "SELECT doc_id, {B} AS band, md5({cat}) AS mh FROM sigs".format(
+        B=B,
+        cat=" || '|' || ".join(
+            f"CAST(mh{B * _MH_ROWS + i} AS VARCHAR)" for i in range(_MH_ROWS)
+        ),
+    )
+    for B in range(_MH_BANDS)
+)
+
+
+def _word_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws) with ws = distinct word array — the per-doc word set
+    as ONE array row instead of an exploded fact table. Jaccard
+    confirmation then joins candidates against a doc-count-sized table
+    and intersects array-side in codegen, instead of re-joining a
+    corpus-sized (doc_id, word) fact twice."""
+    return docs.select("doc_id", F.array_distinct(_tokens()).alias("ws"))
+
+
+_WARR_SQL = """
+    SELECT doc_id,
+           list_distinct(list_filter(string_split(text, ' '), w -> w != '')) AS ws
+    FROM documents
+"""
+
+
+def _jaccard_on_pairs(
+    pairs: DataFrame, warr: DataFrame, left: str, right: str
+) -> DataFrame:
+    """Attach exact word-set Jaccard to (left, right) doc-id pairs via
+    array_intersect over the compact word-array table."""
+    wa = warr.select(F.col("doc_id").alias(left), F.col("ws").alias("wsa"))
+    wb = warr.select(F.col("doc_id").alias(right), F.col("ws").alias("wsb"))
+    ni = F.size(F.array_intersect("wsa", "wsb"))
+    return (
+        pairs.join(wa, left)
+        .join(wb, right)
+        .withColumn("ni", ni)
+        .withColumn(
+            "jaccard",
+            F.col("ni").cast("double")
+            / (F.size("wsa") + F.size("wsb") - F.col("ni")),
+        )
+    )
+
+
 @query(
     "q_dedup_near",
     oracle=f"""
     WITH shingles AS ({_SHINGLES_SQL}),
-    sigs AS (
-        SELECT doc_id,
-               {', '.join(f"MIN(md5('{j}:' || shingle)) AS mh{j}" for j in range(_N_MINHASH))}
-        FROM shingles GROUP BY doc_id
-    ),
-    bands AS (
-        {' UNION ALL '.join(f"SELECT doc_id, {j} AS band, mh{j} AS mh FROM sigs" for j in range(_N_MINHASH))}
+    {_SIGS_CTE_SQL},
+    bands AS ({_BANDS_SELECT_SQL}),
+    capped AS (
+        SELECT doc_id, band, mh FROM (
+            SELECT doc_id, band, mh,
+                   COUNT(*) OVER (PARTITION BY band, mh) AS bn
+            FROM bands
+        ) WHERE bn <= 64
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands AS a JOIN bands AS b
+        FROM capped AS a JOIN capped AS b
           ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
     ),
-    wset AS (SELECT DISTINCT doc_id, word FROM ({_WORDS_SQL})),
-    wc AS (SELECT doc_id, COUNT(*) AS nw FROM wset GROUP BY doc_id),
-    inter AS (
-        SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
-        FROM cand AS c
-        JOIN wset AS wa ON wa.doc_id = c.doc_a
-        JOIN wset AS wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
-        GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT i.doc_a, i.doc_b,
-           round(CAST(i.ni AS DOUBLE) / (ca.nw + cb.nw - i.ni), 6) AS jaccard
-    FROM inter AS i
-    JOIN wc AS ca ON ca.doc_id = i.doc_a
-    JOIN wc AS cb ON cb.doc_id = i.doc_b
+    warr AS ({_WARR_SQL})
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+                 / (len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws))),
+                 6) AS jaccard
+    FROM cand AS c
+    JOIN warr AS wa ON wa.doc_id = c.doc_a
+    JOIN warr AS wb ON wb.doc_id = c.doc_b
     """,
     tags=("llm", "dedup"),
 )
 def q_dedup_near(spark: SparkSession, d: str):
-    """MinHash + LSH near-dup candidates, verified with word-set
-    Jaccard. Pipeline: shingle (3-gram) → 4 minhash signatures
-    (md5 with per-function seed prefix — identical hex in both engines)
-    → band-join on any colliding minhash → exact Jaccard on candidates.
-    The corpus is never cross-joined: the join key is (band, minhash)."""
+    """MinHash + banded LSH near-dup candidates, verified with exact
+    word-set Jaccard. Pipeline: 3-gram shingles → 16 minhashes (md5
+    with per-function seed prefix — identical hex in both engines) →
+    4 bands of 4 rows (candidate iff a whole band matches; S-curve
+    ≈0.99 at shingle-Jaccard 0.9, ≈0.0004 at 0.1) → skew-capped
+    (band, mh) self-join — the corpus is never cross-joined — → exact
+    Jaccard via array_intersect on per-doc distinct-word arrays (a
+    doc-count-sized join, not two corpus-sized word-fact joins)."""
     docs = _spread(load_table(spark, d, "documents"))
-    sh = _shingles_from_docs(docs)
-
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
-            for j in range(_N_MINHASH)
-        ]
-    )
-    sigs = _materialized(sigs)
-    bands = reduce(
-        lambda x, y: x.unionByName(y),
-        [
-            sigs.select("doc_id", F.lit(j).alias("band"), F.col(f"mh{j}").alias("mh"))
-            for j in range(_N_MINHASH)
-        ],
-    )
-    a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.mh") == F.col("b.mh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        _minhash_band_edges(docs)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
     )
-
-    wset = _materialized(_words(docs).select("doc_id", "word").distinct())
-    wc = wset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    wa = wset.select(F.col("doc_id").alias("doc_a"), "word")
-    wb = wset.select(F.col("doc_id").alias("doc_b"), "word")
-    inter = (
-        cand.join(wa, "doc_a")
-        .join(wb, ["doc_b", "word"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
-    ca = wc.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("nwa"))
-    cb = wc.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nwb"))
-    return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("ni").cast("double") / (F.col("nwa") + F.col("nwb") - F.col("ni")), 6
-            ).alias("jaccard"),
-        )
+    warr = _materialized(_word_arrays(docs))
+    return _jaccard_on_pairs(cand, warr, "doc_a", "doc_b").select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -852,7 +949,9 @@ def q_sim_ivf(spark: SparkSession, d: str):
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid")
     )
-    assign = assign.persist()
+    from direct_kafka_stream_spark.caching import track
+
+    assign = track(assign.persist())
     qc = assign.filter(F.col("vec_id") == 0).select(F.col("cid").alias("qcid"))
     bucket = assign.join(F.broadcast(qc), assign.cid == qc.qcid).filter(
         F.col("vec_id") != 0
@@ -1019,32 +1118,26 @@ _BUCKET_CAP = 64  # drop degenerate LSH buckets (boilerplate signatures)
 
 
 def _minhash_band_edges(docs: DataFrame) -> DataFrame:
-    """Symmetric LSH edge list: (src, dst) iff any of the _N_MINHASH
-    per-band minimum shingle hashes collide. Join key is (band, mh) —
-    the corpus is never cross-joined — and buckets larger than
-    _BUCKET_CAP are dropped BEFORE the self-join: a degenerate bucket
+    """Symmetric LSH edge list: (src, dst) iff some band's full
+    r-row signature collides. Join key is (band, mh) — the corpus is
+    never cross-joined — and buckets larger than _BUCKET_CAP are
+    dropped BEFORE the self-join: a degenerate bucket
     (boilerplate/empty-doc signatures) of size m would emit m² edges,
     and at 100 TB a single million-doc bucket is a 10¹²-pair skew bomb.
     The cap is a window count over the same (band, mh) shuffle the join
     needs anyway — no extra exchange. (Fixture buckets max out at 4, so
     the cap binds only at scale; the oracle applies the identical cap.)"""
-    sh = _shingles_from_docs(_spread(docs))
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
-            for j in range(_N_MINHASH)
-        ]
-    )
-    bands = reduce(
-        lambda x, y: x.unionByName(y),
-        [
-            sigs.select("doc_id", F.lit(j).alias("band"), F.col(f"mh{j}").alias("mh"))
-            for j in range(_N_MINHASH)
-        ],
-    )
+    sigs = _minhash_sigs(_shingles_from_docs(_spread(docs)))
+    bands = _minhash_bands(sigs)
     wb = Window.partitionBy("band", "mh")
-    capped = bands.withColumn("bn", F.count(F.lit(1)).over(wb)).filter(
-        F.col("bn") <= _BUCKET_CAP
+    # Persist the capped band table: it is referenced from BOTH sides of
+    # the self-join, and each bands reference re-evaluates the signature
+    # aggregate 4× (one per band select) — 8 evaluations of the shingle
+    # scan without this one doc-count-sized cache.
+    capped = _materialized(
+        bands.withColumn("bn", F.count(F.lit(1)).over(wb)).filter(
+            F.col("bn") <= _BUCKET_CAP
+        )
     )
     a, b = capped.alias("a"), capped.alias("b")
     return (
@@ -1061,14 +1154,8 @@ def _minhash_band_edges(docs: DataFrame) -> DataFrame:
 
 _BANDS_SQL = f"""
     shingles AS ({_SHINGLES_SQL}),
-    sigs AS (
-        SELECT doc_id,
-               {', '.join(f"MIN(md5('{j}:' || shingle)) AS mh{j}" for j in range(_N_MINHASH))}
-        FROM shingles GROUP BY doc_id
-    ),
-    bands AS (
-        {' UNION ALL '.join(f"SELECT doc_id, {j} AS band, mh{j} AS mh FROM sigs" for j in range(_N_MINHASH))}
-    ),
+    {_SIGS_CTE_SQL},
+    bands AS ({_BANDS_SELECT_SQL}),
     capped AS (
         SELECT doc_id, band, mh FROM (
             SELECT doc_id, band, mh,

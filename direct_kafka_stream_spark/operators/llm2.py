@@ -11,7 +11,13 @@ from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from direct_kafka_stream_spark.io import load_table
-from direct_kafka_stream_spark.operators.llm import _SHINGLES_SQL, _spread, _tokens
+from direct_kafka_stream_spark.operators.llm import (
+    _BANDS_SELECT_SQL,
+    _SHINGLES_SQL,
+    _SIGS_CTE_SQL,
+    _spread,
+    _tokens,
+)
 from direct_kafka_stream_spark.registry import query
 
 _CHUNK = 20  # tokens per chunk
@@ -448,31 +454,33 @@ _CURATION_TAU = 0.8
             WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         ) WHERE w2 IS NOT NULL
     ),
-    sigs AS (
-        SELECT doc_id,
-               {', '.join(f"MIN(md5('{j}:' || shingle)) AS mh{j}" for j in range(4))}
-        FROM shingles GROUP BY doc_id
-    ),
-    bands AS (
-        {' UNION ALL '.join(f"SELECT doc_id, {j} AS band, mh{j} AS mh FROM sigs" for j in range(4))}
+    {_SIGS_CTE_SQL},
+    bands AS ({_BANDS_SELECT_SQL}),
+    capped AS (
+        SELECT doc_id, band, mh FROM (
+            SELECT doc_id, band, mh,
+                   COUNT(*) OVER (PARTITION BY band, mh) AS bn
+            FROM bands
+        ) WHERE bn <= 64
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM capped a JOIN capped b
           ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
     ),
-    wset AS (SELECT DISTINCT doc_id, word FROM toks),
-    wc AS (SELECT doc_id, COUNT(*) AS nw FROM wset GROUP BY doc_id),
+    warr AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(text, ' '), w -> w != '')) AS ws
+        FROM base
+    ),
     jac AS (
         SELECT c.doc_a, c.doc_b,
-               CAST(COUNT(*) AS DOUBLE)
-                   / (ca.nw + cb.nw - COUNT(*)) AS jaccard
+               CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+                   / (len(wa.ws) + len(wb.ws)
+                      - len(list_intersect(wa.ws, wb.ws))) AS jaccard
         FROM cand c
-        JOIN wset wa ON wa.doc_id = c.doc_a
-        JOIN wset wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
-        JOIN wc ca ON ca.doc_id = c.doc_a
-        JOIN wc cb ON cb.doc_id = c.doc_b
-        GROUP BY c.doc_a, c.doc_b, ca.nw, cb.nw
+        JOIN warr wa ON wa.doc_id = c.doc_a
+        JOIN warr wb ON wb.doc_id = c.doc_b
     ),
     drops AS (SELECT DISTINCT doc_b AS doc_id FROM jac
               WHERE jaccard >= {_CURATION_TAU})
@@ -496,10 +504,11 @@ def q_curation_pipeline(spark: SparkSession, d: str):
     join — the same shape this runs at 100 TB, where each stage's
     output feeds the next without materializing to storage."""
     from direct_kafka_stream_spark.operators.llm import (
+        _jaccard_on_pairs,
         _materialized,
         _minhash_band_edges,
         _spread,
-        _words,
+        _word_arrays,
     )
 
     docs = _spread(load_table(spark, d, "documents")).filter(
@@ -516,26 +525,10 @@ def q_curation_pipeline(spark: SparkSession, d: str):
         .select(F.col("k.doc_id").alias("doc_id"), F.col("k.text").alias("text"))
     )
     edges = _minhash_band_edges(base).filter(F.col("src") < F.col("dst"))
-    wset = _materialized(_words(base).select("doc_id", "word").distinct())
-    wc = wset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    wa = wset.select(F.col("doc_id").alias("src"), "word")
-    wb = wset.select(F.col("doc_id").alias("dst"), "word")
-    inter = (
-        edges.join(wa, "src")
-        .join(wb, ["dst", "word"])
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
-    ca = wc.select(F.col("doc_id").alias("src"), F.col("nw").alias("nwa"))
-    cb = wc.select(F.col("doc_id").alias("dst"), F.col("nw").alias("nwb"))
+    warr = _materialized(_word_arrays(base))
     drops = (
-        inter.join(ca, "src")
-        .join(cb, "dst")
-        .filter(
-            F.col("ni").cast("double")
-            / (F.col("nwa") + F.col("nwb") - F.col("ni"))
-            >= _CURATION_TAU
-        )
+        _jaccard_on_pairs(edges, warr, "src", "dst")
+        .filter(F.col("jaccard") >= _CURATION_TAU)
         .select(F.col("dst").alias("doc_id"))
         .distinct()
     )

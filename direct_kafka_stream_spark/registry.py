@@ -14,6 +14,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from direct_kafka_stream_spark.caching import clear_materialized
 from direct_kafka_stream_spark.session import tune_session
 
 
@@ -40,6 +41,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune_session(spark)
+            # Free the previous query's persisted intermediates (the
+            # sequential-execution contract: by the time this query is
+            # invoked, the previous query's result has been consumed).
+            clear_materialized()
             return fn(spark, sf_dir)
 
         wrapped.__name__ = name

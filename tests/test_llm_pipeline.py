@@ -87,10 +87,15 @@ def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
 
     boiler = [(i, "the exact same boilerplate text repeated verbatim here")
               for i in range(_BUCKET_CAP + 10)]
-    near = [
-        (1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
-        (1001, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
-    ]
+    # near-dup pair at shingle-Jaccard 38/39 ≈ 0.97 — above the banded
+    # S-curve's knee, so it must survive as a candidate
+    text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu xi"
+        " omicron pi rho sigma tau upsilon phi chi psi omega one two three"
+        " four five six seven eight nine ten eleven twelve thirteen"
+        " fourteen fifteen"
+    )
+    near = [(1000, text), (1001, text + " extra")]
     docs = spark.createDataFrame(boiler + near, "doc_id long, text string")
     edges = _minhash_band_edges(docs).collect()
     endpoints = {r.src for r in edges} | {r.dst for r in edges}
@@ -163,3 +168,59 @@ def test_ivf_persisted_index_prunes_to_one_list(spark, tmp_path):
     assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters", 1)[1][:120]
     # the probe scans one inverted list, not the corpus
     assert 0 < probe.count() < lists.count()
+
+
+def test_minhash_banding_s_curve(spark):
+    """Pin the banded-LSH S-curve: all high-Jaccard fixture pairs
+    (shingle-Jaccard >= 0.8) must be candidates, and nothing with
+    shingle-Jaccard < 0.5 may survive — the property that separates
+    r x b banding from the single-hash-collision scheme, whose
+    candidate set balloons with low-similarity pairs at corpus scale."""
+    import duckdb
+
+    truth = dict(
+        duckdb.sql(
+            f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split(text,' '), w->w!='')) AS word,
+                 generate_subscripts(list_filter(string_split(text,' '), w->w!=''),1) AS pos
+          FROM '{SF_DIR}/documents.parquet'),
+        sh AS (
+          SELECT doc_id, list(DISTINCT shingle) AS ws FROM (
+            SELECT doc_id, word || ' ' || w1 || ' ' || w2 AS shingle
+            FROM (SELECT doc_id, word, LEAD(word,1) OVER w AS w1, LEAD(word,2) OVER w AS w2
+                  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+            WHERE w2 IS NOT NULL) GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+               CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
+                 / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) AS j
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT (ia, ib), j FROM p WHERE j > 0
+        """
+        ).fetchall()
+    )
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_near"].spark(spark, SF_DIR).collect()
+    }
+    high = {k for k, j in truth.items() if j >= 0.8}
+    low_hits = {k for k in cand if truth.get(k, 0.0) < 0.5}
+    assert high <= cand, f"missed high-similarity pairs: {high - cand}"
+    assert not low_hits, f"low-similarity false positives: {low_hits}"
+
+
+def test_materialized_caches_freed_between_queries(spark):
+    """Sequential sweeps must not accumulate persisted intermediates:
+    each query's _materialized caches are freed when the next query
+    starts (registry wrapper), so a 155-query driver run pins at most
+    one query's blocks at a time."""
+
+    def cached_ids():
+        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    pre = cached_ids()
+    QUERIES["q_dedup_near"].spark(spark, SF_DIR).count()
+    assert cached_ids() - pre, "q_dedup_near should pin intermediates"
+    QUERIES["q_scan"].spark(spark, SF_DIR).count()
+    leftover = cached_ids() - pre
+    assert not leftover, f"previous query's caches still pinned: {leftover}"

@@ -427,76 +427,78 @@ def q_dedup_simhash(spark: SparkSession, d: str):
     return bits.select("doc_id", fp.cast("long").alias("simhash"))
 
 
-_SAMPLE_MOD = 25  # deterministic modulo sample for the all-pairs baseline
+_ROWS1_SELECT_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, mh{j} AS mh FROM sigs" for j in range(_N_MINHASH)
+)
 
 
 @query(
     "q_jaccard_pairs",
     oracle=f"""
-    WITH wset AS (
-        SELECT DISTINCT doc_id, word FROM ({_WORDS_SQL})
-        WHERE doc_id % {_SAMPLE_MOD} = 0
+    WITH shingles AS ({_SHINGLES_SQL}),
+    {_SIGS_CTE_SQL},
+    rows1 AS ({_ROWS1_SELECT_SQL}),
+    capped AS (
+        SELECT doc_id, band, mh FROM (
+            SELECT doc_id, band, mh,
+                   COUNT(*) OVER (PARTITION BY band, mh) AS bn
+            FROM rows1
+        ) WHERE bn <= 64
     ),
-    wc AS (SELECT doc_id, COUNT(*) AS nw FROM wset GROUP BY doc_id),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM wc AS a JOIN wc AS b ON a.doc_id < b.doc_id
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped AS a JOIN capped AS b
+          ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
     ),
-    inter AS (
-        SELECT wa.doc_id AS doc_a, wb.doc_id AS doc_b, COUNT(*) AS ni
-        FROM wset AS wa JOIN wset AS wb
-          ON wa.word = wb.word AND wa.doc_id < wb.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT p.doc_a, p.doc_b,
-           round(CAST(coalesce(i.ni, 0) AS DOUBLE)
-                 / (ca.nw + cb.nw - coalesce(i.ni, 0)), 6) AS jaccard
-    FROM pairs AS p
-    LEFT JOIN inter AS i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-    JOIN wc AS ca ON ca.doc_id = p.doc_a
-    JOIN wc AS cb ON cb.doc_id = p.doc_b
+    warr AS ({_WARR_SQL})
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+                 / (len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws))),
+                 6) AS jaccard
+    FROM cand AS c
+    JOIN warr AS wa ON wa.doc_id = c.doc_a
+    JOIN warr AS wb ON wb.doc_id = c.doc_b
     """,
     tags=("llm", "dedup"),
 )
 def q_jaccard_pairs(spark: SparkSession, d: str):
-    """Exact n-gram (word-set) Jaccard over a deterministic modulo
-    sample — the all-pairs ground truth the LSH path approximates.
-    All-pairs is quadratic: only ever run on a sample or per-bucket."""
-    docs = load_table(spark, d, "documents").filter(
-        F.col("doc_id") % _SAMPLE_MOD == 0
+    """Exact word-set Jaccard over a HIGH-RECALL candidate set: a pair
+    qualifies when ANY single one of the 16 minhash rows collides
+    (recall 1-(1-s)^16 — ≈0.997 at Jaccard 0.3), each single-row bucket
+    skew-capped at 64. This is the ground-truth sweep the banded
+    q_dedup_near path is tuned against: near-exhaustive for moderate
+    similarity yet still bucket-joined — the corpus is never
+    cross-joined, unlike the round-1 sampled all-pairs baseline whose
+    a.id < b.id join was quadratic by construction."""
+    docs = _spread(load_table(spark, d, "documents"))
+    sigs = _materialized(_minhash_sigs(_shingles_from_docs(docs)))
+    rows1 = reduce(
+        lambda x, y: x.unionByName(y),
+        [
+            sigs.select("doc_id", F.lit(j).alias("band"), F.col(f"mh{j}").alias("mh"))
+            for j in range(_N_MINHASH)
+        ],
     )
-    wset = _materialized(_words(docs).select("doc_id", "word").distinct())
-    wc = wset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    a, b = wc.alias("a"), wc.alias("b")
-    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.nw").alias("nwa"),
-        F.col("b.nw").alias("nwb"),
+    wb = Window.partitionBy("band", "mh")
+    capped = _materialized(
+        rows1.withColumn("bn", F.count(F.lit(1)).over(wb)).filter(
+            F.col("bn") <= _BUCKET_CAP
+        )
     )
-    wa, wb = wset.alias("wa"), wset.alias("wb")
-    inter = (
-        wa.join(
-            wb,
-            (F.col("wa.word") == F.col("wb.word"))
-            & (F.col("wa.doc_id") < F.col("wb.doc_id")),
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("wa.doc_id").alias("doc_a"), F.col("wb.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("ni"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .withColumn("ni", F.coalesce("ni", F.lit(0)))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("ni").cast("double") / (F.col("nwa") + F.col("nwb") - F.col("ni")),
-                6,
-            ).alias("jaccard"),
-        )
+    warr = _materialized(_word_arrays(docs))
+    return _jaccard_on_pairs(cand, warr, "doc_a", "doc_b").select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -613,41 +615,72 @@ def q_sim_ann_bucket(spark: SparkSession, d: str):
     )
 
 
+_BUCKET16_SQL = (
+    "(CAST(embedding[1] > 0 AS INTEGER) * 8 + CAST(embedding[2] > 0 AS INTEGER) * 4"
+    " + CAST(embedding[3] > 0 AS INTEGER) * 2 + CAST(embedding[4] > 0 AS INTEGER))"
+)
+
+
+def _bucket16_col() -> Column:
+    """Sign-LSH bucket from 4 leading components → 16 buckets; the
+    Spark twin of _BUCKET16_SQL."""
+    bit = lambda i: (F.element_at("embedding", i).cast("double") > 0).cast("int")  # noqa: E731
+    return bit(1) * 8 + bit(2) * 4 + bit(3) * 2 + bit(4)
+
+
 @query(
     "q_dedup_embed",
     oracle=f"""
     WITH ev AS ({_EV_SQL}),
-    sample AS (SELECT * FROM ev WHERE vec_id % 20 = 0),
-    norms AS (SELECT vec_id, SUM(x * x) AS nn FROM sample GROUP BY vec_id),
+    b AS (SELECT vec_id, {_BUCKET16_SQL} AS bucket FROM embeddings),
+    norms AS (SELECT vec_id, SUM(x * x) AS nn FROM ev GROUP BY vec_id),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b
+        FROM b AS a JOIN b AS b2
+          ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ),
     dots AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
-        FROM sample AS a JOIN sample AS b ON a.i = b.i AND a.vec_id < b.vec_id
-        GROUP BY 1, 2
+        SELECT p.vec_a, p.vec_b, SUM(ea.x * eb.x) AS dot
+        FROM pairs AS p
+        JOIN ev AS ea ON ea.vec_id = p.vec_a
+        JOIN ev AS eb ON eb.vec_id = p.vec_b AND eb.i = ea.i
+        GROUP BY p.vec_a, p.vec_b
     )
     SELECT d.vec_a, d.vec_b,
            round(d.dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS sim
     FROM dots AS d
     JOIN norms AS na ON na.vec_id = d.vec_a
     JOIN norms AS nb ON nb.vec_id = d.vec_b
-    WHERE round(d.dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) > -1.0
     """,
     tags=("llm", "dedup", "similarity"),
 )
 def q_dedup_embed(spark: SparkSession, d: str):
-    """Embedding-cosine near-dup pairs over a deterministic modulo
-    sample (all-pairs is quadratic — at scale this runs per LSH bucket,
-    see q_sim_ann_bucket). Emits every pair with its similarity."""
-    e = load_table(spark, d, "embeddings").filter(F.col("vec_id") % 20 == 0)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    """Embedding-cosine near-dup pairs scoped to sign-LSH buckets: 4
+    hyperplane sign bits split the corpus into 16 buckets and pairs are
+    generated ONLY within a bucket — the join key is the bucket id, so
+    the work is sum of squared bucket sizes (corpus²/16 in expectation),
+    never the corpus cross-join the round-1 sampled baseline used. Sign
+    buckets preserve cosine neighbors (same-sign vectors are the ones
+    with high cosine), making this the scale path for embedding dedup;
+    at 100 TB, more hyperplanes → 2^k buckets keeps per-bucket pair
+    counts bounded."""
+    e = load_table(spark, d, "embeddings").select(
+        "vec_id", "embedding", _bucket16_col().alias("bucket")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
             F.round(_cosine(F.col("ea"), F.col("eb")), 6).alias("sim"),
         )
-        .filter(F.col("sim") > -1.0)
     )
 
 

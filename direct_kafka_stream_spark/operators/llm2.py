@@ -421,6 +421,151 @@ def q_kmeans_step(spark: SparkSession, d: str):
     )
 
 
+_KM_T = 8  # bounded Lloyd budget: exactly T rounds (or the fixed point)
+
+
+def _kmeans_train_sql(t: int) -> str:
+    """Unrolled t-round Lloyd training as chained CTEs. The Spark side
+    may stop early ONLY at the fixed point (assignments stable ⇒ every
+    later round is a no-op), so a fixed unrolling is exact whether or
+    not convergence happens before round t."""
+    parts = [
+        """ev AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    )""",
+        f"c0 AS (SELECT vec_id AS cid, i, x AS cx FROM ev WHERE vec_id IN {_KM_SEEDS!r})",
+    ]
+    for r in range(1, t + 1):
+        parts.append(
+            f"""a{r} AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY round(SUM((e.x - c.cx) * (e.x - c.cx)), 6),
+                                               c.cid) AS rn
+            FROM ev e JOIN c{r - 1} c ON c.i = e.i
+            GROUP BY e.vec_id, c.cid
+        ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""c{r} AS (
+        SELECT a.cid, e.i,
+               round(CAST(SUM(CAST(e.x AS DECIMAL(38,10))) AS DOUBLE)
+                     / COUNT(*), 6) AS cx,
+               CAST(COUNT(*) AS BIGINT) AS nm
+        FROM a{r} a JOIN ev e ON e.vec_id = a.vec_id
+        GROUP BY a.cid, e.i
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT cid, CAST(i AS INT) AS i, cx AS center, nm AS n_members FROM c{t}"""
+    )
+
+
+@query(
+    "q_kmeans_train",
+    oracle=_kmeans_train_sql(_KM_T),
+    tags=("llm", "embedding", "iterative"),
+)
+def q_kmeans_train(spark: SparkSession, d: str):
+    """Bounded k-means training: exactly {_KM_T} Lloyd rounds (k = 4,
+    fixture seeds), stopping early only when the centers reach their
+    fixed point — at which point every remaining round is a no-op, so
+    the result equals the oracle's fixed unrolling either way. This is
+    the training loop behind q_sim_ivf's coarse quantizer (production
+    would feed these centers into the IVF bucket assignment).
+
+    Scale shape, mirroring MLlib's own k-means: centers are k×dim
+    doubles that live on the DRIVER and re-enter each round as a
+    broadcast literal — so there is no growing lineage to checkpoint
+    and per-round work is one broadcast nearest-center pass over the
+    corpus (min_by over a 4-way crossJoin, no window) plus one
+    (cid, i) mean aggregation. The per-round collect is k×dim values,
+    not data. Distances are rounded to 6 dp before the argmin and ties
+    break on center id, keeping the assignment bit-stable across
+    engines (same contract as q_kmeans_step)."""
+    from direct_kafka_stream_spark.operators.llm import _materialized, _spread
+
+    e = load_table(spark, d, "embeddings")
+    ev = _materialized(
+        _spread(e, "vec_id")
+        .select("vec_id", F.posexplode("embedding").alias("pos0", "xf"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).cast("int").alias("i"),
+            F.col("xf").cast("double").alias("x"),
+        )
+    )
+
+    def to_arrays(rows):
+        """rows of (cid, i, value[, n]) → {cid: [v_1..v_dim]} sorted by i."""
+        cents: dict[int, list] = {}
+        for row in rows:
+            cents.setdefault(row[0], []).append((row[1], row[2]))
+        return {cid: [v for _, v in sorted(vals)] for cid, vals in cents.items()}
+
+    cents = to_arrays(
+        ev.filter(F.col("vec_id").isin(*_KM_SEEDS))
+        .select(F.col("vec_id").alias("cid"), "i", F.col("x").alias("cx"))
+        .collect()
+    )
+    out_rows = None
+    for _ in range(_KM_T):
+        cdf = spark.createDataFrame(
+            [(cid, arr) for cid, arr in sorted(cents.items())],
+            "cid long, carr array<double>",
+        )
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "carr",
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+        assign = (
+            e.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "cid", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"))
+        )
+        # assign is corpus-row-count × 2 ints — broadcast it so the
+        # exploded (vec_id, i, x) table never shuffles; the only
+        # exchange left per round is the 256-group (cid, i) mean.
+        newc = (
+            ev.join(F.broadcast(assign), "vec_id")
+            .groupBy("cid", "i")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("center"),
+                F.count(F.lit(1)).alias("n_members"),
+            )
+        )
+        out_rows = newc.collect()
+        new_cents = to_arrays(out_rows)
+        if new_cents == cents:  # fixed point — remaining rounds no-op
+            break
+        cents = new_cents
+    return spark.createDataFrame(
+        out_rows, "cid long, i int, center double, n_members long"
+    )
+
+
 _CURATION_LANGS = ("en", "es", "de", "fr")
 _CURATION_TAU = 0.8
 

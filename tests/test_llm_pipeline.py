@@ -224,3 +224,56 @@ def test_materialized_caches_freed_between_queries(spark):
     QUERIES["q_scan"].spark(spark, SF_DIR).count()
     leftover = cached_ids() - pre
     assert not leftover, f"previous query's caches still pinned: {leftover}"
+
+
+def test_kmeans_train_improves_on_seed_centers(spark):
+    """Training quality gate: the trained centers must (a) partition
+    the whole corpus (member counts sum to N), (b) keep every center
+    64-dimensional, and (c) achieve total within-cluster squared
+    distance (inertia) no worse than the seed centers they started
+    from — the monotone-improvement property of Lloyd iterations."""
+    from direct_kafka_stream_spark.operators.llm2 import _KM_SEEDS
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    n = e.count()
+    trained = QUERIES["q_kmeans_train"].spark(spark, SF_DIR)
+    rows = trained.collect()
+    dims = {}
+    members = {}
+    for r in rows:
+        dims.setdefault(r.cid, set()).add(r.i)
+        members[r.cid] = r.n_members
+    assert all(len(v) == 64 for v in dims.values())
+    assert sum(members.values()) == n
+
+    def inertia(center_map):
+        cdf = spark.createDataFrame(
+            [(cid, arr) for cid, arr in center_map.items()],
+            "cid long, carr array<double>",
+        )
+        d2 = F.aggregate(
+            F.zip_with(
+                "embedding",
+                "carr",
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            e.crossJoin(F.broadcast(cdf))
+            .select("vec_id", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("best"))
+            .agg(F.sum("best"))
+            .collect()[0][0]
+        )
+
+    seed_map = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id").isin(*_KM_SEEDS)).collect()
+    }
+    trained_map = {}
+    for r in sorted(rows, key=lambda r: (r.cid, r.i)):
+        trained_map.setdefault(r.cid, []).append(r.center)
+    assert inertia(trained_map) <= inertia(seed_map) + 1e-6

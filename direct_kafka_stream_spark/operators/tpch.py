@@ -582,3 +582,140 @@ def q_tpch_q20(spark: SparkSession, d: str):
     load_table(spark, d, "lineitem").createOrReplaceTempView("lineitem")
     load_table(spark, d, "part").createOrReplaceTempView("part")
     return spark.sql(_Q20_SQL)
+
+
+_Q5_SQL = f"""
+    SELECT n_name, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+"""
+
+
+@query("q_tpch_q5", oracle=_Q5_SQL, tags=("tpch", "join"))
+def q_tpch_q5(spark: SparkSession, d: str):
+    """TPC-H Q5 (local supplier volume): the classic 6-table star with
+    the extra c_nationkey = s_nationkey equality that makes it a true
+    snowflake cycle. Plan at scale: the o_orderdate filter pushes into
+    the orders scan (partition pruning on a date-partitioned lake),
+    orders⋈lineitem and customer⋈orders shuffle on their keys, while
+    nation and region — fixed 25/5-row tables at ANY scale factor — are
+    explicit broadcasts; supplier grows with SF so its join is left to
+    AQE. The nationkey equality is applied as a post-join filter-cum-key
+    so Catalyst folds it into the supplier join condition rather than a
+    separate shuffle."""
+    cust = load_table(spark, d, "customer")
+    ords = load_table(spark, d, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, d, "lineitem")
+    supp = load_table(spark, d, "supplier")
+    nat = load_table(spark, d, "nation")
+    reg = load_table(spark, d, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(ords, cust.c_custkey == ords.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(_vol()).alias("revenue"))
+    )
+
+
+_Q17_SQL = f"""
+    WITH pq AS (
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {dsum_sql('l.l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11' AND p.p_type = 'ECONOMY'
+      AND CAST(l.l_quantity AS BIGINT) * 5 * pq.cnt < pq.sum_qty
+"""
+
+
+@query("q_tpch_q17", oracle=_Q17_SQL, tags=("tpch", "subquery"))
+def q_tpch_q17(spark: SparkSession, d: str):
+    """TPC-H Q17 (small-quantity-order revenue): lines whose quantity
+    is below 20% of the part's average. The correlated scalar subquery
+    is written pre-decorrelated — a per-part aggregate joined back on
+    l_partkey, exactly the plan Catalyst would produce — and the
+    threshold ``l_quantity < 0.2 * avg(qty)`` is restated as pure
+    int64 arithmetic ``qty * 5 * cnt < sum_qty`` (l_quantity is
+    integer-valued in TPC-H), so the boundary row set is bit-identical
+    across engines with no float average involved. At 100 TB both the
+    aggregate and the probe shuffle on l_partkey — one exchange feeds
+    both sides — and the brand/type-filtered part table shrinks ~1000×
+    to an AQE runtime broadcast."""
+    li = load_table(spark, d, "lineitem")
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    pt = load_table(spark, d, "part").filter(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_type") == "ECONOMY")
+    )
+    return (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .join(pq, "l_partkey")
+        .filter(F.col("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+_Q22_SQL = f"""
+    WITH pos AS (
+        SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS cents_sum,
+               COUNT(*) AS n_pos
+        FROM customer WHERE c_acctbal > 0.0
+    ),
+    cand AS (
+        SELECT right(c_name, 1) AS cntrycode, c_acctbal
+        FROM customer c CROSS JOIN pos
+        WHERE right(c_name, 1) IN ('1', '3', '5', '7')
+          AND CAST(ROUND(c_acctbal * 100) AS BIGINT) * n_pos > cents_sum
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    )
+    SELECT cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {dsum_sql('c_acctbal')} AS totacctbal
+    FROM cand
+    GROUP BY cntrycode
+"""
+
+
+@query("q_tpch_q22", oracle=_Q22_SQL, tags=("tpch", "subquery"))
+def q_tpch_q22(spark: SparkSession, d: str):
+    """TPC-H Q22 (global sales opportunity): above-average-balance
+    customers with no recent orders, grouped by "country code". Fixture
+    adaptations that keep every plan feature: the country code is the
+    trailing digit of c_name (no c_phone column); "no orders at all"
+    becomes "no orders since 2000-01-01" (the fixture has only 2
+    order-less customers — the date scope keeps the anti join
+    non-trivial); and the AVG threshold is exact-integer — balances in
+    cents, ``cents * n_pos > cents_sum`` — so no float average decides
+    boundary membership. Plan: single-row global aggregate broadcast
+    into the filter, date-filtered orders anti-joined on o_custkey
+    (the only fact-sized shuffle), then a tiny regrouping. Identical
+    SQL runs on both engines."""
+    load_table(spark, d, "customer").createOrReplaceTempView("customer")
+    load_table(spark, d, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q22_SQL)

@@ -195,3 +195,34 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q5_snowflake_broadcasts_fixed_dims(spark):
+    """Q5's nation/region joins (fixed 25/5-row tables at any SF) must
+    be broadcasts; the date filter must push into the orders scan; and
+    the 6-table cycle must never degrade to a cartesian product."""
+    df = QUERIES["q_tpch_q5"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "o_orderdate" in inspect.pushed_filters(df)
+
+
+def test_q17_shares_partkey_exchange(spark):
+    """Q17's per-part average and the probe join both key on
+    l_partkey: the plan must be all hash joins/aggregates (no nested
+    loop), with the part filter pushed to the scan."""
+    df = QUERIES["q_tpch_q17"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "p_brand" in inspect.pushed_filters(df)
+
+
+def test_q22_anti_join_on_date_scoped_orders(spark):
+    """Q22's NOT EXISTS must decorrelate to an anti join over the
+    date-filtered orders, with the o_orderdate predicate pushed down so
+    the anti-join build side shrinks before the shuffle."""
+    df = QUERIES["q_tpch_q22"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "LeftAnti" in plan
+    assert "o_orderdate" in inspect.pushed_filters(df)

@@ -570,16 +570,83 @@ def q_sim_knn_group(spark: SparkSession, d: str):
     )
 
 
-_BUCKET_SQL = "(CAST(embedding[1] > 0 AS INTEGER) * 2 + CAST(embedding[2] > 0 AS INTEGER))"
+# Signed-random-projection LSH. _SRP_H pseudo-random hyperplanes give
+# 2^_SRP_H buckets; the hyperplane matrix is drawn ONCE from a seeded
+# generator and inlined as integer literals in both engines (a formula
+# like (i·p_j mod 7)−3 looks random but degenerates — p_j ≡ 0 mod 7
+# yields a constant hyperplane and equal residues duplicate planes,
+# which measurably costs recall). Sign bits must agree bit-for-bit
+# across engines, so the dot product is computed on µ-quantized int64
+# components (floor(x·1e6): float→double widening, one IEEE multiply,
+# and floor are all exactly reproducible) — pure integer arithmetic,
+# no float sums.
+_SRP_H = 8
+_SRP_DIM = 64
+
+
+def _srp_coefs() -> list[list[int]]:
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.integers(-7, 8, size=(_SRP_H, _SRP_DIM)).tolist()
+
+
+_SRP_C = _srp_coefs()
+
+_SRP_EVQ_SQL = """
+    SELECT vec_id,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+"""
+
+_SRP_BUCKET_SQL = (
+    "SELECT vec_id, "
+    + " + ".join(
+        f"CAST(SUM(xq * ([{', '.join(str(c) for c in _SRP_C[j])}])[i]) > 0"
+        f" AS INTEGER) * {1 << j}"
+        for j in range(_SRP_H)
+    )
+    + f" AS bucket FROM ({_SRP_EVQ_SQL}) GROUP BY vec_id"
+)
+
+_SRP_MASKS = [0] + [1 << j for j in range(_SRP_H)]
+
+
+def _srp_bucket_col() -> Column:
+    """Spark twin of _SRP_BUCKET_SQL: per-hyperplane int64 dot via
+    zip_with against the literal coefficient row + aggregate (JVM
+    codegen, zero UDFs)."""
+    def dot(j: int) -> Column:
+        coefs = F.array(*[F.lit(c) for c in _SRP_C[j]])
+        return F.aggregate(
+            F.zip_with(
+                "embedding",
+                coefs,
+                lambda x, c: F.floor(x.cast("double") * 1000000.0).cast("long")
+                * c.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    return reduce(
+        lambda a, b: a + b,
+        [(dot(j) > 0).cast("int") * (1 << j) for j in range(_SRP_H)],
+    )
 
 
 @query(
     "q_sim_ann_bucket",
     oracle=f"""
-    WITH b AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings),
+    WITH b AS ({_SRP_BUCKET_SQL}),
     qb AS (SELECT bucket FROM b WHERE vec_id = 0),
-    cand AS (SELECT b.vec_id, b.bucket FROM b, qb
-             WHERE b.bucket = qb.bucket AND b.vec_id != 0)
+    probes AS (
+        SELECT xor(qb.bucket, m.mask) AS pbucket
+        FROM qb, (VALUES {", ".join(f"({m})" for m in _SRP_MASKS)}) AS m(mask)
+    ),
+    cand AS (SELECT b.vec_id, b.bucket FROM b JOIN probes ON b.bucket = probes.pbucket
+             WHERE b.vec_id != 0)
     SELECT c.bucket, s.vec_id, s.sim
     FROM ({_cosine_vs_query_sql(0, where="d.vec_id != 0")}) AS s
     JOIN cand AS c ON c.vec_id = s.vec_id
@@ -588,23 +655,28 @@ _BUCKET_SQL = "(CAST(embedding[1] > 0 AS INTEGER) * 2 + CAST(embedding[2] > 0 AS
     tags=("llm", "similarity"),
 )
 def q_sim_ann_bucket(spark: SparkSession, d: str):
-    """LSH-bucketed approximate NN: sign-bits of the first two
-    components partition vectors into 4 buckets; only the query's
-    bucket is scanned (corpus/n_buckets work per query). The scale path
-    vs q_sim_cosine's full scan; generalizes to k hyperplanes → 2^k
-    buckets."""
+    """Multi-probe SRP-LSH approximate NN: 8 deterministic hyperplanes
+    hash every vector into one of 256 sign buckets; the query probes its
+    own bucket plus the 8 Hamming-distance-1 neighbors (single-bit
+    flips), so the scan is ~9/256 of the corpus instead of all of it,
+    with the probe set — not index duplication — recovering the recall a
+    single bucket loses. At 100 TB the bucket id becomes the partition
+    key of a written index (see the persisted-IVF test): candidates are
+    pruned at the parquet-partition level and the 9 probed buckets are 9
+    partition reads. Masks are distinct, so probed buckets never overlap
+    and no candidate dedup is needed."""
     e = load_table(spark, d, "embeddings")
-    bucket = (
-        F.element_at("embedding", 1).cast("double") > 0
-    ).cast("int") * 2 + (F.element_at("embedding", 2).cast("double") > 0).cast("int")
-    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    b = e.select("vec_id", "embedding", _srp_bucket_col().alias("bucket"))
     qrow = b.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
     )
+    masks = spark.createDataFrame([(m,) for m in _SRP_MASKS], "mask int")
+    qprobes = qrow.crossJoin(masks).select(
+        "qv", F.col("qbucket").bitwiseXOR(F.col("mask")).alias("pbucket")
+    )
     return (
         b.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qrow))
-        .filter(F.col("bucket") == F.col("qbucket"))
+        .join(F.broadcast(qprobes), F.col("bucket") == F.col("pbucket"))
         .select(
             "bucket",
             "vec_id",

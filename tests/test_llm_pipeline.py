@@ -277,3 +277,38 @@ def test_kmeans_train_improves_on_seed_centers(spark):
     for r in sorted(rows, key=lambda r: (r.cid, r.i)):
         trained_map.setdefault(r.cid, []).append(r.center)
     assert inertia(trained_map) <= inertia(seed_map) + 1e-6
+
+
+def test_srp_multiprobe_recovers_planted_near_duplicates(spark):
+    """Pin the SRP-LSH contract on planted data: vectors at cosine
+    ~0.95 of the query must mostly land within Hamming distance 1 of
+    the query's 8-bit sign bucket (the multi-probe set), while random
+    vectors (sim ~0) collide only at the ~9/256 background rate. The
+    natural fixture's top sims are ~0.3 — honest LSH prunes those, so
+    the recall property must be shown on actual near-duplicates."""
+    import numpy as np
+
+    from direct_kafka_stream_spark.operators.llm import _SRP_MASKS, _srp_bucket_col
+
+    rng = np.random.default_rng(7)
+    dim, n_planted, n_random = 64, 12, 300
+    q = rng.standard_normal(dim)
+    q /= np.linalg.norm(q)
+    rows = [(0, [float(x) for x in q])]
+    for k in range(n_planted):
+        u = rng.standard_normal(dim)
+        u -= (u @ q) * q
+        u /= np.linalg.norm(u)
+        v = 0.95 * q + np.sqrt(1 - 0.95**2) * u
+        rows.append((1 + k, [float(x) for x in v]))
+    for k in range(n_random):
+        v = rng.standard_normal(dim)
+        rows.append((100 + k, [float(x) for x in v / np.linalg.norm(v)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = df.select("vec_id", _srp_bucket_col().alias("bucket"))
+    got = {r.vec_id: r.bucket for r in b.collect()}
+    probed = {got[0] ^ m for m in _SRP_MASKS}
+    planted_hits = sum(1 for k in range(n_planted) if got[1 + k] in probed)
+    random_hits = sum(1 for k in range(n_random) if got[100 + k] in probed)
+    assert planted_hits >= int(0.7 * n_planted), planted_hits
+    assert random_hits / n_random < 0.12, random_hits

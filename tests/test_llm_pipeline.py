@@ -312,3 +312,56 @@ def test_srp_multiprobe_recovers_planted_near_duplicates(spark):
     random_hits = sum(1 for k in range(n_random) if got[100 + k] in probed)
     assert planted_hits >= int(0.7 * n_planted), planted_hits
     assert random_hits / n_random < 0.12, random_hits
+
+
+def test_ivf_index_built_from_trained_centroids(spark, tmp_path):
+    """End-to-end IVF deploy path with TRAINED centers: q_kmeans_train's
+    output becomes the coarse quantizer, the corpus is assigned to its
+    nearest trained center and written as a cid-partitioned index, and
+    a query probe prunes to exactly one partition — the production
+    wiring the single-step/seed-centroid variants approximate."""
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q_kmeans_train"].spark(spark, SF_DIR).collect()
+    cents: dict = {}
+    for r in rows:
+        cents.setdefault(r.cid, []).append((r.i, r.center))
+    cdf = spark.createDataFrame(
+        [(cid, [v for _, v in sorted(vals)]) for cid, vals in sorted(cents.items())],
+        "cid long, carr array<double>",
+    )
+    assert cdf.count() == 4
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "carr",
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    index = (
+        e.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "embedding", "cid", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"), F.first("embedding").alias("embedding"))
+        .select(F.col("m.cid").alias("cid"), "vec_id", "embedding")
+    )
+    out = str(tmp_path / "ivf_trained")
+    index.write.partitionBy("cid").mode("overwrite").parquet(out)
+
+    lists = spark.read.parquet(out)
+    qcid = [r.cid for r in lists.filter(F.col("vec_id") == 0).collect()][0]
+    probe = lists.filter(F.col("cid") == qcid)
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters", 1)[1][:120]
+    n_probe, n_corpus = probe.count(), lists.count()
+    assert 0 < n_probe < n_corpus
+    # every corpus vector landed in exactly one inverted list
+    assert n_corpus == e.count()

@@ -686,3 +686,133 @@ def q_curation_pipeline(spark: SparkSession, d: str):
             ),
         )
     )
+
+
+_DECON_N = 4  # word n-gram size for contamination matching
+_DECON_EVAL = "src0"  # held-out benchmark source
+
+_DECON_GRAMS_SQL = """
+    SELECT doc_id, source, md5(word || ' ' || w1 || ' ' || w2 || ' ' || w3) AS gh
+    FROM (
+        SELECT doc_id, source, word,
+               LEAD(word, 1) OVER w AS w1,
+               LEAD(word, 2) OVER w AS w2,
+               LEAD(word, 3) OVER w AS w3
+        FROM (
+            SELECT doc_id, source,
+                   unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word,
+                   generate_subscripts(list_filter(string_split(text, ' '), w -> w != ''), 1) AS pos
+            FROM documents
+        )
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE w3 IS NOT NULL
+"""
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH sh AS ({_DECON_GRAMS_SQL}),
+    ev AS (SELECT DISTINCT gh FROM sh WHERE source = '{_DECON_EVAL}'),
+    hits AS (
+        SELECT s.doc_id, CAST(COUNT(DISTINCT s.gh) AS BIGINT) AS n_shared
+        FROM sh AS s JOIN ev USING (gh)
+        WHERE s.source != '{_DECON_EVAL}'
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shared FROM hits
+    """,
+    tags=("llm", "curation"),
+)
+def q_decontaminate(spark: SparkSession, d: str):
+    """Benchmark decontamination: flag training documents that share
+    any word 4-gram with the held-out eval set (source 'src0'), with
+    the count of distinct shared grams as the contamination score —
+    the standard pre-training hygiene step that keeps test data out of
+    the training corpus.
+
+    Scale shape: eval suites are fixed-size (MBs) regardless of corpus
+    scale, so the distinct eval-gram set is an explicit broadcast and
+    the training-side scan never shuffles to find matches — grams are
+    matched on md5 digests (16 bytes moved per gram instead of the
+    text) and build array-side with zero per-doc sorts. The only
+    exchange is the per-doc count over matched rows, which is
+    contamination-sized, not corpus-sized."""
+    docs = _spread(load_table(spark, d, "documents"))
+    toks = _tokens()
+    n = _DECON_N
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + k) for k in range(n)]
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select("doc_id", "source", F.explode(grams).alias("gh"))
+    ev = sh.filter(F.col("source") == _DECON_EVAL).select("gh").distinct()
+    return (
+        sh.filter(F.col("source") != _DECON_EVAL)
+        .join(F.broadcast(ev), "gh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gh").alias("n_shared"))
+    )
+
+
+@query(
+    "q_mix_domains",
+    oracle="""
+    WITH dom AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(len(list_filter(string_split(text, ' '), w -> w != ''))
+                             AS BIGINT)) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS n_dom FROM dom),
+    rates AS (
+        SELECT source, n_docs, n_tokens,
+               LEAST(1.0, (CAST(total AS DOUBLE) / (2.0 * n_dom)) / n_tokens)
+                   AS rate
+        FROM dom, tot
+    )
+    SELECT source, n_docs, n_tokens,
+           FLOOR(rate * 1000000) / 1000000.0 AS sample_rate,
+           CAST(FLOOR(rate * n_tokens) AS BIGINT) AS planned_tokens
+    FROM rates
+    """,
+    tags=("llm", "curation"),
+)
+def q_mix_domains(spark: SparkSession, d: str):
+    """Domain mixture rebalancing: give every source an equal share of
+    a global token budget (half the corpus here), capping each domain's
+    sampling rate at 1.0 — small domains are kept whole, large domains
+    are downsampled, the standard step before mixing web/code/books
+    into a training run. One groupBy on source plus a single-row
+    broadcast of the totals; rates are computed with the same IEEE
+    operation sequence on both engines and truncated (not rounded) to
+    6 dp, so boundary behavior is exact."""
+    docs = load_table(spark, d, "documents")
+    dom = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens()).cast("long")).alias("n_tokens"),
+    )
+    tot = dom.agg(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_dom")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.col("total").cast("double") / (2.0 * F.col("n_dom"))) / F.col("n_tokens"),
+    )
+    return (
+        dom.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.floor(rate * 1000000) / 1000000.0).alias("sample_rate"),
+            F.floor(rate * F.col("n_tokens")).cast("long").alias("planned_tokens"),
+        )
+    )

@@ -249,26 +249,27 @@ def _minhash_sigs(sh: DataFrame) -> DataFrame:
 def _minhash_bands(sigs: DataFrame) -> DataFrame:
     """signatures → (doc_id, band, mh) where mh = md5 of the band's r
     concatenated row-hashes: equality on mh is equality on ALL r rows
-    (AND), and the union across bands gives the OR. The md5 re-hash
-    keeps the join key one fixed-width column."""
-    return reduce(
-        lambda x, y: x.unionByName(y),
-        [
-            sigs.select(
-                "doc_id",
-                F.lit(B).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"mh{B * _MH_ROWS + i}").cast("string")
-                            for i in range(_MH_ROWS)
-                        ],
-                    )
-                ).alias("mh"),
-            )
-            for B in range(_MH_BANDS)
-        ],
+    (AND), and explode across bands gives the OR. The md5 re-hash keeps
+    the join key one fixed-width column. One explode pass — a
+    union-of-b-selects reshape re-reads sigs b times and measurably
+    drags the dedup family's wall time."""
+    entries = [
+        F.struct(
+            F.lit(B).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{B * _MH_ROWS + i}").cast("string")
+                        for i in range(_MH_ROWS)
+                    ],
+                )
+            ).alias("mh"),
+        )
+        for B in range(_MH_BANDS)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.mh").alias("mh")
     )
 
 
@@ -472,13 +473,17 @@ def q_jaccard_pairs(spark: SparkSession, d: str):
     a.id < b.id join was quadratic by construction."""
     docs = _spread(load_table(spark, d, "documents"))
     sigs = _materialized(_minhash_sigs(_shingles_from_docs(docs)))
-    rows1 = reduce(
-        lambda x, y: x.unionByName(y),
-        [
-            sigs.select("doc_id", F.lit(j).alias("band"), F.col(f"mh{j}").alias("mh"))
-            for j in range(_N_MINHASH)
-        ],
-    )
+    rows1 = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), F.col(f"mh{j}").alias("mh"))
+                    for j in range(_N_MINHASH)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.mh").alias("mh"))
     wb = Window.partitionBy("band", "mh")
     capped = _materialized(
         rows1.withColumn("bn", F.count(F.lit(1)).over(wb)).filter(
@@ -616,16 +621,18 @@ _SRP_MASKS = [0] + [1 << j for j in range(_SRP_H)]
 def _srp_bucket_col() -> Column:
     """Spark twin of _SRP_BUCKET_SQL: per-hyperplane int64 dot via
     zip_with against the literal coefficient row + aggregate (JVM
-    codegen, zero UDFs)."""
+    codegen, zero UDFs). The µ-quantization runs ONCE over the vector
+    and all 8 planes zip against the shared quantized array (Catalyst
+    CSE collapses the repeated subtree) — quantizing inside each
+    plane's lambda re-floors 8× and measured ~5× slower."""
+    xq = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000000.0).cast("long")
+    )
+
     def dot(j: int) -> Column:
         coefs = F.array(*[F.lit(c) for c in _SRP_C[j]])
         return F.aggregate(
-            F.zip_with(
-                "embedding",
-                coefs,
-                lambda x, c: F.floor(x.cast("double") * 1000000.0).cast("long")
-                * c.cast("long"),
-            ),
+            F.zip_with(xq, coefs, lambda a, c: a * c.cast("long")),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )

@@ -77,3 +77,25 @@ def test_avro_roundtrip_if_available(spark, tmp_path):
         pytest.skip("spark-avro package not bundled in this container")
     back = spark.read.format("avro").load(str(tmp_path / "avro"))
     assert _rows(back) == _rows(src)
+
+
+def test_text_source_roundtrip(spark, tmp_path):
+    """Line-oriented text source/sink: one row per line on read, plus
+    wholetext mode reading each file as a single document — the raw
+    ingestion shape for unstructured corpora."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(~F.col("text").contains("\n"))
+        .select("text")
+        .limit(100)
+    )
+    out = str(tmp_path / "txt")
+    docs.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    assert _rows(back.select(F.col("value").alias("text"))) == _rows(docs)
+    whole = spark.read.option("wholetext", "true").text(out)
+    # every file collapses to one row; total content is preserved
+    n_files = whole.count()
+    assert n_files <= back.count()
+    total = sum(len(r.value.split("\n")) for r in whole.collect())
+    assert total == back.count()

@@ -195,8 +195,12 @@ _MH_B = [_mh_coeff(f"minhash-b-{j}") for j in range(_N_MINHASH)]
 def _shingles_from_docs(docs: DataFrame) -> DataFrame:
     """Word 3-gram shingles built array-side (transform over an index
     sequence) — zero shuffles, contrast the oracle's window-LEAD
-    formulation which must sort per doc. Semantically identical."""
-    toks = _tokens()
+    formulation which must sort per doc. Semantically identical.
+    The token array is projected ONCE first: element_at inside the
+    lambda would otherwise re-run split+filter per gram position
+    (O(len²) per doc — measured ~8× on the inflated scale probe)."""
+    tokd = docs.select("doc_id", _tokens().alias("toks"))
+    toks = F.col("toks")
     sh = F.when(
         F.size(toks) >= 3,
         F.transform(
@@ -209,7 +213,7 @@ def _shingles_from_docs(docs: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+    return tokd.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 _SHINGLES_SQL = f"""
@@ -671,7 +675,13 @@ def q_sim_ann_bucket(spark: SparkSession, d: str):
     key of a written index (see the persisted-IVF test): candidates are
     pruned at the parquet-partition level and the 9 probed buckets are 9
     partition reads. Masks are distinct, so probed buckets never overlap
-    and no candidate dedup is needed."""
+    and no candidate dedup is needed.
+
+    Timing note: a one-shot run carries ~2s of Janino compile for the
+    fused scan→bucket→join→cosine codegen stage (the 8×64 literal
+    coefficient matrix makes the generated method large); steady-state
+    is ~1.1s at sf0.1 and the compile is a per-query constant that
+    amortizes to nothing at scale."""
     e = load_table(spark, d, "embeddings")
     b = e.select("vec_id", "embedding", _srp_bucket_col().alias("bucket"))
     qrow = b.filter(F.col("vec_id") == 0).select(
@@ -1119,7 +1129,8 @@ def q_text_winnow(spark: SparkSession, d: str):
     same band-join dedup as MinHash with a containment (not just
     resemblance) guarantee."""
     docs = _spread(load_table(spark, d, "documents"))
-    toks = _tokens()
+    tokd = docs.select("doc_id", _tokens().alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     grams = F.when(
         n >= 3,
@@ -1139,7 +1150,7 @@ def q_text_winnow(spark: SparkSession, d: str):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = docs.select("doc_id", grams.alias("g"))
+    g = tokd.select("doc_id", grams.alias("g"))
     ng = F.size(F.col("g"))
     # 4-wide sliding min via a flat least() over shifted element_at —
     # no per-position sub-array allocation (slice+array_min would build

@@ -738,9 +738,18 @@ def q_decontaminate(spark: SparkSession, d: str):
     text) and build array-side with zero per-doc sorts. The only
     exchange is the per-doc count over matched rows, which is
     contamination-sized, not corpus-sized."""
-    docs = _spread(load_table(spark, d, "documents"))
-    toks = _tokens()
+    return decontaminate(_spread(load_table(spark, d, "documents")))
+
+
+def decontaminate(docs):
+    """Frame-level decontamination body (also driven by the scale
+    probe over synthetically inflated corpora): see q_decontaminate.
+    The token array is projected ONCE before the gram transform —
+    element_at inside the lambda would otherwise re-run the
+    split+filter per gram position (O(len²) per doc)."""
     n = _DECON_N
+    tokd = docs.select("doc_id", "source", _tokens().alias("toks"))
+    toks = F.col("toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -752,7 +761,7 @@ def q_decontaminate(spark: SparkSession, d: str):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = docs.select("doc_id", "source", F.explode(grams).alias("gh"))
+    sh = tokd.select("doc_id", "source", F.explode(grams).alias("gh"))
     ev = sh.filter(F.col("source") == _DECON_EVAL).select("gh").distinct()
     return (
         sh.filter(F.col("source") != _DECON_EVAL)

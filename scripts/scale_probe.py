@@ -92,6 +92,32 @@ def main() -> None:
         ),
     )
 
+    # SRP-LSH index build over an inflated embedding corpus — the ANN
+    # scale path must stay a zero-shuffle linear scan + tiny bucket agg
+    from direct_kafka_stream_spark.operators.llm import _srp_bucket_col
+
+    par = spark.sparkContext.defaultParallelism
+    emb = inflate(load_table(spark, SF_DIR, "embeddings"), n, ("vec_id",)).repartition(
+        par, "vec_id"
+    )
+    rows["embeddings"] = emb.count()
+    run(
+        "srp_index",
+        emb.select("vec_id", _srp_bucket_col().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors")),
+    )
+
+    # Decontamination over an inflated document corpus — the eval-gram
+    # broadcast stays fixed-size while the training side scales
+    from direct_kafka_stream_spark.operators.llm2 import decontaminate
+
+    docs = inflate(load_table(spark, SF_DIR, "documents"), n, ("doc_id",)).repartition(
+        par, "doc_id"
+    )
+    rows["documents"] = docs.count()
+    run("decontaminate", decontaminate(docs))
+
     print(json.dumps({"inflate": n, "rows": rows, "seconds": secs}))
 
 

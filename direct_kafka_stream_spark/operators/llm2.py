@@ -825,3 +825,72 @@ def q_mix_domains(spark: SparkSession, d: str):
             F.floor(rate * F.col("n_tokens")).cast("long").alias("planned_tokens"),
         )
     )
+
+
+# 2^60 as double: denominator turning a 15-hex-digit md5 prefix into
+# u ∈ [0, 1). Both engines do the same int64→double conversion and the
+# same IEEE divide, so u (and every comparison against it) is exact.
+_U_DENOM = 1152921504606846976.0
+
+
+@query(
+    "q_mix_sample",
+    oracle="""
+    WITH dom AS (
+        SELECT source,
+               CAST(SUM(CAST(len(list_filter(string_split(text, ' '), w -> w != ''))
+                             AS BIGINT)) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS n_dom FROM dom),
+    rates AS (
+        SELECT source,
+               LEAST(1.0, (CAST(total AS DOUBLE) / (2.0 * n_dom)) / n_tokens)
+                   AS rate
+        FROM dom, tot
+    )
+    SELECT d.doc_id, d.source,
+           CAST(len(list_filter(string_split(d.text, ' '), w -> w != ''))
+                AS INTEGER) AS n_tokens
+    FROM documents AS d JOIN rates AS r ON d.source = r.source
+    WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS DOUBLE) / 1152921504606846976.0 < r.rate
+    """,
+    tags=("llm", "curation"),
+)
+def q_mix_sample(spark: SparkSession, d: str):
+    """Materialize the q_mix_domains plan: keep each document with its
+    domain's capped equal-share probability, decided by a deterministic
+    per-doc uniform draw — u = md5(doc_id)'s 60-bit prefix scaled to
+    [0,1) — so the sample is reproducible run-to-run and engine-exact
+    (the md5 prefix, the int64→double conversion, and the compare are
+    all bit-identical in both engines). Plan: the per-domain rate table
+    is domain-count-sized and broadcasts onto the corpus scan; the
+    filter is stateless per row, so the sample is one shuffle-free pass
+    at any scale."""
+    docs = load_table(spark, d, "documents")
+    dom = docs.groupBy("source").agg(
+        F.sum(F.size(_tokens()).cast("long")).alias("n_tokens")
+    )
+    tot = dom.agg(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_dom")
+    )
+    rates = dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.col("total").cast("double") / (2.0 * F.col("n_dom")))
+            / F.col("n_tokens"),
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+        / _U_DENOM
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "source", F.size(_tokens()).alias("n_tokens"))
+    )

@@ -30,6 +30,13 @@ _REPRESENTATIVE = [
     "q_scd2",             # lead window over empty
     "q_upsert_merge",     # full outer of two empties
     "q_recursive_calendar",  # recursion independent of data; LEFT JOIN empty
+    "q_decontaminate",    # broadcast of an empty eval-gram set
+    "q_mix_domains",      # totals over zero domains
+    "q_mix_sample",       # rate join over empty corpus
+    "q_sim_ann_bucket",   # query-row bucket lookup finds nothing
+    "q_kmeans_train",     # trainer seeds missing from empty corpus
+    "q_tpch_q17",         # per-part average over empty fact
+    "q_tpch_q22",         # anti join + scalar threshold over empty
 ]
 
 
@@ -54,5 +61,8 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         # ungrouped aggregates yield exactly one zero-count row on
         # empty input — ANSI semantics, not a bug
         assert [(r.n_signup, r.n_converted) for r in rows] == [(0, 0)]
+    elif name == "q_tpch_q17":
+        # ungrouped SUM over empty input: one row, NULL total (ANSI)
+        assert [r.avg_yearly for r in rows] == [None]
     else:
         assert rows == []

@@ -226,3 +226,24 @@ def test_q22_anti_join_on_date_scoped_orders(spark):
     plan = inspect.physical_plan(df)
     assert "LeftAnti" in plan
     assert "o_orderdate" in inspect.pushed_filters(df)
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-gram set (fixed-size at any corpus scale) must reach
+    the training-side scan as a broadcast — a shuffled join here would
+    move the whole corpus's grams."""
+    df = QUERIES["q_decontaminate"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mix_sample_is_single_pass_over_corpus(spark):
+    """q_mix_sample's rate table is domain-count-sized and broadcasts
+    onto the scan; the per-doc uniform draw is a stateless filter, so
+    the sampled corpus is produced without shuffling document rows."""
+    df = QUERIES["q_mix_sample"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges allowed are inside the tiny rate aggregation
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -212,3 +212,53 @@ def q_array_fns2(spark: SparkSession, d: str):
         F.flatten(nested).alias("flat"),
         F.array_join(F.array("l_returnflag", "l_linestatus"), "|").alias("joined"),
     )
+
+
+@query(
+    "q_map_higher_order",
+    oracle="""
+    WITH entries AS (
+        SELECT event_id, 'K' AS key,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS v
+        FROM events
+        UNION ALL
+        SELECT event_id, 'U' AS key, CAST(user_id % 10 AS INTEGER) AS v
+        FROM events
+    )
+    SELECT event_id, key,
+           CAST(v * 2 AS INTEGER) AS scaled,
+           CAST(v * 3 AS INTEGER) AS combined
+    FROM entries WHERE (v * 2) % 4 = 0
+    """,
+    tags=("functions", "map"),
+)
+def q_map_higher_order(spark: SparkSession, d: str):
+    """Higher-order MAP functions end-to-end: build a two-entry map per
+    event, transform_values (scale), map_filter (keep multiples of 4),
+    transform_keys (uppercase), and map_zip_with (elementwise combine
+    of the original and scaled maps) — all JVM-side lambda expressions,
+    flattened to rows for the oracle (DuckDB replays the same entries
+    relationally). The map never leaves the scan stage: zero shuffles,
+    zero UDFs."""
+    e = load_table(spark, d, "events")
+    kv = F.from_json("props", "map<string,int>")
+    m1 = F.create_map(
+        F.lit("k"),
+        F.element_at(kv, "k"),
+        F.lit("u"),
+        (F.col("user_id") % 10).cast("int"),
+    )
+    m2 = F.transform_values(m1, lambda k, v: v * 2)
+    m3 = F.map_filter(m2, lambda k, v: v % 4 == 0)
+    mz = F.map_zip_with(m1, m2, lambda k, a, b: a + b)
+    m4 = F.transform_keys(m3, lambda k, v: F.upper(k))
+    return (
+        e.select("event_id", m4.alias("m4"), mz.alias("mz"))
+        .select("event_id", F.explode("m4").alias("key", "scaled"), "mz")
+        .select(
+            "event_id",
+            "key",
+            "scaled",
+            F.element_at(F.col("mz"), F.lower(F.col("key"))).alias("combined"),
+        )
+    )

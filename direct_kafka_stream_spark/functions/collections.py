@@ -262,3 +262,38 @@ def q_map_higher_order(spark: SparkSession, d: str):
             F.element_at(F.col("mz"), F.lower(F.col("key"))).alias("combined"),
         )
     )
+
+
+@query(
+    "q_array_predicates",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x < 0)) > 0 AS any_neg,
+           len(list_filter(embedding, x -> ABS(x) >= 1)) = 0 AS all_unit,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           CAST(COALESCE(list_position(list_transform(embedding, x -> x > 0.2),
+                              true), 0) AS INTEGER) AS first_big
+    FROM embeddings
+    """,
+    tags=("functions", "array"),
+)
+def q_array_predicates(spark: SparkSession, d: str):
+    """Higher-order array predicates: exists / forall / filter-count /
+    first-match position — the quantifier family over per-row vectors,
+    all codegen lambda expressions. DuckDB replays exists/forall as
+    filter-length tests and first-match as list_position over a mapped
+    boolean list (float compares are exact: the same binary32 values
+    widen identically in both engines). Absent-match position is pinned
+    to 0 on both sides (Spark's array_position convention; DuckDB
+    coalesced)."""
+    e = load_table(spark, d, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.exists(emb, lambda x: x < 0).alias("any_neg"),
+        F.forall(emb, lambda x: F.abs(x) < 1).alias("all_unit"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.array_position(F.transform(emb, lambda x: x > 0.2), True)
+        .cast("int")
+        .alias("first_big"),
+    )

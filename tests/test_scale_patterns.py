@@ -208,3 +208,52 @@ def test_range_partitioned_sorted_write_layout(spark, tmp_path):
     assert len(spans) >= 2
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling — the runtime answer to hot keys that
+    salting solves statically: a shuffle join where one key carries
+    most of the rows must get its oversized partition split (the plan
+    records skew=true) instead of funneling onto one task. Thresholds
+    are lowered to fixture scale; broadcast is disabled so the join
+    actually shuffles."""
+    from pyspark.sql import functions as F
+
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 4 != 0, F.lit(0))
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 97).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        # global (not same-key) aggregate downstream: a groupBy on the
+        # join key would require the join's co-partitioning and make
+        # AQE decline the split without forceOptimizeSkewedJoin
+        joined = left.join(right, "k").agg(F.sum("payload").alias("s"))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

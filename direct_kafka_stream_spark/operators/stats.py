@@ -244,3 +244,59 @@ def q_sample_mod(spark: SparkSession, d: str):
     return o.filter(F.col("o_orderkey") % 10 == 3).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+_KMV_K = 256
+_KMV_DENOM = 1152921504606846976.0  # 2^60: hash-space size for md5[:15]
+
+
+@query(
+    "q_agg_kmv",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM orders
+    ),
+    k AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K})
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+           CAST(FLOOR(({_KMV_K - 1}.0 * {_KMV_DENOM}) / MAX(hv)) AS BIGINT)
+               AS kmv_estimate
+    FROM k
+    """,
+    tags=("agg", "sketch"),
+)
+def q_agg_kmv(spark: SparkSession, d: str):
+    """Deterministic approximate distinct count: a KMV (k-minimum-
+    values) sketch over the 60-bit md5 hash space — n̂ = (k−1)/F(k)
+    with F(k) the k-th smallest normalized hash. Unlike the engine-
+    native HLL (q_agg_approx, rows-only check: each engine's sketch
+    differs), every step here is portable — md5 prefixes, an
+    orderBy+limit that compiles to TakeOrderedAndProject (per-partition
+    heaps, no global sort), and one IEEE divide — so the ESTIMATE
+    itself is bit-identical and hash-checked against the oracle. A
+    sketch that never fills (distinct < k) has seen every value and
+    reports the exact count, per standard KMV semantics. At
+    scale the k smallest hashes are a mergeable fixed-size summary:
+    unions of corpora combine by keeping the k smallest of the merged
+    sets."""
+    o = load_table(spark, d, "orders")
+    h = (
+        o.select(
+            F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("hv")
+        )
+        .distinct()
+    )
+    k = h.orderBy("hv").limit(_KMV_K)
+    return k.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.when(
+            F.count(F.lit(1)) < _KMV_K, F.count(F.lit(1))
+        )
+        .otherwise(F.floor((_KMV_K - 1) * _KMV_DENOM / F.max("hv")).cast("long"))
+        .cast("long")
+        .alias("kmv_estimate"),
+    )

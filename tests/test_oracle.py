@@ -142,3 +142,20 @@ def test_gk_percentile_sketch_error_is_bounded():
         a50, a95 = approx[flag]
         assert abs(a50 - e50) / e50 <= 0.02
         assert abs(a95 - e95) / e95 <= 0.02
+
+
+def test_kmv_sketch_error_is_bounded():
+    """The KMV estimate (k=256 minimum hash values) must land within a
+    few relative standard deviations of the exact distinct count —
+    rsd ≈ 1/sqrt(k−2) ≈ 6.3%, so 15% is a ~2.4σ bound. Unlike HLL the
+    sketch itself is engine-portable (the oracle hash-checks the exact
+    estimate); this pins its statistical accuracy."""
+    from direct_kafka_stream_spark import get_session, load_table
+
+    spark = get_session("tests-kmv")
+    row = QUERIES["q_agg_kmv"].spark(spark, SF_DIR).collect()[0]
+    exact = (
+        load_table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    )
+    assert row.k_used == 256
+    assert abs(row.kmv_estimate - exact) / exact < 0.15, (row.kmv_estimate, exact)

@@ -27,8 +27,12 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
            round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vmax,
            round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS vmin,
            round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vsum,
-           list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS head3,
-           list_sort(list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6))) AS head3_sorted,
+           list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6))[1] AS head3_1,
+           list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6))[2] AS head3_2,
+           list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6))[3] AS head3_3,
+           list_sort(list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)))[1] AS sorted3_1,
+           list_sort(list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)))[2] AS sorted3_2,
+           list_sort(list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)))[3] AS sorted3_3,
            list_contains(embedding, embedding[1]) AS has_head
     FROM embeddings
     """,
@@ -36,10 +40,16 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 )
 def q_array_fns(spark: SparkSession, d: str):
     """Array functions incl. higher-order transform/aggregate — the
-    JVM-side (codegen) path for vector math, no Python involved."""
+    JVM-side (codegen) path for vector math, no Python involved.
+
+    The slice/transform/sort_array intermediates stay array-typed inside
+    the plan; the FINAL projection is scalar-only (element_at per slot)
+    because the verify driver's canonicalizer cannot sort array cells —
+    double scalars are the proven-portable wire format (q_array_explode)."""
     e = load_table(spark, d, "embeddings")
     emb = F.col("embedding")
     head3 = F.transform(F.slice(emb, 1, 3), lambda x: F.round(x.cast("double"), 6))
+    sorted3 = F.sort_array(head3)
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
@@ -49,8 +59,12 @@ def q_array_fns(spark: SparkSession, d: str):
         F.round(
             F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 6
         ).alias("vsum"),
-        head3.alias("head3"),
-        F.sort_array(head3).alias("head3_sorted"),
+        F.element_at(head3, 1).alias("head3_1"),
+        F.element_at(head3, 2).alias("head3_2"),
+        F.element_at(head3, 3).alias("head3_3"),
+        F.element_at(sorted3, 1).alias("sorted3_1"),
+        F.element_at(sorted3, 2).alias("sorted3_2"),
+        F.element_at(sorted3, 3).alias("sorted3_3"),
         F.array_contains(emb, F.element_at(emb, 1)).alias("has_head"),
     )
 
@@ -87,8 +101,9 @@ def q_array_explode(spark: SparkSession, d: str):
     "q_collect",
     oracle="""
     SELECT label,
-           list_sort(list(vec_id)) AS vec_ids,
-           list_sort(list_distinct(list(vec_id % 10))) AS id_mod_set,
+           array_to_string(list_sort(list(vec_id)), ',') AS vec_ids,
+           array_to_string(list_sort(list_distinct(list(vec_id % 10))), ',')
+               AS id_mod_set,
            COUNT(*) AS n
     FROM embeddings GROUP BY label
     """,
@@ -96,11 +111,20 @@ def q_array_explode(spark: SparkSession, d: str):
 )
 def q_collect(spark: SparkSession, d: str):
     """Grouped collection — collect_list/collect_set wrapped in
-    sort_array for deterministic, engine-portable output."""
+    sort_array for deterministic output, then array_join to a scalar
+    string column (the verify driver's canonicalizer cannot sort
+    array-typed cells; CSV-of-sorted-elements is the portable wire
+    format, mirrored by DuckDB array_to_string)."""
     e = load_table(spark, d, "embeddings")
+
+    def joined(c):
+        return F.array_join(F.transform(c, lambda x: x.cast("string")), ",")
+
     return e.groupBy("label").agg(
-        F.sort_array(F.collect_list("vec_id")).alias("vec_ids"),
-        F.sort_array(F.collect_set(F.col("vec_id") % 10)).alias("id_mod_set"),
+        joined(F.sort_array(F.collect_list("vec_id"))).alias("vec_ids"),
+        joined(F.sort_array(F.collect_set(F.col("vec_id") % 10))).alias(
+            "id_mod_set"
+        ),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -180,11 +204,12 @@ def q_pivot(spark: SparkSession, d: str):
     SELECT l_orderkey, l_linenumber,
            CAST(COALESCE(list_position([l_orderkey, l_partkey, l_suppkey],
                                        l_suppkey), 0) AS BIGINT) AS pos_supp,
-           list_filter([l_orderkey, NULL, l_suppkey], x -> x IS NOT NULL)
-               AS compacted,
-           list_transform(generate_series(1, 3), i -> l_returnflag)
-               AS flag3,
-           flatten([[l_orderkey], [l_partkey, l_suppkey]]) AS flat,
+           array_to_string(list_filter([l_orderkey, NULL, l_suppkey],
+                                       x -> x IS NOT NULL), ',') AS compacted,
+           array_to_string(list_transform(generate_series(1, 3),
+                                          i -> l_returnflag), ',') AS flag3,
+           array_to_string(flatten([[l_orderkey], [l_partkey, l_suppkey]]), ',')
+               AS flat,
            array_to_string([l_returnflag, l_linestatus], '|') AS joined
     FROM lineitem
     """,
@@ -194,7 +219,9 @@ def q_array_fns2(spark: SparkSession, d: str):
     """Array sweep 2: position lookup (Spark returns 0 for absent,
     DuckDB NULL — coalesced to match), null compaction, element
     repetition, one-level flatten, delimiter join. All codegen
-    expressions over per-row arrays — zero shuffles."""
+    expressions over per-row arrays — zero shuffles. Array-valued
+    intermediates are joined to scalar CSV strings in the FINAL
+    projection (driver canon can't sort array cells)."""
     li = load_table(spark, d, "lineitem")
     arr = F.array("l_orderkey", "l_partkey", "l_suppkey")
     with_null = F.array(
@@ -203,13 +230,17 @@ def q_array_fns2(spark: SparkSession, d: str):
     nested = F.array(
         F.array("l_orderkey"), F.array("l_partkey", "l_suppkey")
     )
+
+    def joined(c):
+        return F.array_join(F.transform(c, lambda x: x.cast("string")), ",")
+
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.array_position(arr, F.col("l_suppkey")).alias("pos_supp"),
-        F.array_compact(with_null).alias("compacted"),
-        F.array_repeat("l_returnflag", 3).alias("flag3"),
-        F.flatten(nested).alias("flat"),
+        joined(F.array_compact(with_null)).alias("compacted"),
+        F.array_join(F.array_repeat("l_returnflag", 3), ",").alias("flag3"),
+        joined(F.flatten(nested)).alias("flat"),
         F.array_join(F.array("l_returnflag", "l_linestatus"), "|").alias("joined"),
     )
 

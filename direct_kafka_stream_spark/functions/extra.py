@@ -135,15 +135,16 @@ def q_map_explode(spark: SparkSession, d: str):
     "q_array_setops",
     oracle="""
     SELECT vec_id,
-           list_sort(list_distinct(list_concat(
+           COALESCE(array_to_string(list_sort(list_distinct(list_concat(
                [vec_id % 10, vec_id % 7, vec_id % 3],
-               [vec_id % 5, vec_id % 10]))) AS u,
-           list_sort(list_distinct(list_intersect(
+               [vec_id % 5, vec_id % 10]))), ','), '') AS u,
+           COALESCE(array_to_string(list_sort(list_distinct(list_intersect(
                [vec_id % 10, vec_id % 7, vec_id % 3],
-               [vec_id % 5, vec_id % 10]))) AS i,
-           list_sort(list_distinct(list_filter(
+               [vec_id % 5, vec_id % 10]))), ','), '') AS i,
+           COALESCE(array_to_string(list_sort(list_distinct(list_filter(
                [vec_id % 10, vec_id % 7, vec_id % 3],
-               x -> NOT list_contains([vec_id % 5, vec_id % 10], x)))) AS x
+               x -> NOT list_contains([vec_id % 5, vec_id % 10], x)))), ','), '')
+               AS x
     FROM embeddings
     """,
     tags=("functions", "array"),
@@ -151,15 +152,20 @@ def q_map_explode(spark: SparkSession, d: str):
 def q_array_setops(spark: SparkSession, d: str):
     """Array set algebra (union/intersect/except), normalized with
     sort+distinct on both engines so set semantics — not element
-    order — is what's compared."""
+    order — is what's compared; final columns are CSV-joined scalar
+    strings (driver canon can't sort array cells)."""
     e = load_table(spark, d, "embeddings")
     a = F.array(F.col("vec_id") % 10, F.col("vec_id") % 7, F.col("vec_id") % 3)
     b = F.array(F.col("vec_id") % 5, F.col("vec_id") % 10)
+
+    def joined(c):
+        return F.array_join(F.transform(c, lambda x: x.cast("string")), ",")
+
     return e.select(
         "vec_id",
-        F.sort_array(F.array_distinct(F.array_union(a, b))).alias("u"),
-        F.sort_array(F.array_distinct(F.array_intersect(a, b))).alias("i"),
-        F.sort_array(F.array_distinct(F.array_except(a, b))).alias("x"),
+        joined(F.sort_array(F.array_distinct(F.array_union(a, b)))).alias("u"),
+        joined(F.sort_array(F.array_distinct(F.array_intersect(a, b)))).alias("i"),
+        joined(F.sort_array(F.array_distinct(F.array_except(a, b)))).alias("x"),
     )
 
 

@@ -261,8 +261,9 @@ _KMV_DENOM = 1152921504606846976.0  # 2^60: hash-space size for md5[:15]
     ),
     k AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K})
     SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
-           CAST(FLOOR(({_KMV_K - 1}.0 * {_KMV_DENOM}) / MAX(hv)) AS BIGINT)
-               AS kmv_estimate
+           CAST(CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
+                ELSE FLOOR(({_KMV_K - 1}.0 * {_KMV_DENOM}) / MAX(hv))
+                END AS BIGINT) AS kmv_estimate
     FROM k
     """,
     tags=("agg", "sketch"),

@@ -48,9 +48,33 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def lint_output_shape(sdf) -> list[str]:
+    """The verify driver canonicalizes results with pandas sort_values,
+    which cannot sort array/map/binary cells (numpy.ndarray is
+    unhashable). Any top-level ArrayType/MapType/BinaryType column in a
+    query's FINAL schema would silently pass here (we stringify) but
+    fail the driver — so fail it loudly here instead. Reshape with
+    array_join / explode / element_at."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.BinaryType))
+    ]
+    return bad
+
+
 def run_one(spark, con, name: str, sf_dir: str) -> str:
     q = QUERIES[name]
-    sdf = q.spark(spark, sf_dir).toPandas()
+    result = q.spark(spark, sf_dir)
+    bad_cols = lint_output_shape(result)
+    if bad_cols:
+        return (
+            "SHAPE_LINT: driver-unsortable output columns "
+            f"{bad_cols} (array/map/binary) — reshape to scalars"
+        )
+    sdf = result.toPandas()
     if not q.oracle:
         return f"ROWS_ONLY ({len(sdf)} rows)"
     odf = con.sql(q.oracle).df()

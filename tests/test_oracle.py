@@ -157,5 +157,12 @@ def test_kmv_sketch_error_is_bounded():
     exact = (
         load_table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
     )
-    assert row.k_used == 256
-    assert abs(row.kmv_estimate - exact) / exact < 0.15, (row.kmv_estimate, exact)
+    assert row.k_used == min(256, exact)
+    if row.k_used < 256:
+        # underfilled sketch has seen every value: estimate is exact
+        assert row.kmv_estimate == exact, (row.kmv_estimate, exact)
+    else:
+        assert abs(row.kmv_estimate - exact) / exact < 0.15, (
+            row.kmv_estimate,
+            exact,
+        )

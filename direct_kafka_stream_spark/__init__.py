@@ -38,6 +38,7 @@ from direct_kafka_stream_spark.functions import sweep4  # noqa: F401
 from direct_kafka_stream_spark.operators import llm2  # noqa: F401
 from direct_kafka_stream_spark.operators import sqlfeatures  # noqa: F401
 from direct_kafka_stream_spark.operators import cdc  # noqa: F401
+from direct_kafka_stream_spark.operators import profiling  # noqa: F401
 
 __all__ = [
     "get_session",

@@ -1,0 +1,137 @@
+"""Semantic + plan-shape tests for the data-profiling family
+(operators/profiling.py). Value-level correctness is covered by the
+DuckDB oracle; these pin the properties the oracle can't see — scan
+counts, broadcast shapes, top-k physical operators — plus a few
+invariants that hold at any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from direct_kafka_stream_spark import QUERIES, load_table
+from direct_kafka_stream_spark.plans import inspect
+
+from tests.conftest import SF_DIR
+
+
+def test_profile_table_is_single_scan(spark):
+    """All per-column stats (incl. 6 exact distinct counts) must come
+    from ONE pass over the parquet — a profile that scans per column
+    is the shape we refuse to ship at 100 TB."""
+    df = QUERIES["q_profile_table"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    # formatted plans print each node in the tree AND a detail block;
+    # Location: appears once per actual scan node
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    rows = {r.col_name: r for r in df.collect()}
+    n = load_table(spark, SF_DIR, "orders").count()
+    assert all(r.n_rows == n for r in rows.values())
+    assert rows["o_orderkey"].n_distinct == n  # primary key
+    assert all(r.n_nulls == 0 for r in rows.values())  # clean fixture
+
+
+def test_skew_diagnose_is_topk_and_ordered(spark):
+    df = QUERIES["q_skew_diagnose"].spark(spark, SF_DIR)
+    assert inspect.plan_contains(df, "TakeOrderedAndProject")
+    rows = df.collect()
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert sum(r.share for r in rows) <= 1.0 + 1e-9
+
+
+def test_constraint_check_broadcasts_dimension(spark):
+    """Referential-integrity check must probe a broadcast dim, never
+    shuffle the fact side."""
+    df = QUERIES["q_constraint_check"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    row = df.collect()[0]
+    # clean fixture: gate passes
+    assert row.n_null_key == 0 and row.n_bad_price == 0
+    assert row.n_bad_status == 0 and row.n_orphan == 0
+    assert row.n_rows > 0
+
+
+def test_anomaly_mad_is_robust_to_planted_tail(spark):
+    """The defining property vs z-score: corrupting a group with a 1%
+    tail of huge values barely moves the median/MAD threshold (a few
+    boundary points may flip) while the mean/stddev z-score threshold
+    explodes and its flagged set collapses to (nearly) nothing. Checked
+    numerically on a fixture group; the Spark operator must also agree
+    with the numpy MAD rule on the uncorrupted data."""
+    import numpy as np
+
+    pdf = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "value")
+        .filter(F.col("event_type") == "click")
+        .toPandas()
+    )
+    v = pdf["value"].to_numpy()
+
+    def mad_flags(x, base):
+        med = np.median(x)
+        mad = np.median(np.abs(x - med))
+        return np.abs(base - med) > 3 * 1.4826 * mad
+
+    def z_flags(x, base):
+        mu, sd = x.mean(), x.std(ddof=0)
+        return np.abs(base - mu) > 3 * sd
+
+    corrupted = np.concatenate([v, [1e9] * max(1, len(v) // 100)])
+    base_mad = mad_flags(v, v)
+    corrupt_mad = mad_flags(corrupted, v)
+    # MAD rule: flag set changes by at most 2% of the group
+    assert (base_mad != corrupt_mad).sum() <= max(2, len(v) // 50)
+    # z-score rule: the planted tail swallows the threshold entirely
+    assert z_flags(v, v).sum() > 0
+    assert z_flags(corrupted, v).sum() == 0
+
+    # and the Spark operator agrees with the numpy rule on the group
+    row = {
+        r.event_type: r
+        for r in QUERIES["q_anomaly_mad"].spark(spark, SF_DIR).collect()
+    }["click"]
+    assert row.n_outliers == int(base_mad.sum())
+
+
+def test_ngram_freq_is_topk_without_global_sort(spark):
+    df = QUERIES["q_ngram_freq"].spark(spark, SF_DIR)
+    assert inspect.plan_contains(df, "TakeOrderedAndProject")
+    rows = df.collect()
+    assert len(rows) == 50
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_text_entropy_bounds(spark):
+    """0 <= H <= ln(n_tokens); a doc of all-identical tokens has H=0,
+    all-distinct tokens has H=ln(n)."""
+    import math
+
+    rows = QUERIES["q_text_entropy"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.entropy <= math.log(r.n_tokens) + 1e-6, r
+
+
+def test_dup_cluster_stats_partition_the_corpus(spark):
+    """Cluster sizes weighted by cluster count must sum to exactly the
+    document count (the components labeling is a partition)."""
+    rows = QUERIES["q_dup_cluster_stats"].spark(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(r.n_docs == r.cluster_size * r.n_clusters for r in rows)
+
+
+def test_hist_and_bins_cover_all_rows(spark):
+    n = load_table(spark, SF_DIR, "orders").count()
+    hist = QUERIES["q_hist_equi"].spark(spark, SF_DIR).collect()
+    assert sum(r.n for r in hist) == n
+    assert all(r.lo <= r.hi for r in hist)
+    bins = QUERIES["q_quantile_bins"].spark(spark, SF_DIR).collect()
+    assert sum(r.n for r in bins) == n
+    # equal-frequency: bin sizes differ by at most 1
+    sizes = [r.n for r in bins]
+    assert max(sizes) - min(sizes) <= 1

@@ -1,0 +1,145 @@
+"""Event-sequence analytics: Markov transition matrices and strict
+ordered funnels — the path-analysis layer over the events stream
+(complements q_funnel / q_retention / q_win_session in
+operators/streaming_analog.py).
+
+Reference anchor: the reference's per-batch hook (KafkaDirectStream
+.scala:43-51) is where such per-user sequence analysis would attach;
+these are mandated-extension (EXT) operators per SURVEY.md §2.
+
+Both operators are LAG/aggregation compositions over a single
+(user, time)-ordered shuffle — the natural clustering for event data
+at scale (see docstrings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.registry import query
+
+
+@query(
+    "q_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           round(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM pairs
+    """,
+    tags=("events", "sequence"),
+)
+def q_transition_matrix(spark: SparkSession, d: str):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | prev_type) with counts. The
+    session-modeling primitive (what follows a view? how often does
+    an error precede churn?).
+
+    ONE shuffle partitions by user_id for the LAG (at scale: events
+    are naturally stored clustered by user/time, making this shuffle
+    free); the pair-count aggregation reduces to |types|² rows, and
+    the row-normalization window runs on that tiny table. Ties on ts
+    are broken by event_id so the sequence — hence the matrix — is
+    deterministic across engines."""
+    e = load_table(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wn = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wn), 6).alias("p"),
+    )
+
+
+@query(
+    "q_funnel3",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+    tags=("events", "funnel"),
+)
+def q_funnel3(spark: SparkSession, d: str):
+    """Strict-order three-step funnel (view → click → purchase): a
+    user advances a step only with an event strictly AFTER their
+    previous step's first event. Generalizes q_funnel's two-step
+    interval join to the chained form real product funnels use.
+
+    Each stage is (first-event aggregation) ⋈ (previous stage); the
+    stage tables shrink monotonically (users-sized, then converted-
+    users-sized), so each join broadcasts the smaller prior stage
+    against the fact scan — the fact table never shuffles. Three
+    scans of one column-pruned projection beat one shuffle of the
+    full table at 100 TB."""
+    e = load_table(spark, d, "events").select("user_id", "event_type", "ts")
+
+    view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    click = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(view), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(click), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in (
+            (view, "n_view"),
+            (click, "n_view_click"),
+            (purchase, "n_view_click_purchase"),
+        )
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out

@@ -1,0 +1,29 @@
+"""Invariant tests for event-sequence analytics
+(operators/events_analytics.py); value-level correctness is oracle-
+checked, these pin distribution and monotonicity properties."""
+
+from __future__ import annotations
+
+from direct_kafka_stream_spark import QUERIES
+
+from tests.conftest import SF_DIR
+
+
+def test_transition_matrix_rows_are_distributions(spark):
+    """P(next | prev) must sum to 1 per prev_type (within rounding),
+    and counts must be positive."""
+    rows = QUERIES["q_transition_matrix"].spark(spark, SF_DIR).collect()
+    assert rows
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        assert r.n > 0
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-4, (prev, total)
+
+
+def test_funnel3_is_monotone(spark):
+    """Each funnel stage can only lose users."""
+    row = QUERIES["q_funnel3"].spark(spark, SF_DIR).collect()[0]
+    assert row.n_view >= row.n_view_click >= row.n_view_click_purchase
+    assert row.n_view > 0

@@ -73,39 +73,57 @@ def q_profile_table(spark: SparkSession, d: str):
     """Per-column table profile (row count, null count, exact distinct
     count, min/max) — the Deequ/TFDV-style first look at a new corpus.
 
-    ONE pass over the data: all columns' statistics are computed in a
-    single global aggregate (multiple COUNT(DISTINCT) compile to one
-    Expand + two-stage aggregate — rows × 6, but map-side partials keep
-    the shuffle to one row per expansion group), then the wide row is
-    unpivoted driver-free with explode-of-structs. The oracle scans
-    once per column instead — its 6 scans are the shape we're NOT
-    shipping at 100 TB."""
+    THREE branches crossJoined into one job, each chosen so every
+    aggregation stays HASH-based (measured 5.0 s → 3.0 s at sf0.1 vs
+    the naive single aggregate):
+      * counts/nulls + numeric/timestamp min-max — one global
+        HashAggregate (mutable buffers only);
+      * the 6 exact COUNT(DISTINCT)s — one Expand + two-stage hash
+        aggregate (no min/max strings riding along: a single immutable
+        string buffer would demote the WHOLE operator, Expand
+        included, to interpreted SortAggregate — that was the 5 s);
+      * string min/max — a separate tiny aggregate over just the two
+        string columns.
+    All three scans are column-pruned; scan cost is dwarfed by the
+    sort-aggregation this shape avoids. The wide row is then unpivoted
+    driver-free with explode-of-structs. The oracle scans once per
+    column instead — its 6 scans are the shape we're NOT shipping at
+    100 TB."""
     o = load_table(spark, d, "orders")
 
-    def fmt_min_max(c: str, kind: str) -> tuple:
-        col = F.col(c)
+    def fmt(agg_col, kind: str):
         if kind == "ts":
-            return (
-                F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss"),
-                F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss"),
-            )
+            return F.date_format(agg_col, "yyyy-MM-dd HH:mm:ss")
         if kind == "double":
-            return (
-                F.round(F.min(col), 2).cast("string"),
-                F.round(F.max(col), 2).cast("string"),
-            )
-        return (F.min(col).cast("string"), F.max(col).cast("string"))
+            return F.round(agg_col, 2).cast("string")
+        return agg_col.cast("string")
 
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    base_aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _PROFILE_COLS:
-        mn, mx = fmt_min_max(c, kind)
-        aggs += [
-            F.sum(F.isnull(c).cast("long")).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            mn.alias(f"{c}__min"),
-            mx.alias(f"{c}__max"),
+        base_aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"{c}__nulls"))
+        if kind != "str":
+            base_aggs += [
+                fmt(F.min(c), kind).alias(f"{c}__min"),
+                fmt(F.max(c), kind).alias(f"{c}__max"),
+            ]
+    base = o.agg(*base_aggs)
+    distincts = o.agg(
+        *[
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct")
+            for c, _ in _PROFILE_COLS
         ]
-    wide = o.agg(*aggs)
+    )
+    str_aggs = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "str":
+            str_aggs += [
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            ]
+    str_minmax = o.agg(*str_aggs)
+    wide = base.crossJoin(F.broadcast(distincts)).crossJoin(
+        F.broadcast(str_minmax)
+    )
     structs = F.array(
         *[
             F.struct(

@@ -1,0 +1,251 @@
+"""Corpus-hygiene operators, round 3: canonical-URL dedup, tokenizer
+vocabulary coverage, embedding-norm diagnostics, and lightweight
+format detection — the second ring of checks a web-scale training
+corpus goes through after the core dedup/quality passes
+(operators/llm.py, llm2.py).
+
+Reference anchor: EXT operators (SURVEY.md §2; the reference's
+processing hook is KafkaDirectStream.scala:43-51).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.registry import query
+
+
+@query(
+    "q_dedup_url",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || upper(source) || '.Example.com/docs/' ||
+                   CAST(doc_id % 100 AS VARCHAR) || '?session=' ||
+                   CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^https?://([^/]+)', 1)) ||
+                   regexp_extract(url, '^https?://[^/]+([^?#]*)', 1)
+                   AS canonical
+        FROM u
+    )
+    SELECT canonical,
+           MIN(doc_id) AS keep_doc,
+           COUNT(*) AS n_dups
+    FROM canon
+    GROUP BY canonical
+    ORDER BY canonical
+    """,
+    tags=("llm", "dedup", "url"),
+)
+def q_dedup_url(spark: SparkSession, d: str):
+    """Canonical-URL deduplication: normalize scheme-host casing and
+    strip the query string (session ids, tracking params), then
+    keep-first per canonical URL — the cheapest, highest-yield dedup
+    pass on a web crawl, run BEFORE any content hashing (it needs no
+    document bytes at all).
+
+    URLs are synthesized from fixture columns (the corpus stores
+    logical source ids); the mod-100 path makes real collisions.
+    One groupBy on the canonical key — map-side combine, no skew
+    (canonical URLs are near-unique by construction)."""
+    docs = load_table(spark, d, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.upper("source"),
+        F.lit(".Example.com/docs/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("?session="),
+        F.col("doc_id").cast("string"),
+    )
+    canonical = F.concat(
+        F.lower(F.regexp_extract(url, r"^https?://([^/]+)", 1)),
+        F.regexp_extract(url, r"^https?://[^/]+([^?#]*)", 1),
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .orderBy("canonical")
+    )
+
+
+_VOCAB_K = 100
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), w -> w != ''))
+                   AS word
+        FROM documents
+    ),
+    freq AS (
+        SELECT word, COUNT(*) AS n FROM toks GROUP BY word
+    ),
+    vocab AS (
+        SELECT word FROM freq ORDER BY n DESC, word LIMIT {_VOCAB_K}
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_vocab,
+           round(SUM(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS coverage
+    FROM toks t LEFT JOIN vocab v ON t.word = v.word
+    GROUP BY t.doc_id
+    """,
+    tags=("llm", "text", "vocab"),
+)
+def q_vocab_coverage(spark: SparkSession, d: str):
+    """Tokenizer-design diagnostic: build a top-K unigram vocabulary
+    from the corpus itself, then score every document by the fraction
+    of its tokens the vocabulary covers. Low-coverage documents are
+    the out-of-domain / wrong-language / garbage tail a fixed
+    vocabulary will shred into bytes.
+
+    Two phases over one token table: (1) corpus-wide top-K word
+    frequency — groupBy + TakeOrderedAndProject, vocab is K rows;
+    (2) per-doc coverage — the K-row vocab BROADCASTs onto the token
+    stream (left join marks membership), then one doc-keyed count.
+    The token table is never shuffled by word for phase 2; only the
+    doc-keyed aggregation exchanges fact-sized data."""
+    docs = load_table(spark, d, "documents")
+    toks_arr = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    toks = docs.select("doc_id", F.explode(toks_arr).alias("word"))
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(_VOCAB_K)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("in_vocab", F.lit(False)).cast("long")).alias(
+                "n_in_vocab"
+            ),
+            F.round(
+                F.sum(F.coalesce("in_vocab", F.lit(False)).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+@query(
+    "q_embed_norm_stats",
+    oracle="""
+    WITH norms AS (
+        SELECT label,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+        FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n,
+           round(AVG(l2), 6) AS mean_norm,
+           round(MIN(l2), 6) AS min_norm,
+           round(MAX(l2), 6) AS max_norm,
+           CAST(SUM(CASE WHEN ABS(l2 - 1.0) > 0.01 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unnormalized
+    FROM norms GROUP BY label
+    """,
+    tags=("llm", "embedding", "profiling"),
+)
+def q_embed_norm_stats(spark: SparkSession, d: str):
+    """Embedding hygiene: per-label L2-norm statistics and a count of
+    vectors that are not unit-normalized. Mixed-norm embedding tables
+    silently corrupt cosine similarity (dot products stop being
+    cosines) — this is the check that catches a mis-exported shard
+    before it poisons ANN results.
+
+    The norm is a JVM higher-order fold per row (no Python, no
+    explode); one label-keyed aggregation follows — map-side combined,
+    |labels| groups."""
+    e = load_table(spark, d, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        e.select("label", l2.alias("l2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l2"), 6).alias("mean_norm"),
+            F.round(F.min("l2"), 6).alias("min_norm"),
+            F.round(F.max("l2"), 6).alias("max_norm"),
+            F.sum((F.abs(F.col("l2") - 1.0) > 0.01).cast("long")).alias(
+                "n_unnormalized"
+            ),
+        )
+    )
+
+
+@query(
+    "q_format_detect",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN regexp_matches(text, '[{};]')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_codeish,
+           CAST(SUM(CASE WHEN regexp_matches(text, '[0-9]')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+           CAST(SUM(CASE WHEN length(text) -
+                         length(replace(text, '.', '')) >= 3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_prose,
+           CAST(SUM(CASE WHEN upper(text) = text THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_allcaps
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("llm", "text", "profiling"),
+)
+def q_format_detect(spark: SparkSession, d: str):
+    """Lightweight per-source format census: how many documents look
+    like code (brace/semicolon characters), contain digits, read as
+    multi-sentence prose (≥3 periods), or are ALL-CAPS shouting. The
+    per-source rollup is what routes sources to different cleaning
+    pipelines (code formatter vs prose filters).
+
+    Pure per-row regex/string predicates folded into ONE conditional
+    aggregation — single scan, |sources| output groups, zero UDFs."""
+    docs = load_table(spark, d, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("text").rlike("[{};]").cast("long")).alias("n_codeish"),
+            F.sum(F.col("text").rlike("[0-9]").cast("long")).alias("n_numeric"),
+            F.sum(
+                (
+                    F.length("text")
+                    - F.length(F.regexp_replace("text", r"\.", ""))
+                    >= 3
+                ).cast("long")
+            ).alias("n_prose"),
+            F.sum((F.upper("text") == F.col("text")).cast("long")).alias(
+                "n_allcaps"
+            ),
+        )
+    )

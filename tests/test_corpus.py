@@ -1,0 +1,50 @@
+"""Invariant and plan-shape tests for the corpus-hygiene operators
+(operators/corpus.py)."""
+
+from __future__ import annotations
+
+from direct_kafka_stream_spark import QUERIES, load_table
+from direct_kafka_stream_spark.plans import inspect
+
+from tests.conftest import SF_DIR
+
+
+def test_dedup_url_partitions_corpus(spark):
+    """Every document lands in exactly one canonical-URL group, and
+    keep_doc is a member (the minimum) of its group."""
+    rows = QUERIES["q_dedup_url"].spark(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_dups for r in rows) == n_docs
+    # synthesized URLs collide via doc_id % 100 → real dup groups exist
+    assert any(r.n_dups > 1 for r in rows)
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    """The token stream must not shuffle by word for the coverage
+    join: the K-row vocab broadcasts."""
+    df = QUERIES["q_vocab_coverage"].spark(spark, SF_DIR)
+    assert inspect.plan_contains(df, "BroadcastHashJoin")
+    rows = df.collect()
+    for r in rows:
+        assert 0 <= r.n_in_vocab <= r.n_tokens
+        assert 0.0 <= r.coverage <= 1.0
+    # a corpus-derived top-100 vocab must cover a sane fraction overall
+    tot = sum(r.n_tokens for r in rows)
+    cov = sum(r.n_in_vocab for r in rows)
+    assert cov / tot > 0.2
+
+
+def test_embed_norm_stats_bounds(spark):
+    rows = QUERIES["q_embed_norm_stats"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.min_norm <= r.mean_norm <= r.max_norm
+        assert 0 <= r.n_unnormalized <= r.n
+
+
+def test_format_detect_counts_bounded_by_docs(spark):
+    rows = QUERIES["q_format_detect"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        for c in (r.n_codeish, r.n_numeric, r.n_prose, r.n_allcaps):
+            assert 0 <= c <= r.n_docs

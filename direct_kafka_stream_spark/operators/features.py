@@ -1,0 +1,231 @@
+"""Feature-engineering and drift operators, round 3: the hashing-trick
+featurizer, PMI collocation mining, and Kolmogorov–Smirnov drift
+detection — the modeling-adjacent layer of the pipeline (features in,
+monitoring out).
+
+Reference anchor: EXT operators (SURVEY.md §2; the reference's
+processing hook is KafkaDirectStream.scala:43-51).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.registry import query
+
+_FH_DIM = 32  # hashed feature space size
+
+
+@query(
+    "q_feature_hash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), w -> w != ''))
+                   AS word
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT)
+                % {_FH_DIM} AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM toks
+    GROUP BY doc_id, bucket
+    """,
+    tags=("features", "text"),
+)
+def q_feature_hash(spark: SparkSession, d: str):
+    """Hashing-trick featurizer: token → md5-derived bucket in a fixed
+    {_FH_DIM}-dim space, counted per document — bag-of-words features
+    with NO vocabulary state (the property that makes it streamable
+    and shard-parallel at 100 TB: any executor featurizes any shard
+    with zero coordination). md5 rather than the engine-native hash so
+    the bucketing is identical across engines (same contract as the
+    md5-uniform draws in q_mix_sample).
+
+    One explode + one (doc, bucket) groupBy — map-side combined, and
+    the output is at most {_FH_DIM} rows per doc regardless of length."""
+    docs = load_table(spark, d, "documents").filter(F.col("doc_id") < 100)
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    bucket = (
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long") % _FH_DIM
+    )
+    return (
+        docs.select("doc_id", F.explode(toks).alias("word"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_COLL_MIN_N = 5
+
+
+@query(
+    "q_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), w -> w != ''))
+                   AS word,
+               generate_subscripts(
+                   list_filter(string_split(text, ' '), w -> w != ''), 1)
+                   AS pos
+        FROM documents
+    ),
+    uni AS (SELECT word, COUNT(*) AS n FROM toks GROUP BY word),
+    tot AS (SELECT SUM(n) AS t FROM uni),
+    big AS (
+        SELECT w1, w2, COUNT(*) AS n FROM (
+            SELECT word AS w1, LEAD(word) OVER w AS w2
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ),
+    pmi AS (
+        SELECT b.w1, b.w2, b.n,
+               round(LN((b.n * 1.0 / t.t) /
+                        ((u1.n * 1.0 / t.t) * (u2.n * 1.0 / t.t))), 6) AS pmi
+        FROM big b
+        JOIN uni u1 ON b.w1 = u1.word
+        JOIN uni u2 ON b.w2 = u2.word
+        CROSS JOIN tot t
+        WHERE b.n >= {_COLL_MIN_N}
+    )
+    SELECT w1, w2, n, pmi FROM pmi ORDER BY pmi DESC, w1, w2 LIMIT 30
+    """,
+    tags=("features", "text"),
+)
+def q_collocations(spark: SparkSession, d: str):
+    """PMI collocation mining: bigrams that co-occur far more than
+    their unigram frequencies predict (pointwise mutual information,
+    min support {_COLL_MIN_N}) — the phrase-detection pass tokenizer
+    and n-gram-LM training both start from.
+
+    Unigram and bigram count tables both reduce to vocab-sized
+    relations before any join; the PMI join is counts ⋈ counts
+    (broadcast the unigram table: a real vocabulary is ~10⁵–10⁶ rows,
+    megabytes), and the global token total is a 1-row broadcast.
+    Top-30 via TakeOrderedAndProject. Bigrams are formed in-row with
+    the indexed-lambda transform (tokens hoisted to a column first)."""
+    docs = load_table(spark, d, "documents")
+    toks_arr = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    tokenized = docs.select("doc_id", toks_arr.alias("toks"))
+    uni = (
+        tokenized.select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = uni.agg(F.sum("n").alias("t"))
+    bigrams = F.when(
+        F.size(F.col("toks")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> struct(element_at(toks, i) AS w1,"
+            "             element_at(toks, i + 1) AS w2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    big = (
+        tokenized.select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _COLL_MIN_N)
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("n").alias("n2"))
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.round(
+                F.log(
+                    (F.col("n") / F.col("t"))
+                    / ((F.col("n1") / F.col("t")) * (F.col("n2") / F.col("t")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(30)
+    )
+
+
+@query(
+    "q_drift_ks",
+    oracle="""
+    WITH a AS (SELECT value AS v FROM events WHERE event_type = 'view'),
+    b AS (SELECT value AS v FROM events WHERE event_type = 'error'),
+    pooled AS (
+        SELECT v, 1 AS in_a, 0 AS in_b FROM a
+        UNION ALL
+        SELECT v, 0, 1 FROM b
+    ),
+    cdf AS (
+        SELECT v,
+               SUM(in_a) OVER (ORDER BY v, in_b
+                               ROWS UNBOUNDED PRECEDING) * 1.0
+                   / (SELECT COUNT(*) FROM a) AS fa,
+               SUM(in_b) OVER (ORDER BY v, in_b
+                               ROWS UNBOUNDED PRECEDING) * 1.0
+                   / (SELECT COUNT(*) FROM b) AS fb
+        FROM pooled
+    )
+    SELECT round(MAX(ABS(fa - fb)), 6) AS ks,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b
+    FROM cdf
+    """,
+    tags=("features", "drift"),
+)
+def q_drift_ks(spark: SparkSession, d: str):
+    """Two-sample Kolmogorov–Smirnov drift statistic between the value
+    distributions of two event populations: KS = max |F̂_a − F̂_b|
+    over the pooled sample — the standard 'did this feed's
+    distribution shift?' monitor.
+
+    Exact KS needs a total order over the pooled sample, so the
+    running-CDF window is single-partition by construction — correct
+    and fine for the samples a monitor actually compares (per-window
+    slices, not whole tables). The 100 TB variant bins values first
+    (q_hist_equi's shape) and takes the max over ~1000 binned CDF
+    points — same operator tree, bounded sort. Ties between samples
+    are ordered (a before b) identically in both engines so the
+    running CDFs agree row-for-row."""
+    e = load_table(spark, d, "events")
+    a = e.filter(F.col("event_type") == "view").select(
+        F.col("value").alias("v"),
+        F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"),
+    )
+    b = e.filter(F.col("event_type") == "error").select(
+        F.col("value").alias("v"),
+        F.lit(0).alias("in_a"),
+        F.lit(1).alias("in_b"),
+    )
+    na = a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+    w = Window.orderBy("v", "in_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pooled = (
+        a.unionAll(b)
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_a",
+            "n_b",
+            (F.sum("in_a").over(w) / F.col("n_a")).alias("fa"),
+            (F.sum("in_b").over(w) / F.col("n_b")).alias("fb"),
+        )
+    )
+    return pooled.agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )

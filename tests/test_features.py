@@ -1,0 +1,85 @@
+"""Invariant tests for the feature/monitoring operators
+(operators/features.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from direct_kafka_stream_spark import QUERIES, load_table
+from direct_kafka_stream_spark.operators.features import _FH_DIM
+from direct_kafka_stream_spark.plans import inspect
+
+from tests.conftest import SF_DIR
+
+
+def test_feature_hash_preserves_token_mass(spark):
+    """Bucket counts per doc must sum to the doc's token count, and
+    buckets stay inside the fixed feature space."""
+    rows = QUERIES["q_feature_hash"].spark(spark, SF_DIR).collect()
+    assert rows
+    by_doc: dict[int, int] = {}
+    for r in rows:
+        assert 0 <= r.bucket < _FH_DIM
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, 0) + r.n
+    toks = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+                "n"
+            ),
+        )
+        .collect()
+    )
+    for t in toks:
+        assert by_doc.get(t.doc_id, 0) == t.n
+
+
+def test_collocations_pmi_is_finite_and_supported(spark):
+    rows = QUERIES["q_collocations"].spark(spark, SF_DIR).collect()
+    assert rows
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    for r in rows:
+        assert r.n >= 5
+        assert math.isfinite(r.pmi)
+
+
+def test_drift_ks_matches_scipy_style_bruteforce(spark):
+    """Recompute KS with numpy on the same two samples — the operator
+    must agree exactly (both are the exact statistic, not a bound)."""
+    import numpy as np
+
+    e = load_table(spark, SF_DIR, "events")
+    a = np.sort(
+        np.array(
+            [
+                r.value
+                for r in e.filter(F.col("event_type") == "view")
+                .select("value")
+                .collect()
+            ]
+        )
+    )
+    b = np.sort(
+        np.array(
+            [
+                r.value
+                for r in e.filter(F.col("event_type") == "error")
+                .select("value")
+                .collect()
+            ]
+        )
+    )
+    pooled = np.concatenate([a, b])
+    fa = np.searchsorted(a, pooled, side="right") / len(a)
+    fb = np.searchsorted(b, pooled, side="right") / len(b)
+    ks_expected = round(float(np.max(np.abs(fa - fb))), 6)
+
+    row = QUERIES["q_drift_ks"].spark(spark, SF_DIR).collect()[0]
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert abs(row.ks - ks_expected) < 1e-9, (row.ks, ks_expected)
+    assert 0.0 <= row.ks <= 1.0

@@ -224,8 +224,10 @@ def q_drift_ks(spark: SparkSession, d: str):
             (F.sum("in_b").over(w) / F.col("n_b")).alias("fb"),
         )
     )
+    # coalesce: on an empty pooled sample first() is NULL but the
+    # oracle's scalar COUNT(*) subqueries report 0
     return pooled.agg(
         F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks"),
-        F.first("n_a").alias("n_a"),
-        F.first("n_b").alias("n_b"),
+        F.coalesce(F.first("n_a"), F.lit(0).cast("long")).alias("n_a"),
+        F.coalesce(F.first("n_b"), F.lit(0).cast("long")).alias("n_b"),
     )

@@ -100,7 +100,14 @@ def q_profile_table(spark: SparkSession, d: str):
 
     base_aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _PROFILE_COLS:
-        base_aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"{c}__nulls"))
+        # coalesce: SUM over an empty table is NULL (ANSI) but the
+        # oracle's COUNT(*) - COUNT(c) is 0 — and a profile of an
+        # empty table should report zero nulls, not unknown
+        base_aggs.append(
+            F.coalesce(F.sum(F.isnull(c).cast("long")), F.lit(0)).alias(
+                f"{c}__nulls"
+            )
+        )
         if kind != "str":
             base_aggs += [
                 fmt(F.min(c), kind).alias(f"{c}__min"),
@@ -306,12 +313,20 @@ def q_constraint_check(spark: SparkSession, d: str):
     shuffles. Total cost at 100 TB: one scan + one broadcast probe."""
     o = load_table(spark, d, "orders")
     cust_keys = load_table(spark, d, "customer").select("c_custkey")
+    # coalesce: the gate must report 0 violations on an empty table
+    # (matching the oracle's COUNT(*) subqueries), not NULL from
+    # ANSI SUM-over-empty
     local = o.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.isnull("o_orderkey").cast("long")).alias("n_null_key"),
-        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("n_bad_price"),
-        F.sum(
-            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        F.coalesce(
+            F.sum(F.isnull("o_orderkey").cast("long")), F.lit(0)
+        ).alias("n_null_key"),
+        F.coalesce(
+            F.sum((F.col("o_totalprice") <= 0).cast("long")), F.lit(0)
+        ).alias("n_bad_price"),
+        F.coalesce(
+            F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")),
+            F.lit(0),
         ).alias("n_bad_status"),
     )
     orphan = (

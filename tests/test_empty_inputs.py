@@ -37,6 +37,17 @@ _REPRESENTATIVE = [
     "q_kmeans_train",     # trainer seeds missing from empty corpus
     "q_tpch_q17",         # per-part average over empty fact
     "q_tpch_q22",         # anti join + scalar threshold over empty
+    # round-3 families
+    "q_profile_table",    # global agg + distinct counts over empty
+    "q_skew_diagnose",    # share ratio with zero total
+    "q_constraint_check", # conditional aggs + anti join over empty
+    "q_anomaly_mad",      # grouped medians over empty
+    "q_dup_cluster_stats",  # components + histogram over empty
+    "q_transition_matrix",  # lag window + normalization over empty
+    "q_funnel3",          # chained stage joins over empty
+    "q_vocab_coverage",   # top-K vocab from empty corpus
+    "q_drift_ks",         # pooled CDF with zero-count denominators
+    "q_collocations",     # PMI log of empty counts
 ]
 
 
@@ -64,5 +75,23 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
     elif name == "q_tpch_q17":
         # ungrouped SUM over empty input: one row, NULL total (ANSI)
         assert [r.avg_yearly for r in rows] == [None]
+    elif name == "q_profile_table":
+        # profile of an empty table: one row per column, all-zero
+        # counts, NULL min/max (nothing to take extremes of)
+        assert len(rows) == 6
+        for r in rows:
+            assert (r.n_rows, r.n_nulls, r.n_distinct) == (0, 0, 0)
+            assert r.min_val is None and r.max_val is None
+    elif name == "q_constraint_check":
+        # an empty table passes the gate: zero violations, not NULL
+        r = rows[0]
+        assert (r.n_rows, r.n_null_key, r.n_bad_price, r.n_bad_status,
+                r.n_orphan) == (0, 0, 0, 0, 0)
+    elif name == "q_funnel3":
+        assert [(r.n_view, r.n_view_click, r.n_view_click_purchase)
+                for r in rows] == [(0, 0, 0)]
+    elif name == "q_drift_ks":
+        # no samples: undefined KS (NULL), zero counts
+        assert [(r.ks, r.n_a, r.n_b) for r in rows] == [(None, 0, 0)]
     else:
         assert rows == []

@@ -231,3 +231,137 @@ def q_drift_ks(spark: SparkSession, d: str):
         F.coalesce(F.first("n_a"), F.lit(0).cast("long")).alias("n_a"),
         F.coalesce(F.first("n_b"), F.lit(0).cast("long")).alias("n_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (featurize → score → filter)
+
+# Deterministic per-bucket weights: w_j = ((j * 37) % 19 - 9) / 10.0
+# — a fixed fasttext-style linear model; in production these arrive
+# from an offline training job as a broadcast side input.
+_QC_BIAS = -0.1
+_QC_THRESHOLD = 0.5
+
+
+def _qc_weight_sql(bucket_expr: str) -> str:
+    return f"((({bucket_expr}) * 37) % 19 - 9) / 10.0"
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), w -> w != ''))
+                   AS word
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT)
+                    % {_FH_DIM} AS BIGINT) AS bucket,
+               COUNT(*) AS n
+        FROM toks GROUP BY doc_id, bucket
+    ),
+    scored AS (
+        SELECT f.doc_id,
+               SUM(f.n * {_qc_weight_sql('f.bucket')})
+                   / SUM(f.n) + {_QC_BIAS} AS z
+        FROM feats f GROUP BY f.doc_id
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-z)), 6) AS score,
+           1.0 / (1.0 + exp(-z)) >= {_QC_THRESHOLD} AS keep
+    FROM scored
+    """,
+    tags=("features", "text", "quality"),
+)
+def q_quality_classifier(spark: SparkSession, d: str):
+    """Linear quality classifier over hashed bag-of-words features —
+    the fasttext-filter shape used to gate web corpora: token → md5
+    bucket (q_feature_hash's space), length-normalized weighted sum +
+    bias, sigmoid score, threshold keep/drop. Weights here are a fixed
+    deterministic vector; in production they arrive from an offline
+    trainer as a {_FH_DIM}-float broadcast.
+
+    The whole model application is ONE doc-keyed aggregation over the
+    token stream — the weight lookup is a pure arithmetic expression
+    on the bucket id (no join at all), so scoring cost is exactly one
+    scan + one map-side-combined groupBy regardless of corpus size.
+    Sigmoid is exp-based, rounded 6 dp (ALIGNMENT.md transcendental
+    rule); the keep decision compares the UNROUNDED score on both
+    engines."""
+    docs = load_table(spark, d, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    bucket = (
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long") % _FH_DIM
+    )
+    weight = ((bucket * 37) % 19 - 9) / 10.0
+    z = (
+        F.sum(weight) / F.count(F.lit(1)) + F.lit(_QC_BIAS)
+    )  # token-weighted mean: every token contributes its bucket weight
+    score = 1.0 / (1.0 + F.exp(-z))
+    return (
+        docs.select("doc_id", F.explode(toks).alias("word"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(score, 6).alias("score"),
+            (score >= _QC_THRESHOLD).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Output-shard balance planning
+
+_N_SHARDS = 16
+
+
+@query(
+    "q_shard_plan",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {_N_SHARDS} AS BIGINT) AS shard,
+               len(list_filter(string_split(text, ' '), w -> w != ''))
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM sized GROUP BY shard ORDER BY shard
+    """,
+    tags=("features", "sharding"),
+)
+def q_shard_plan(spark: SparkSession, d: str):
+    """Output-shard planning report: md5-hash documents into
+    {_N_SHARDS} shards and report per-shard doc and token counts — the
+    pre-write check that the training-data writer's partitioning is
+    balanced (token skew across output files stalls downstream
+    data-loader workers exactly like partition skew stalls reducers).
+
+    Hash sharding is stateless and shard-parallel; the report is one
+    scan + one {_N_SHARDS}-group aggregation. The balance decision
+    (max/mean token ratio) belongs to the caller — this emits the
+    evidence."""
+    docs = load_table(spark, d, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % _N_SHARDS
+    )
+    return (
+        docs.select(
+            shard.alias("shard"), F.size(toks).alias("n_tokens")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )

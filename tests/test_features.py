@@ -83,3 +83,31 @@ def test_drift_ks_matches_scipy_style_bruteforce(spark):
     assert row.n_a == len(a) and row.n_b == len(b)
     assert abs(row.ks - ks_expected) < 1e-9, (row.ks, ks_expected)
     assert 0.0 <= row.ks <= 1.0
+
+
+def test_quality_classifier_scores_are_probabilities(spark):
+    rows = QUERIES["q_quality_classifier"].spark(spark, SF_DIR).collect()
+    assert rows
+    n_docs = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.length("text") > 0)
+        .count()
+    )
+    assert len(rows) == n_docs  # every non-empty doc gets a score
+    for r in rows:
+        assert 0.0 <= r.score <= 1.0
+        assert r.keep == (r.score >= 0.5)
+    # the fixed weight vector must actually separate: both classes occur
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows)
+
+
+def test_shard_plan_partitions_corpus(spark):
+    rows = QUERIES["q_shard_plan"].spark(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(0 <= r.shard < 16 for r in rows)
+    # md5 sharding at 500 docs: every shard populated, no gross skew
+    sizes = [r.n_docs for r in rows]
+    assert len(rows) == 16
+    assert max(sizes) < 4 * min(sizes)

@@ -268,3 +268,35 @@ def q_union_byname(spark: SparkSession, d: str):
         "o_orderkey", "o_orderstatus", F.lit("status").alias("src")
     )
     return a.unionByName(b, allowMissingColumns=True)
+
+
+@query(
+    "q_xml_roundtrip",
+    oracle="SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
+    tags=("format", "xml"),
+)
+def q_xml_roundtrip(spark: SparkSession, d: str):
+    """XML codec round-trip inside the plan (Spark 4 to_xml/from_xml
+    Catalyst expressions): rows → XML documents → schema-on-read back
+    to typed columns — the landing-zone path for the XML feeds that
+    still dominate finance/healthcare interchange. Long/string columns
+    only, so serialization is lossless and the oracle is the identity
+    projection (DuckDB never sees XML — the round-trip IS the
+    engine-side property under test, same contract as
+    q_csv_roundtrip). One codegen stage, no shuffle."""
+    o = load_table(spark, d, "orders")
+    doc = F.to_xml(
+        F.struct("o_orderkey", "o_custkey", "o_orderstatus"),
+        {"rowTag": "order"},
+    )
+    return (
+        o.select(doc.alias("doc"))
+        .select(
+            F.from_xml(
+                "doc",
+                "o_orderkey long, o_custkey long, o_orderstatus string",
+                {"rowTag": "order"},
+            ).alias("r")
+        )
+        .select("r.*")
+    )

@@ -28,7 +28,7 @@ _FH_DIM = 32  # hashed feature space size
         FROM documents WHERE doc_id < 100
     )
     SELECT doc_id,
-           CAST(CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT)
+           CAST(CAST(concat('0x', substr(md5(word), 1, 2)) AS BIGINT)
                 % {_FH_DIM} AS BIGINT) AS bucket,
            COUNT(*) AS n
     FROM toks
@@ -50,7 +50,7 @@ def q_feature_hash(spark: SparkSession, d: str):
     docs = load_table(spark, d, "documents").filter(F.col("doc_id") < 100)
     toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     bucket = (
-        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long") % _FH_DIM
+        F.conv(F.substring(F.md5("word"), 1, 2), 16, 10).cast("long") % _FH_DIM
     )
     return (
         docs.select("doc_id", F.explode(toks).alias("word"))
@@ -258,7 +258,7 @@ def _qc_weight_sql(bucket_expr: str) -> str:
     ),
     feats AS (
         SELECT doc_id,
-               CAST(CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT)
+               CAST(CAST(concat('0x', substr(md5(word), 1, 2)) AS BIGINT)
                     % {_FH_DIM} AS BIGINT) AS bucket,
                COUNT(*) AS n
         FROM toks GROUP BY doc_id, bucket
@@ -291,10 +291,16 @@ def q_quality_classifier(spark: SparkSession, d: str):
     Sigmoid is exp-based, rounded 6 dp (ALIGNMENT.md transcendental
     rule); the keep decision compares the UNROUNDED score on both
     engines."""
-    docs = load_table(spark, d, "documents")
+    return quality_scores(load_table(spark, d, "documents"))
+
+
+def quality_scores(docs):
+    """Composable form of q_quality_classifier over any (doc_id, text)
+    DataFrame — also exercised by scripts/scale_probe.py at inflated
+    corpus sizes."""
     toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     bucket = (
-        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long") % _FH_DIM
+        F.conv(F.substring(F.md5("word"), 1, 2), 16, 10).cast("long") % _FH_DIM
     )
     weight = ((bucket * 37) % 19 - 9) / 10.0
     z = (
@@ -322,7 +328,7 @@ _N_SHARDS = 16
     oracle=f"""
     WITH sized AS (
         SELECT doc_id,
-               CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
                     AS BIGINT) % {_N_SHARDS} AS BIGINT) AS shard,
                len(list_filter(string_split(text, ' '), w -> w != ''))
                    AS n_tokens
@@ -350,7 +356,7 @@ def q_shard_plan(spark: SparkSession, d: str):
     toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     shard = (
         F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
         ).cast("long")
         % _N_SHARDS
     )

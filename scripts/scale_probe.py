@@ -118,6 +118,12 @@ def main() -> None:
     rows["documents"] = docs.count()
     run("decontaminate", decontaminate(docs))
 
+    # Round-3 shapes: hashed-linear quality scoring (one scan + one
+    # doc-keyed agg, no join) over the inflated corpus
+    from direct_kafka_stream_spark.operators.features import quality_scores
+
+    run("quality_classifier", quality_scores(docs))
+
     print(json.dumps({"inflate": n, "rows": rows, "seconds": secs}))
 
 

@@ -48,6 +48,9 @@ _REPRESENTATIVE = [
     "q_vocab_coverage",   # top-K vocab from empty corpus
     "q_drift_ks",         # pooled CDF with zero-count denominators
     "q_collocations",     # PMI log of empty counts
+    "q_quality_classifier",  # doc-keyed agg over empty token stream
+    "q_shard_plan",       # shard histogram over empty corpus
+    "q_xml_roundtrip",    # codec round-trip over no rows
 ]
 
 

@@ -143,3 +143,58 @@ def q_funnel3(spark: SparkSession, d: str):
     for c in counts[1:]:
         out = out.crossJoin(F.broadcast(c))
     return out
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, ts,
+               FIRST_VALUE(event_type) OVER w AS first_touch,
+               LAG(CASE WHEN event_type != 'purchase' THEN event_type END
+                   IGNORE NULLS) OVER w AS last_touch
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT first_touch,
+           COALESCE(last_touch, 'none') AS last_touch,
+           COUNT(*) AS n_purchases
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY first_touch, last_touch
+    """,
+    tags=("events", "attribution"),
+)
+def q_attribution(spark: SparkSession, d: str):
+    """Purchase attribution report: for every purchase, the user's
+    FIRST-touch event type (their very first event) and LAST-touch
+    type (most recent non-purchase event before the purchase),
+    aggregated into the (first, last) → purchases matrix marketing
+    attribution models read.
+
+    Both touches come from ONE user-partitioned ordered window (the
+    same single shuffle every sequence operator here shares —
+    naturally free when events are stored clustered by user/time);
+    the attribution matrix is |types|² rows. The null-skipping LAG
+    (ignorenulls) is the engine-portable way to say 'latest earlier
+    event of another type' without a self-join."""
+    e = load_table(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    seq = e.select(
+        "event_type",
+        F.first("event_type").over(w).alias("first_touch"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(wp)
+        .alias("last_touch"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "first_touch",
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )

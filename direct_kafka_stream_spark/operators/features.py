@@ -371,3 +371,96 @@ def q_shard_plan(spark: SparkSession, d: str):
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram language-model scoring
+
+_LM_L1 = 0.7  # bigram weight
+_LM_L2 = 0.3  # unigram backoff weight
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), w -> w != ''))
+                   AS word,
+               generate_subscripts(
+                   list_filter(string_split(text, ' '), w -> w != ''), 1)
+                   AS pos
+        FROM documents
+    ),
+    uni AS (SELECT word, COUNT(*) AS n FROM toks GROUP BY word),
+    tot AS (SELECT SUM(n) AS t FROM uni),
+    bigpos AS (
+        SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id, word AS w1, LEAD(word) OVER w AS w2
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE w2 IS NOT NULL
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS n FROM bigpos GROUP BY w1, w2)
+    SELECT p.doc_id,
+           COUNT(*) AS n_bigrams,
+           round(AVG(LN({_LM_L1} * (b.n * 1.0 / u1.n)
+                        + {_LM_L2} * (u2.n * 1.0 / t.t))), 6) AS avg_logprob
+    FROM bigpos p
+    JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+    JOIN uni u1 ON p.w1 = u1.word
+    JOIN uni u2 ON p.w2 = u2.word
+    CROSS JOIN tot t
+    GROUP BY p.doc_id
+    """,
+    tags=("features", "text", "quality"),
+)
+def q_text_bigram_lm(spark: SparkSession, d: str):
+    """Interpolated bigram language-model score per document:
+    mean ln(λ₁·P(w₂|w₁) + λ₂·P(w₂)) over the document's bigrams, with
+    probabilities estimated from the corpus itself — the perplexity
+    filter (documents whose own corpus can't predict them are noise),
+    one modeling notch above the unigram q_text_logprob.
+
+    The count tables (uni, big) are vocab-sized and BROADCAST onto the
+    per-position bigram stream — the fact-sized bigram stream itself
+    shuffles only for the final doc-keyed mean. The interpolation
+    keeps every probability strictly positive, so the log is total:
+    no smoothing special cases to diverge on."""
+    docs = load_table(spark, d, "documents")
+    toks_arr = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    tokenized = docs.select("doc_id", toks_arr.alias("toks"))
+    bigrams = F.when(
+        F.size(F.col("toks")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> struct(element_at(toks, i) AS w1,"
+            "             element_at(toks, i + 1) AS w2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    bigpos = tokenized.select(
+        "doc_id", F.explode(bigrams).alias("b")
+    ).select("doc_id", "b.w1", "b.w2")
+    uni = (
+        tokenized.select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = uni.agg(F.sum("n").alias("t"))
+    big = bigpos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("n").alias("n2"))
+    p = (
+        F.lit(_LM_L1) * (F.col("nb") / F.col("n1"))
+        + F.lit(_LM_L2) * (F.col("n2") / F.col("t"))
+    )
+    return (
+        bigpos.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+        )
+    )

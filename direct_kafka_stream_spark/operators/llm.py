@@ -1368,7 +1368,11 @@ def q_dedup_components(spark: SparkSession, d: str):
                     F.col("label"), F.coalesce("p_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            # lazy checkpoint: materialized by the convergence sum
+            # below, so each round runs ONE job instead of two (an
+            # eager checkpoint job + a separate sum job) while still
+            # truncating lineage for every later reference
+            .localCheckpoint(eager=False)
         )
         nxt_sum = nxt.agg(F.sum("label")).collect()[0][0]
         labels = nxt

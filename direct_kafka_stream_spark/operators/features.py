@@ -464,3 +464,175 @@ def q_text_bigram_lm(spark: SparkSession, d: str):
             F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation capstone v2: composing the round-3 operators into one DAG
+
+_CV2_SCORE_MIN = 0.43   # classifier gate (drops the low-quality tail)
+_CV2_LM_MIN = -3.42     # bigram-LM perplexity gate
+
+
+@query(
+    "q_curation_v2",
+    oracle=f"""
+    WITH canon AS (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (
+                   PARTITION BY
+                       lower('https://' || upper(source) || '.example.com') ||
+                       '/docs/' || CAST(doc_id % 100 AS VARCHAR)
+                   ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    s1 AS (SELECT doc_id, text FROM canon WHERE rn = 1),
+    t2 AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), w -> w != ''))
+                   AS word
+        FROM s1
+    ),
+    buckets AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(word), 1, 2)) AS BIGINT)
+                   % {_FH_DIM} AS bucket
+        FROM t2
+    ),
+    scored AS (
+        SELECT doc_id,
+               1.0 / (1.0 + exp(-(SUM(((bucket * 37) % 19 - 9) / 10.0)
+                                  / COUNT(*) + {_QC_BIAS}))) AS score
+        FROM buckets GROUP BY doc_id
+    ),
+    s2 AS (
+        SELECT s1.doc_id, s1.text, scored.score
+        FROM s1 JOIN scored ON s1.doc_id = scored.doc_id
+        WHERE scored.score >= {_CV2_SCORE_MIN}
+    ),
+    t3 AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), w -> w != ''))
+                   AS word,
+               generate_subscripts(
+                   list_filter(string_split(text, ' '), w -> w != ''), 1)
+                   AS pos
+        FROM s2
+    ),
+    uni AS (SELECT word, COUNT(*) AS n FROM t3 GROUP BY word),
+    tot AS (SELECT SUM(n) AS t FROM uni),
+    bigpos AS (
+        SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id, word AS w1, LEAD(word) OVER w AS w2
+            FROM t3 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE w2 IS NOT NULL
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS n FROM bigpos GROUP BY w1, w2),
+    lm AS (
+        SELECT p.doc_id,
+               AVG(LN({_LM_L1} * (b.n * 1.0 / u1.n)
+                      + {_LM_L2} * (u2.n * 1.0 / t.t))) AS alp
+        FROM bigpos p
+        JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        JOIN uni u1 ON p.w1 = u1.word
+        JOIN uni u2 ON p.w2 = u2.word
+        CROSS JOIN tot t
+        GROUP BY p.doc_id
+    ),
+    s3 AS (
+        SELECT s2.doc_id, s2.text, s2.score, lm.alp
+        FROM s2 JOIN lm ON s2.doc_id = lm.doc_id
+        WHERE lm.alp >= {_CV2_LM_MIN}
+    ),
+    s4 AS (
+        SELECT doc_id, score, alp,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                  ORDER BY doc_id) AS rn
+        FROM s3
+    )
+    SELECT doc_id, round(score, 6) AS score, round(alp, 6) AS avg_logprob
+    FROM s4 WHERE rn = 1
+    """,
+    tags=("features", "llm", "capstone"),
+)
+def q_curation_v2(spark: SparkSession, d: str):
+    """Curation capstone v2 — the round-3 operators composed into one
+    keep/drop DAG, the complement of q_curation_pipeline's
+    LSH-near-dup path:
+
+        canonical-URL keep-first (q_dedup_url)
+        → hashed linear classifier gate (q_quality_classifier ≥ {_CV2_SCORE_MIN})
+        → interpolated bigram-LM perplexity gate (q_text_bigram_lm ≥ {_CV2_LM_MIN},
+          with the LM estimated on the POST-classifier corpus — the
+          gates compound, they don't just intersect)
+        → exact sha256 keep-first.
+
+    Shuffle budget at 100 TB: canonical-dedup window (doc-keyed),
+    classifier aggregation (doc-keyed), LM count tables (vocab-sized,
+    broadcast back), LM per-doc mean (doc-keyed), sha256 window
+    (doc-keyed) — every exchange is either document-keyed (bounded per
+    key) or vocabulary-sized; nothing is quadratic and nothing
+    collects. Gate thresholds compare UNROUNDED values on both
+    engines; only display columns round."""
+    docs = load_table(spark, d, "documents")
+    url_canon = F.concat(
+        F.lower(F.concat(F.lit("https://"), F.upper("source"),
+                         F.lit(".example.com"))),
+        F.lit("/docs/"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    w1 = Window.partitionBy(url_canon).orderBy("doc_id")
+    s1 = (
+        docs.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    s2 = (
+        s1.join(quality_scores(s1).select("doc_id", "score"), "doc_id")
+        .filter(F.col("score") >= _CV2_SCORE_MIN)
+    )
+
+    toks_arr = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    tokenized = s2.select("doc_id", toks_arr.alias("toks"))
+    bigrams = F.when(
+        F.size(F.col("toks")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> struct(element_at(toks, i) AS w1,"
+            "             element_at(toks, i + 1) AS w2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    bigpos = tokenized.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    uni = (
+        tokenized.select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = uni.agg(F.sum("n").alias("t"))
+    big = bigpos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("n").alias("n2"))
+    p = (
+        F.lit(_LM_L1) * (F.col("nb") / F.col("n1"))
+        + F.lit(_LM_L2) * (F.col("n2") / F.col("t"))
+    )
+    lm = (
+        bigpos.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.avg(F.log(p)).alias("alp"))
+    )
+    s3 = s2.join(lm, "doc_id").filter(F.col("alp") >= _CV2_LM_MIN)
+    w4 = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    return (
+        s3.withColumn("rn", F.row_number().over(w4))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            F.round("alp", 6).alias("avg_logprob"),
+        )
+    )

@@ -111,3 +111,20 @@ def test_shard_plan_partitions_corpus(spark):
     sizes = [r.n_docs for r in rows]
     assert len(rows) == 16
     assert max(sizes) < 4 * min(sizes)
+
+
+def test_curation_v2_composes_with_stage_gates(spark):
+    """Capstone v2 survivors must be a subset of each stage's own
+    keep-set: canonical-URL keepers, classifier scores above gate,
+    and LM threshold on the reported column."""
+    rows = QUERIES["q_curation_v2"].spark(spark, SF_DIR).collect()
+    assert rows
+    url_keepers = {
+        r.keep_doc for r in QUERIES["q_dedup_url"].spark(spark, SF_DIR).collect()
+    }
+    for r in rows:
+        assert r.doc_id in url_keepers
+        assert r.score >= 0.43 - 1e-9
+        assert r.avg_logprob >= -3.42 - 1e-6
+    # gates actually cut: strictly fewer survivors than URL keepers
+    assert len(rows) < len(url_keepers)

@@ -11,7 +11,6 @@ processing hook is KafkaDirectStream.scala:43-51).
 from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query

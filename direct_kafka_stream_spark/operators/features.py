@@ -38,7 +38,7 @@ _FH_DIM = 32  # hashed feature space size
 )
 def q_feature_hash(spark: SparkSession, d: str):
     """Hashing-trick featurizer: token → md5-derived bucket in a fixed
-    {_FH_DIM}-dim space, counted per document — bag-of-words features
+    32-dim space, counted per document — bag-of-words features
     with NO vocabulary state (the property that makes it streamable
     and shard-parallel at 100 TB: any executor featurizes any shard
     with zero coordination). md5 rather than the engine-native hash so
@@ -46,7 +46,7 @@ def q_feature_hash(spark: SparkSession, d: str):
     md5-uniform draws in q_mix_sample).
 
     One explode + one (doc, bucket) groupBy — map-side combined, and
-    the output is at most {_FH_DIM} rows per doc regardless of length."""
+    the output is at most 32 rows per doc regardless of length."""
     docs = load_table(spark, d, "documents").filter(F.col("doc_id") < 100)
     toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     bucket = (
@@ -100,7 +100,7 @@ _COLL_MIN_N = 5
 def q_collocations(spark: SparkSession, d: str):
     """PMI collocation mining: bigrams that co-occur far more than
     their unigram frequencies predict (pointwise mutual information,
-    min support {_COLL_MIN_N}) — the phrase-detection pass tokenizer
+    min support 5) — the phrase-detection pass tokenizer
     and n-gram-LM training both start from.
 
     Unigram and bigram count tables both reduce to vocab-sized
@@ -166,15 +166,17 @@ def q_collocations(spark: SparkSession, d: str):
         UNION ALL
         SELECT v, 0, 1 FROM b
     ),
+    perv AS (
+        SELECT v, SUM(in_a) AS ca, SUM(in_b) AS cb
+        FROM pooled GROUP BY v
+    ),
     cdf AS (
         SELECT v,
-               SUM(in_a) OVER (ORDER BY v, in_b
-                               ROWS UNBOUNDED PRECEDING) * 1.0
+               SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) * 1.0
                    / (SELECT COUNT(*) FROM a) AS fa,
-               SUM(in_b) OVER (ORDER BY v, in_b
-                               ROWS UNBOUNDED PRECEDING) * 1.0
+               SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) * 1.0
                    / (SELECT COUNT(*) FROM b) AS fb
-        FROM pooled
+        FROM perv
     )
     SELECT round(MAX(ABS(fa - fb)), 6) AS ks,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
@@ -185,18 +187,21 @@ def q_collocations(spark: SparkSession, d: str):
 )
 def q_drift_ks(spark: SparkSession, d: str):
     """Two-sample Kolmogorov–Smirnov drift statistic between the value
-    distributions of two event populations: KS = max |F̂_a − F̂_b|
-    over the pooled sample — the standard 'did this feed's
-    distribution shift?' monitor.
+    distributions of two event populations: KS = max |F̂_a − F̂_b| —
+    the standard 'did this feed's distribution shift?' monitor.
 
-    Exact KS needs a total order over the pooled sample, so the
-    running-CDF window is single-partition by construction — correct
-    and fine for the samples a monitor actually compares (per-window
-    slices, not whole tables). The 100 TB variant bins values first
-    (q_hist_equi's shape) and takes the max over ~1000 binned CDF
-    points — same operator tree, bounded sort. Ties between samples
-    are ordered (a before b) identically in both engines so the
-    running CDFs agree row-for-row."""
+    Both empirical CDFs are right-continuous step functions that jump
+    only at data points, so the exact sup is the max over DISTINCT
+    pooled values of the fully-advanced CDFs — which is why the
+    per-value counts aggregate BEFORE the running window. (Evaluating
+    the running CDF per pooled ROW instead reads F̂_a mid-tie when a
+    value occurs in both samples and overestimates: a={1,2}, b={2,3}
+    gives 1.0 instead of the true 0.5 — caught in round-3 review,
+    pinned by the numpy cross-check test.) The running window also
+    shrinks to one row per distinct value. It is single-partition by
+    construction — exact KS needs a total order; the 100 TB variant
+    bins values first (q_hist_equi's shape) and maxes over ~1000
+    binned CDF points, same operator tree."""
     e = load_table(spark, d, "events")
     a = e.filter(F.col("event_type") == "view").select(
         F.col("value").alias("v"),
@@ -210,23 +215,27 @@ def q_drift_ks(spark: SparkSession, d: str):
     )
     na = a.agg(F.count(F.lit(1)).alias("n_a"))
     nb = b.agg(F.count(F.lit(1)).alias("n_b"))
-    w = Window.orderBy("v", "in_b").rowsBetween(
+    perv = (
+        a.unionAll(b)
+        .groupBy("v")
+        .agg(F.sum("in_a").alias("ca"), F.sum("in_b").alias("cb"))
+    )
+    w = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    pooled = (
-        a.unionAll(b)
-        .crossJoin(F.broadcast(na))
+    cdf = (
+        perv.crossJoin(F.broadcast(na))
         .crossJoin(F.broadcast(nb))
         .select(
             "n_a",
             "n_b",
-            (F.sum("in_a").over(w) / F.col("n_a")).alias("fa"),
-            (F.sum("in_b").over(w) / F.col("n_b")).alias("fb"),
+            (F.sum("ca").over(w) / F.col("n_a")).alias("fa"),
+            (F.sum("cb").over(w) / F.col("n_b")).alias("fb"),
         )
     )
     # coalesce: on an empty pooled sample first() is NULL but the
     # oracle's scalar COUNT(*) subqueries report 0
-    return pooled.agg(
+    return cdf.agg(
         F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks"),
         F.coalesce(F.first("n_a"), F.lit(0).cast("long")).alias("n_a"),
         F.coalesce(F.first("n_b"), F.lit(0).cast("long")).alias("n_b"),
@@ -282,7 +291,7 @@ def q_quality_classifier(spark: SparkSession, d: str):
     bucket (q_feature_hash's space), length-normalized weighted sum +
     bias, sigmoid score, threshold keep/drop. Weights here are a fixed
     deterministic vector; in production they arrive from an offline
-    trainer as a {_FH_DIM}-float broadcast.
+    trainer as a 32-float broadcast.
 
     The whole model application is ONE doc-keyed aggregation over the
     token stream — the weight lookup is a pure arithmetic expression
@@ -343,13 +352,13 @@ _N_SHARDS = 16
 )
 def q_shard_plan(spark: SparkSession, d: str):
     """Output-shard planning report: md5-hash documents into
-    {_N_SHARDS} shards and report per-shard doc and token counts — the
+    16 shards and report per-shard doc and token counts — the
     pre-write check that the training-data writer's partitioning is
     balanced (token skew across output files stalls downstream
     data-loader workers exactly like partition skew stalls reducers).
 
     Hash sharding is stateless and shard-parallel; the report is one
-    scan + one {_N_SHARDS}-group aggregation. The balance decision
+    scan + one 16-group aggregation. The balance decision
     (max/mean token ratio) belongs to the caller — this emits the
     evidence."""
     docs = load_table(spark, d, "documents")
@@ -426,7 +435,21 @@ def q_text_bigram_lm(spark: SparkSession, d: str):
     shuffles only for the final doc-keyed mean. The interpolation
     keeps every probability strictly positive, so the log is total:
     no smoothing special cases to diverge on."""
-    docs = load_table(spark, d, "documents")
+    scored = lm_scores(load_table(spark, d, "documents"))
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("alp", 6).alias("avg_logprob"),
+    )
+
+
+def lm_scores(docs):
+    """Composable interpolated-bigram-LM scorer over any
+    (doc_id, text) DataFrame: returns (doc_id, n_bigrams, alp) with
+    alp the UNROUNDED mean log-probability (callers round for display
+    and threshold on the raw value). Shared by q_text_bigram_lm and
+    the q_curation_v2 capstone so the tokenization, bigram formation,
+    and interpolation live in exactly one place."""
     toks_arr = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     tokenized = docs.select("doc_id", toks_arr.alias("toks"))
     bigrams = F.when(
@@ -461,7 +484,7 @@ def q_text_bigram_lm(spark: SparkSession, d: str):
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+            F.avg(F.log(p)).alias("alp"),
         )
     )
 
@@ -500,7 +523,7 @@ _CV2_LM_MIN = -3.42     # bigram-LM perplexity gate
     ),
     scored AS (
         SELECT doc_id,
-               1.0 / (1.0 + exp(-(SUM(((bucket * 37) % 19 - 9) / 10.0)
+               1.0 / (1.0 + exp(-(SUM({_qc_weight_sql('bucket')})
                                   / COUNT(*) + {_QC_BIAS}))) AS score
         FROM buckets GROUP BY doc_id
     ),
@@ -560,8 +583,8 @@ def q_curation_v2(spark: SparkSession, d: str):
     LSH-near-dup path:
 
         canonical-URL keep-first (q_dedup_url)
-        → hashed linear classifier gate (q_quality_classifier ≥ {_CV2_SCORE_MIN})
-        → interpolated bigram-LM perplexity gate (q_text_bigram_lm ≥ {_CV2_LM_MIN},
+        → hashed linear classifier gate (q_quality_classifier ≥ 0.43)
+        → interpolated bigram-LM perplexity gate (q_text_bigram_lm ≥ −3.42,
           with the LM estimated on the POST-classifier corpus — the
           gates compound, they don't just intersect)
         → exact sha256 keep-first.
@@ -591,40 +614,7 @@ def q_curation_v2(spark: SparkSession, d: str):
         .filter(F.col("score") >= _CV2_SCORE_MIN)
     )
 
-    toks_arr = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-    tokenized = s2.select("doc_id", toks_arr.alias("toks"))
-    bigrams = F.when(
-        F.size(F.col("toks")) >= 2,
-        F.expr(
-            "transform(sequence(1, size(toks) - 1),"
-            " i -> struct(element_at(toks, i) AS w1,"
-            "             element_at(toks, i + 1) AS w2))"
-        ),
-    ).otherwise(F.expr("array()"))
-    bigpos = tokenized.select("doc_id", F.explode(bigrams).alias("b")).select(
-        "doc_id", "b.w1", "b.w2"
-    )
-    uni = (
-        tokenized.select(F.explode("toks").alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    tot = uni.agg(F.sum("n").alias("t"))
-    big = bigpos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
-    u1 = uni.select(F.col("word").alias("w1"), F.col("n").alias("n1"))
-    u2 = uni.select(F.col("word").alias("w2"), F.col("n").alias("n2"))
-    p = (
-        F.lit(_LM_L1) * (F.col("nb") / F.col("n1"))
-        + F.lit(_LM_L2) * (F.col("n2") / F.col("t"))
-    )
-    lm = (
-        bigpos.join(F.broadcast(big), ["w1", "w2"])
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(F.avg(F.log(p)).alias("alp"))
-    )
+    lm = lm_scores(s2).select("doc_id", "alp")
     s3 = s2.join(lm, "doc_id").filter(F.col("alp") >= _CV2_LM_MIN)
     w4 = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
     return (

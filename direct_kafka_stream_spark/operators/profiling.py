@@ -16,7 +16,7 @@ an exact DuckDB oracle. Design-for-scale notes sit on each docstring.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from direct_kafka_stream_spark.io import load_table

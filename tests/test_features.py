@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from direct_kafka_stream_spark import QUERIES, load_table
@@ -48,12 +49,18 @@ def test_collocations_pmi_is_finite_and_supported(spark):
         assert math.isfinite(r.pmi)
 
 
-def test_drift_ks_matches_scipy_style_bruteforce(spark):
+@pytest.mark.parametrize(
+    "sf_dir",
+    [SF_DIR, "/root/testdata/sf0.01"],  # sf0.01 has cross-sample ties:
+    # the case where a per-row (rather than per-distinct-value) running
+    # CDF overestimates the statistic
+)
+def test_drift_ks_matches_scipy_style_bruteforce(spark, sf_dir):
     """Recompute KS with numpy on the same two samples — the operator
     must agree exactly (both are the exact statistic, not a bound)."""
     import numpy as np
 
-    e = load_table(spark, SF_DIR, "events")
+    e = load_table(spark, sf_dir, "events")
     a = np.sort(
         np.array(
             [
@@ -79,7 +86,7 @@ def test_drift_ks_matches_scipy_style_bruteforce(spark):
     fb = np.searchsorted(b, pooled, side="right") / len(b)
     ks_expected = round(float(np.max(np.abs(fa - fb))), 6)
 
-    row = QUERIES["q_drift_ks"].spark(spark, SF_DIR).collect()[0]
+    row = QUERIES["q_drift_ks"].spark(spark, sf_dir).collect()[0]
     assert row.n_a == len(a) and row.n_b == len(b)
     assert abs(row.ks - ks_expected) < 1e-9, (row.ks, ks_expected)
     assert 0.0 <= row.ks <= 1.0
@@ -90,13 +97,18 @@ def test_quality_classifier_scores_are_probabilities(spark):
     assert rows
     n_docs = (
         load_table(spark, SF_DIR, "documents")
-        .filter(F.length("text") > 0)
+        .filter(
+            F.size(F.filter(F.split("text", " "), lambda w: w != "")) > 0
+        )
         .count()
     )
-    assert len(rows) == n_docs  # every non-empty doc gets a score
+    assert len(rows) == n_docs  # every token-bearing doc gets a score
     for r in rows:
         assert 0.0 <= r.score <= 1.0
-        assert r.keep == (r.score >= 0.5)
+        # keep uses the UNROUNDED score; the reported score is rounded,
+        # so only check consistency away from the rounding boundary
+        if abs(r.score - 0.5) > 1e-6:
+            assert r.keep == (r.score >= 0.5)
     # the fixed weight vector must actually separate: both classes occur
     kept = sum(1 for r in rows if r.keep)
     assert 0 < kept < len(rows)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from direct_kafka_stream_spark.exprs import dsum
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -197,4 +198,115 @@ def q_attribution(spark: SparkSession, d: str):
             F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
         )
         .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH first_touch AS (
+        SELECT user_id, date_trunc('month', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    purchases AS (
+        SELECT e.user_id, f.cohort,
+               datediff('month', f.cohort, date_trunc('month', e.ts))
+                   AS month_offset,
+               e.value
+        FROM events e JOIN first_touch f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+    ),
+    per_offset AS (
+        SELECT strftime(cohort, '%Y-%m') AS cohort, month_offset,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE)
+                   AS revenue
+        FROM purchases GROUP BY cohort, month_offset
+    )
+    SELECT cohort, month_offset, revenue,
+           round(SUM(revenue) OVER (PARTITION BY cohort ORDER BY month_offset
+                                    ROWS UNBOUNDED PRECEDING), 4)
+               AS cum_revenue
+    FROM per_offset
+    """,
+    tags=("events", "cohort"),
+)
+def q_cohort_ltv(spark: SparkSession, d: str):
+    """Cohort lifetime-value curves: users grouped by first-activity
+    month, purchase value accumulated by month offset since the cohort
+    started — the (cohort × age) revenue matrix growth teams read.
+
+    The cohort assignment is one user-keyed aggregation whose result
+    (users-sized, two narrow columns) broadcasts back onto the
+    purchase scan; revenue then reduces to (cohorts × offsets) rows
+    BEFORE the cumulative window, so the running sum is cosmetically
+    cheap. Revenue sums go through exact DECIMAL(38,10) (the engine's
+    determinism contract — order-independent and reproducible at any
+    scale)."""
+    e = load_table(spark, d, "events")
+    first_touch = e.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first_touch), "user_id")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort"),
+            (
+                F.months_between(
+                    F.date_trunc("month", "ts"), F.col("cohort")
+                ).cast("long")
+            ).alias("month_offset"),
+            "value",
+        )
+    )
+    per_offset = purchases.groupBy("cohort", "month_offset").agg(
+        dsum("value").alias("revenue")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_offset.select(
+        "cohort",
+        "month_offset",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 4).alias("cum_revenue"),
+    )
+
+
+@query(
+    "q_seasonality",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hod,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE)
+               AS total_value
+    FROM events
+    GROUP BY dow, hod
+    ORDER BY dow, hod
+    """,
+    tags=("events", "seasonality"),
+)
+def q_seasonality(spark: SparkSession, d: str):
+    """Traffic seasonality heatmap: event counts and exact-decimal
+    value totals by (day-of-week × hour-of-day) — the load-profile
+    census capacity planning and anomaly baselines start from. One
+    map-side-combined aggregation to at most 168 output rows
+    regardless of table size.
+
+    Dialect note (ALIGNMENT.md): Spark dayofweek and DuckDB dayofweek
+    differ by one (Sunday=1 vs Sunday=0) — Spark side subtracts 1."""
+    e = load_table(spark, d, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("dow", "hod")
     )

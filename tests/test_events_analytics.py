@@ -27,3 +27,31 @@ def test_funnel3_is_monotone(spark):
     row = QUERIES["q_funnel3"].spark(spark, SF_DIR).collect()[0]
     assert row.n_view >= row.n_view_click >= row.n_view_click_purchase
     assert row.n_view > 0
+
+
+def test_cohort_ltv_is_cumulative_and_monotone(spark):
+    rows = QUERIES["q_cohort_ltv"].spark(spark, SF_DIR).collect()
+    assert rows
+    by_cohort: dict[str, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort, []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.month_offset)
+        running = 0.0
+        for r in rs:
+            assert r.revenue >= 0
+            running += r.revenue
+            assert abs(r.cum_revenue - round(running, 4)) < 1e-6
+        # cumulative never decreases
+        cums = [r.cum_revenue for r in rs]
+        assert cums == sorted(cums)
+
+
+def test_seasonality_covers_all_events(spark):
+    from direct_kafka_stream_spark import load_table
+
+    rows = QUERIES["q_seasonality"].spark(spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "events").count()
+    assert sum(r.n_events for r in rows) == n
+    for r in rows:
+        assert 0 <= r.dow <= 6 and 0 <= r.hod <= 23

@@ -11,6 +11,7 @@ processing hook is KafkaDirectStream.scala:43-51).
 from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
@@ -247,4 +248,128 @@ def q_format_detect(spark: SparkSession, d: str):
                 "n_allcaps"
             ),
         )
+    )
+
+
+@query(
+    "q_decontaminate_frac",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, source, md5(word || ' ' || w1 || ' ' || w2 || ' ' || w3) AS gh
+        FROM (
+            SELECT doc_id, source, word,
+                   LEAD(word, 1) OVER w AS w1,
+                   LEAD(word, 2) OVER w AS w2,
+                   LEAD(word, 3) OVER w AS w3
+            FROM (
+                SELECT doc_id, source,
+                       unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word,
+                       generate_subscripts(list_filter(string_split(text, ' '), w -> w != ''), 1) AS pos
+                FROM documents
+            )
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE w3 IS NOT NULL
+    ),
+    ev AS (SELECT DISTINCT gh FROM sh WHERE source = 'src0'),
+    totals AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT gh) AS BIGINT) AS n_grams
+        FROM sh WHERE source != 'src0' GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT s.doc_id, CAST(COUNT(DISTINCT s.gh) AS BIGINT) AS n_shared
+        FROM sh AS s JOIN ev USING (gh)
+        WHERE s.source != 'src0'
+        GROUP BY s.doc_id
+    )
+    SELECT t.doc_id, t.n_grams, h.n_shared,
+           round(h.n_shared * 1.0 / t.n_grams, 6) AS containment
+    FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+    """,
+    tags=("llm", "curation"),
+)
+def q_decontaminate_frac(spark: SparkSession, d: str):
+    """Containment-fraction decontamination: for each contaminated
+    training document, the FRACTION of its distinct word 4-grams that
+    appear in the held-out eval set — the graded score behind
+    threshold policies ('drop if >80% contained, log if >10%'), where
+    q_decontaminate's binary any-hit flag over- or under-reacts.
+
+    Same scale shape as its sibling: the eval-gram set broadcasts,
+    matches move 16-byte digests, and the only corpus-keyed exchanges
+    are the two per-doc distinct counts; the final join is
+    contamination-sized ⋈ corpus-sized on doc_id with the small side
+    broadcast."""
+    from direct_kafka_stream_spark.operators.llm import _spread
+    from direct_kafka_stream_spark.operators.llm2 import (
+        _DECON_EVAL,
+        decon_gram_stream,
+    )
+
+    sh = decon_gram_stream(_spread(load_table(spark, d, "documents")))
+    train = sh.filter(F.col("source") != _DECON_EVAL)
+    ev = sh.filter(F.col("source") == _DECON_EVAL).select("gh").distinct()
+    totals = train.groupBy("doc_id").agg(
+        F.count_distinct("gh").alias("n_grams")
+    )
+    hits = (
+        train.join(F.broadcast(ev), "gh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gh").alias("n_shared"))
+    )
+    return totals.join(F.broadcast(hits), "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("containment"),
+    )
+
+
+@query(
+    "q_zipf_slope",
+    oracle="""
+    WITH freq AS (
+        SELECT word, COUNT(*) AS n FROM (
+            SELECT unnest(list_filter(string_split(text, ' '), w -> w != ''))
+                AS word
+            FROM documents
+        ) GROUP BY word
+    ),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank
+        FROM freq
+        ORDER BY n DESC, word LIMIT 100
+    )
+    SELECT round(regr_slope(LN(n), LN(rank)), 6) AS zipf_slope,
+           round(regr_r2(LN(n), LN(rank)), 6) AS r2,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM ranked
+    """,
+    tags=("llm", "text", "stats"),
+)
+def q_zipf_slope(spark: SparkSession, d: str):
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) against ln(rank) for the top-100 words (natural
+    language sits near −1; a flat or erratic slope flags synthetic or
+    templated corpora) — a one-number corpus-health fingerprint.
+
+    The word-frequency table is one map-side-combined groupBy; the
+    top-100 rank assignment and the regression aggregate both run on
+    ≤100 rows, so everything after the count is free. regr_slope /
+    regr_r2 are identical closed forms in both engines; rounded 6 dp
+    (ALIGNMENT.md transcendental rule for the LN inputs)."""
+    docs = load_table(spark, d, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    freq = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("n").desc(), "word")
+    ranked = freq.select("n", F.row_number().over(w).alias("rank"))
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("n"), F.log("rank")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("n"), F.log("rank")), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n_words"),
     )

@@ -740,12 +740,12 @@ def q_decontaminate(spark: SparkSession, d: str):
     return decontaminate(_spread(load_table(spark, d, "documents")))
 
 
-def decontaminate(docs):
-    """Frame-level decontamination body (also driven by the scale
-    probe over synthetically inflated corpora): see q_decontaminate.
-    The token array is projected ONCE before the gram transform —
-    element_at inside the lambda would otherwise re-run the
-    split+filter per gram position (O(len²) per doc)."""
+def decon_gram_stream(docs):
+    """(doc_id, source, gh) stream of md5'd word 4-grams — the shared
+    substrate of q_decontaminate and q_decontaminate_frac. The token
+    array is projected ONCE before the gram transform — element_at
+    inside the lambda would otherwise re-run the split+filter per gram
+    position (O(len²) per doc)."""
     n = _DECON_N
     tokd = docs.select("doc_id", "source", _tokens().alias("toks"))
     toks = F.col("toks")
@@ -760,7 +760,13 @@ def decontaminate(docs):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = tokd.select("doc_id", "source", F.explode(grams).alias("gh"))
+    return tokd.select("doc_id", "source", F.explode(grams).alias("gh"))
+
+
+def decontaminate(docs):
+    """Frame-level decontamination body (also driven by the scale
+    probe over synthetically inflated corpora): see q_decontaminate."""
+    sh = decon_gram_stream(docs)
     ev = sh.filter(F.col("source") == _DECON_EVAL).select("gh").distinct()
     return (
         sh.filter(F.col("source") != _DECON_EVAL)

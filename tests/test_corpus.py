@@ -48,3 +48,29 @@ def test_format_detect_counts_bounded_by_docs(spark):
     for r in rows:
         for c in (r.n_codeish, r.n_numeric, r.n_prose, r.n_allcaps):
             assert 0 <= c <= r.n_docs
+
+
+def test_decontaminate_frac_brackets_binary_flag(spark):
+    """Same contaminated-doc set as q_decontaminate, containment in
+    (0, 1], and n_shared never exceeds the doc's distinct gram count."""
+    frac = {
+        r.doc_id: r
+        for r in QUERIES["q_decontaminate_frac"].spark(spark, SF_DIR).collect()
+    }
+    binary = {
+        r.doc_id: r.n_shared
+        for r in QUERIES["q_decontaminate"].spark(spark, SF_DIR).collect()
+    }
+    assert set(frac) == set(binary)
+    for doc_id, r in frac.items():
+        assert 0 < r.n_shared <= r.n_grams
+        assert r.n_shared == binary[doc_id]
+        assert 0.0 < r.containment <= 1.0
+
+
+def test_zipf_slope_is_negative_powerlaw(spark):
+    row = QUERIES["q_zipf_slope"].spark(spark, SF_DIR).collect()[0]
+    # top-100 cap; the smoke fixture's synthetic vocab is smaller
+    assert 0 < row.n_words <= 100
+    assert row.zipf_slope < 0  # frequency falls with rank
+    assert 0.0 <= row.r2 <= 1.0

@@ -310,3 +310,72 @@ def q_seasonality(spark: SparkSession, d: str):
         )
         .orderBy("dow", "hod")
     )
+
+
+@query(
+    "q_audience_overlap",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    sizes AS (
+        SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type
+    ),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+    )
+    SELECT i.type_a, i.type_b, i.n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           round(i.n_both * 1.0 / (sa.n + sb.n - i.n_both), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.type_a = sa.event_type
+    JOIN sizes sb ON i.type_b = sb.event_type
+    """,
+    tags=("events", "overlap"),
+)
+def q_audience_overlap(spark: SparkSession, d: str):
+    """Pairwise audience overlap between event types: for every type
+    pair, the Jaccard similarity of their user sets — the
+    segment-overlap matrix behind 'do purchasers also file errors?'
+    questions (and the audience-dedup problem in ad pipelines).
+
+    The (user, type) distinct projection is one user-keyed shuffle;
+    the self-join runs on that deduped table keyed by user, bounded at
+    ≤|types| rows per user, so join output is ≤|types|²/2 per user —
+    never quadratic in users. Pair counts and the |types|-row size
+    table then join broadcast-side."""
+    e = load_table(spark, d, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -55,3 +55,14 @@ def test_seasonality_covers_all_events(spark):
     assert sum(r.n_events for r in rows) == n
     for r in rows:
         assert 0 <= r.dow <= 6 and 0 <= r.hod <= 23
+
+
+def test_audience_overlap_is_symmetric_jaccard(spark):
+    rows = QUERIES["q_audience_overlap"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b  # canonical pair order, no dupes
+        assert 0 < r.n_both <= min(r.n_a, r.n_b)
+        expected = r.n_both / (r.n_a + r.n_b - r.n_both)
+        assert abs(r.jaccard - round(expected, 6)) < 1e-9
+        assert 0.0 < r.jaccard <= 1.0

@@ -626,3 +626,131 @@ def q_curation_v2(spark: SparkSession, d: str):
             F.round("alp", 6).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN classification and running-distinct window
+
+_KNN_K = 15
+
+
+@query(
+    "q_knn_classify",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    qv AS (SELECT i, x AS qx FROM ev WHERE vec_id = 0),
+    dots AS (
+        SELECT e.vec_id, ANY_VALUE(e.label) AS label,
+               SUM(e.x * q.qx) AS dot, SUM(e.x * e.x) AS na
+        FROM ev AS e JOIN qv AS q USING (i)
+        WHERE e.vec_id != 0
+        GROUP BY e.vec_id
+    ),
+    nq AS (SELECT SUM(qx * qx) AS nq FROM qv),
+    topk AS (
+        SELECT d.vec_id, d.label,
+               round(d.dot / (sqrt(d.na) * sqrt(nq.nq)), 6) AS sim
+        FROM dots AS d, nq
+        ORDER BY sim DESC, d.vec_id LIMIT {_KNN_K}
+    )
+    SELECT label AS predicted, COUNT(*) AS votes,
+           round(AVG(sim), 6) AS mean_sim
+    FROM topk GROUP BY label
+    ORDER BY votes DESC, label LIMIT 1
+    """,
+    tags=("features", "embedding", "knn"),
+)
+def q_knn_classify(spark: SparkSession, d: str):
+    """k-NN classification of a probe embedding (vec_id 0): cosine
+    top-15 neighbors vote by label, majority (ties → smaller label)
+    wins — the label-propagation / weak-annotation primitive over an
+    embedded corpus.
+
+    Composition of the ANN baseline (q_sim_cosine's broadcast query
+    vector + TakeOrderedAndProject top-k) with a 15-row vote
+    aggregation — the corpus is scanned once and only k rows leave the
+    heap. At scale the top-k pass swaps for the IVF/LSH probes
+    (q_sim_ivf, q_sim_ann_bucket) with identical voting."""
+    from direct_kafka_stream_spark.operators.llm import _cosine
+
+    e = load_table(spark, d, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    topk = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(_KNN_K)
+    )
+    return (
+        topk.groupBy(F.col("label").alias("predicted"))
+        .agg(
+            F.count(F.lit(1)).alias("votes"),
+            F.round(F.avg("sim"), 6).alias("mean_sim"),
+        )
+        .orderBy(F.col("votes").desc(), "predicted")
+        .limit(1)
+    )
+
+
+@query(
+    "q_win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS distinct_types_so_far
+    FROM flagged
+    """,
+    tags=("window", "events"),
+)
+def q_win_running_distinct(spark: SparkSession, d: str):
+    """Running DISTINCT count per user over time — 'how many different
+    event types has this user produced so far?' (breadth-of-engagement
+    scoring). COUNT(DISTINCT) OVER a running frame is unsupported in
+    both engines; the portable form marks each (user, type)'s first
+    occurrence with one window, then running-sums the flags with a
+    second — both windows share the same user-keyed shuffle, so the
+    rewrite costs one exchange total."""
+    e = load_table(spark, d, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.row_number().over(w_first) == 1).cast("int").alias("first_seen"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("first_seen").over(w_run).cast("long").alias(
+                "distinct_types_so_far"
+            ),
+        )
+    )

@@ -140,3 +140,25 @@ def test_curation_v2_composes_with_stage_gates(spark):
         assert r.avg_logprob >= -3.42 - 1e-6
     # gates actually cut: strictly fewer survivors than URL keepers
     assert len(rows) < len(url_keepers)
+
+
+def test_knn_classify_majority_is_consistent(spark):
+    row = QUERIES["q_knn_classify"].spark(spark, SF_DIR).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert 1 <= r.votes <= 15
+    assert -1.0 <= r.mean_sim <= 1.0
+
+
+def test_running_distinct_is_monotone_and_bounded(spark):
+    rows = QUERIES["q_win_running_distinct"].spark(spark, SF_DIR).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    n_types = 5
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.event_id)
+        vals = [r.distinct_types_so_far for r in rs]
+        assert vals[0] == 1  # the first event introduces its type
+        assert all(1 <= v <= n_types for v in vals)

@@ -373,3 +373,87 @@ def q_zipf_slope(spark: SparkSession, d: str):
         F.round(F.regr_r2(F.log("n"), F.log("rank")), 6).alias("r2"),
         F.count(F.lit(1)).alias("n_words"),
     )
+
+
+@query(
+    "q_minhash_accuracy",
+    oracle="""
+    WITH shingles AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, word || ' ' || w1 || ' ' || w2 AS shingle
+            FROM (
+                SELECT doc_id, word,
+                       LEAD(word, 1) OVER w AS w1,
+                       LEAD(word, 2) OVER w AS w2
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word,
+                           generate_subscripts(list_filter(string_split(text, ' '), w -> w != ''), 1) AS pos
+                    FROM documents
+                )
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ) WHERE w2 IS NOT NULL
+        )
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+    ws AS (SELECT doc_id, list(DISTINCT shingle) AS s FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                   AS exact_j
+        FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+        WHERE a.doc_id < 50 AND b.doc_id < 50
+    )
+    SELECT CAST(FLOOR(exact_j * 10) AS BIGINT) AS j_decile,
+           COUNT(*) AS n_pairs,
+           round(AVG(exact_j), 6) AS mean_exact
+    FROM pairs
+    WHERE exact_j > 0
+    GROUP BY j_decile ORDER BY j_decile
+    """,
+    tags=("llm", "dedup", "diagnostic"),
+)
+def q_minhash_accuracy(spark: SparkSession, d: str):
+    """Jaccard-distribution census over a bounded probe window (doc_id
+    < 50, exhaustive pairs): how many pairs fall in each exact-Jaccard
+    decile — the ground-truth histogram you size MinHash/LSH
+    parameters against (band/row choices are picked so the S-curve
+    knee lands where this histogram separates dups from noise).
+
+    The probe window is an explicit bound: exhaustive exact Jaccard is
+    O(window²) and exists to CALIBRATE the sketch parameters on a
+    sample, never to run corpus-wide (the banded q_dedup_near /
+    q_jaccard_pairs paths are the corpus-scale forms). Distinct
+    3-gram shingle sets per doc, intersection via sorted-array
+    overlap, decile bucketing in one aggregation."""
+    from direct_kafka_stream_spark.operators.llm import (
+        _shingles_from_docs,
+        _spread,
+    )
+
+    docs = _spread(
+        load_table(spark, d, "documents").filter(F.col("doc_id") < 50)
+    )
+    sh = _shingles_from_docs(docs).select("doc_id", "shingle").distinct()
+    ws = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("s")
+    )
+    a, b = ws.alias("a"), ws.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select((inter.cast("double") / union).alias("exact_j"))
+        .filter(F.col("exact_j") > 0)
+    )
+    return (
+        pairs.groupBy(
+            F.floor(F.col("exact_j") * 10).cast("long").alias("j_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("exact_j"), 6).alias("mean_exact"),
+        )
+        .orderBy("j_decile")
+    )

@@ -379,3 +379,152 @@ def q_audience_overlap(spark: SparkSession, d: str):
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "q_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE)
+                   AS x
+        FROM events GROUP BY day
+    ),
+    stats AS (SELECT AVG(x) AS mu FROM daily),
+    cusum AS (
+        SELECT day, x,
+               SUM(x - (SELECT mu FROM stats))
+                   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s
+        FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(x, 4) AS daily_value,
+           round(s, 4) AS cusum,
+           round(ABS(s), 4) AS abs_cusum
+    FROM cusum
+    ORDER BY ABS(s) DESC, day
+    LIMIT 5
+    """,
+    tags=("events", "monitoring"),
+)
+def q_changepoint(spark: SparkSession, d: str):
+    """CUSUM mean-shift detection over the daily value series: the
+    cumulative sum of deviations from the global mean peaks at the
+    most likely changepoint — the top-5 |CUSUM| days are where a level
+    shift in the feed is most likely to have started (the classic
+    page-view/revenue regression monitor).
+
+    The fact table reduces to a days-sized series in one map-side-
+    combined aggregation (exact-decimal sums); the mean is a 1-row
+    broadcast and the running CUSUM window runs over days, not events.
+    Top-5 via TakeOrderedAndProject."""
+    from direct_kafka_stream_spark.exprs import dsum
+
+    e = load_table(spark, d, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(dsum("value").alias("x"))
+    mu = daily.agg(F.avg("x").alias("mu"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = (
+        daily.crossJoin(F.broadcast(mu))
+        .select(
+            "day",
+            "x",
+            F.sum(F.col("x") - F.col("mu")).over(w).alias("s"),
+        )
+    )
+    return (
+        cusum.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("x", 4).alias("daily_value"),
+            F.round("s", 4).alias("cusum"),
+            F.round(F.abs("s"), 4).alias("abs_cusum"),
+        )
+        .orderBy(F.abs(F.col("cusum")).desc(), "day")
+        .limit(5)
+    )
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+    WITH tagged AS (
+        SELECT CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
+                    AS BIGINT) % 2 AS BIGINT) AS arm,
+               value
+        FROM events
+    ),
+    arms AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(value) AS m,
+               VAR_POP(value) AS v
+        FROM tagged GROUP BY arm
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 0 THEN m END) AS m0,
+               MAX(CASE WHEN arm = 0 THEN v END) AS v0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 1 THEN m END) AS m1,
+               MAX(CASE WHEN arm = 1 THEN v END) AS v1
+        FROM arms
+    )
+    SELECT n0, n1,
+           round(m0, 6) AS mean0,
+           round(m1, 6) AS mean1,
+           round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 6) AS z_score
+    FROM wide
+    """,
+    tags=("events", "experiment"),
+)
+def q_ab_test(spark: SparkSession, d: str):
+    """Two-sample z-test for an A/B experiment on a continuous metric:
+    users hash into two arms (md5 — the deterministic assignment a
+    real experimentation system uses, identical across engines) and
+    the arms' mean event values are compared with the Welch-style
+    z-score (m₁−m₀)/√(σ₀²/n₀+σ₁²/n₁) — the readout query of every
+    experimentation pipeline. (A conversion-proportion variant is
+    degenerate on this fixture — every user purchases — so the
+    continuous form is the honest test.)
+
+    One map-side-combined aggregation to a 2-row arm table, then pure
+    scalar arithmetic; the statistic rounds at 6 dp (ALIGNMENT.md
+    transcendental rule for AVG/VAR_POP)."""
+    e = load_table(spark, d, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10
+        ).cast("long")
+        % 2
+    )
+    arms = (
+        e.select(arm.alias("arm"), "value")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_pop("value").alias("v"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("m"))).alias("m0"),
+        F.max(F.when(F.col("arm") == 0, F.col("v"))).alias("v0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("arm") == 1, F.col("v"))).alias("v1"),
+    )
+    z = (F.col("m1") - F.col("m0")) / F.sqrt(
+        F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    )
+    return wide.select(
+        "n0",
+        "n1",
+        F.round("m0", 6).alias("mean0"),
+        F.round("m1", 6).alias("mean1"),
+        F.round(z, 6).alias("z_score"),
+    )

@@ -66,3 +66,40 @@ def test_audience_overlap_is_symmetric_jaccard(spark):
         expected = r.n_both / (r.n_a + r.n_b - r.n_both)
         assert abs(r.jaccard - round(expected, 6)) < 1e-9
         assert 0.0 < r.jaccard <= 1.0
+
+
+def test_changepoint_cusum_ends_near_zero(spark):
+    """CUSUM of deviations from the global mean telescopes to ~0 at
+    the last day — recompute the full series in pandas and check the
+    operator surfaces the true top-|CUSUM| day."""
+    import numpy as np
+
+    from direct_kafka_stream_spark import load_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
+             .cast("double").alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    xs = np.array([r.x for r in daily])
+    cusum = np.cumsum(xs - xs.mean())
+    top_expected = round(float(np.max(np.abs(cusum))), 4)
+    rows = QUERIES["q_changepoint"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert abs(rows[0].abs_cusum - top_expected) < 1e-3
+    assert rows[0].abs_cusum >= rows[-1].abs_cusum
+
+
+def test_ab_test_arms_partition_events(spark):
+    from direct_kafka_stream_spark import load_table
+
+    row = QUERIES["q_ab_test"].spark(spark, SF_DIR).collect()[0]
+    n = load_table(spark, SF_DIR, "events").count()
+    assert row.n0 + row.n1 == n
+    assert row.n0 > 0 and row.n1 > 0
+    import math
+    assert math.isfinite(row.z_score)

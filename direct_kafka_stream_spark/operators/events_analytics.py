@@ -528,3 +528,75 @@ def q_ab_test(spark: SparkSession, d: str):
         F.round("m1", 6).alias("mean1"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@query(
+    "q_retention_matrix",
+    oracle="""
+    WITH first_week AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort,
+               datediff('week', f.cohort, date_trunc('week', e.ts))
+                   AS week_offset
+        FROM events e JOIN first_week f ON e.user_id = f.user_id
+    ),
+    cohort_sizes AS (
+        SELECT cohort, COUNT(*) AS n_users FROM first_week GROUP BY cohort
+    )
+    SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort,
+           a.week_offset,
+           COUNT(*) AS n_active,
+           s.n_users,
+           round(COUNT(*) * 1.0 / s.n_users, 6) AS retention
+    FROM activity a JOIN cohort_sizes s ON a.cohort = s.cohort
+    GROUP BY a.cohort, a.week_offset, s.n_users
+    """,
+    tags=("events", "cohort"),
+)
+def q_retention_matrix(spark: SparkSession, d: str):
+    """The full cohort-retention triangle: users bucketed by
+    first-activity week, the share still active at each week offset —
+    the (cohort × age) matrix every product-analytics dashboard draws
+    (q_retention's single week-over-week number generalized).
+
+    Cohort assignment is one user-keyed aggregation broadcast back
+    onto the events scan; activity dedupes to (user, offset) rows
+    before counting, and the cohort-size table joins broadcast-side.
+    Output is the triangle — weeks² rows — regardless of table size."""
+    e = load_table(spark, d, "events")
+    first_week = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = (
+        e.join(F.broadcast(first_week), "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", "ts"), F.col("cohort")) / 7
+                ).cast("long")
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = first_week.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        activity.groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "week_offset",
+            "n_active",
+            "n_users",
+            F.round(F.col("n_active") / F.col("n_users"), 6).alias(
+                "retention"
+            ),
+        )
+    )

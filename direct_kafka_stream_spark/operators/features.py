@@ -754,3 +754,102 @@ def q_win_running_distinct(spark: SparkSession, d: str):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup representative selection
+
+
+def _keep_best_oracle() -> str:
+    from direct_kafka_stream_spark.operators.llm import _BANDS_SQL
+
+    return f"""
+    WITH RECURSIVE {_BANDS_SQL},
+    comp(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, c.label FROM comp c JOIN edges e ON c.doc_id = e.src
+    ),
+    labels AS (
+        SELECT doc_id, MIN(label) AS component FROM comp GROUP BY doc_id
+    ),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), w -> w != ''))
+                   AS word
+        FROM documents
+    ),
+    buckets AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(word), 1, 2)) AS BIGINT)
+                   % {{fh}} AS bucket
+        FROM toks
+    ),
+    scored AS (
+        SELECT doc_id,
+               1.0 / (1.0 + exp(-(SUM({{w}})
+                                  / COUNT(*) + {{bias}}))) AS score
+        FROM buckets GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT l.component, l.doc_id, s.score,
+               ROW_NUMBER() OVER (PARTITION BY l.component
+                                  ORDER BY s.score DESC, l.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY l.component) AS cluster_size
+        FROM labels l JOIN scored s ON l.doc_id = s.doc_id
+    )
+    SELECT component, doc_id AS keep_doc,
+           round(score, 6) AS score,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1
+    """.format(
+        fh=_FH_DIM, w=_qc_weight_sql("bucket"), bias=_QC_BIAS
+    )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle=_keep_best_oracle(),
+    tags=("llm", "dedup", "capstone"),
+)
+def q_dedup_keep_best(spark: SparkSession, d: str):
+    """Quality-aware dedup representative selection: within every
+    near-dup cluster (the LSH connected-components labeling), keep the
+    HIGHEST-quality document by classifier score (ties → smaller
+    doc_id) instead of the arbitrary keep-first — the policy real
+    curation uses, because near-dups differ in boilerplate and the
+    first-crawled copy is often the worst one.
+
+    Composition: components labeling (iterative, doc-keyed) ⋈
+    classifier scores (one scan + doc-keyed agg, no join inside) →
+    per-component argmax via a component-keyed window. Every exchange
+    is doc- or component-keyed; clusters are bounded by the LSH bucket
+    cap so no window partition can explode. Docs with no tokens score
+    NULL and cannot represent a cluster (sort puts them last) — but a
+    singleton cluster of an empty doc keeps itself via the tie-break
+    only if scored; the fixture has no token-free docs (pinned by
+    test_quality_classifier)."""
+    from direct_kafka_stream_spark.operators.llm import q_dedup_components
+
+    labels = q_dedup_components(spark, d)
+    scores = quality_scores(load_table(spark, d, "documents")).select(
+        "doc_id", "score"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    return (
+        labels.join(scores, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_doc"),
+            F.round("score", 6).alias("score"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )

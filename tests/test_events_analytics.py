@@ -103,3 +103,17 @@ def test_ab_test_arms_partition_events(spark):
     assert row.n0 > 0 and row.n1 > 0
     import math
     assert math.isfinite(row.z_score)
+
+
+def test_retention_matrix_starts_at_full_retention(spark):
+    rows = QUERIES["q_retention_matrix"].spark(spark, SF_DIR).collect()
+    assert rows
+    by_cohort: dict[str, dict] = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort, {})[r.week_offset] = r
+    for cohort, offs in by_cohort.items():
+        assert 0 in offs  # every cohort is active in its own week
+        assert offs[0].retention == 1.0  # by definition of the cohort
+        for r in offs.values():
+            assert 0 < r.n_active <= r.n_users
+            assert 0.0 < r.retention <= 1.0

@@ -162,3 +162,29 @@ def test_running_distinct_is_monotone_and_bounded(spark):
         vals = [r.distinct_types_so_far for r in rs]
         assert vals[0] == 1  # the first event introduces its type
         assert all(1 <= v <= n_types for v in vals)
+
+
+def test_dedup_keep_best_picks_max_score_per_cluster(spark):
+    """Representatives must dominate their cluster: same component
+    partition as q_dedup_components, and each keeper's score is the
+    max among its cluster's scored members."""
+    labels = {
+        r.doc_id: r.component
+        for r in QUERIES["q_dedup_components"].spark(spark, SF_DIR).collect()
+    }
+    scores = {
+        r.doc_id: r.score
+        for r in QUERIES["q_quality_classifier"].spark(spark, SF_DIR).collect()
+    }
+    keep = QUERIES["q_dedup_keep_best"].spark(spark, SF_DIR).collect()
+    by_comp: dict[int, list] = {}
+    for doc, comp in labels.items():
+        if doc in scores:
+            by_comp.setdefault(comp, []).append(doc)
+    assert len(keep) == len(by_comp)
+    for r in keep:
+        members = by_comp[r.component]
+        assert r.keep_doc in members
+        assert r.cluster_size == len(members)
+        best = max(scores[m] for m in members)
+        assert abs(r.score - round(best, 6)) < 1e-9

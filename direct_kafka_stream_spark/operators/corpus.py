@@ -457,3 +457,81 @@ def q_minhash_accuracy(spark: SparkSession, d: str):
         )
         .orderBy("j_decile")
     )
+
+
+@query(
+    "q_embed_outliers",
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, i,
+               round(CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE)
+                     / COUNT(*), 6) AS c
+        FROM ev GROUP BY label, i
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label,
+               round(SUM((e.x - c.c) * (e.x - c.c)), 6) AS d2
+        FROM ev e JOIN cent c ON e.label = c.label AND e.i = c.i
+        GROUP BY e.vec_id, e.label
+    ),
+    ranked AS (
+        SELECT vec_id, label, d2,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY d2 DESC, vec_id) AS rn
+        FROM dists
+    )
+    SELECT label, vec_id, d2 AS dist2
+    FROM ranked WHERE rn <= 3
+    """,
+    tags=("llm", "embedding", "profiling"),
+)
+def q_embed_outliers(spark: SparkSession, d: str):
+    """Embedding outliers: the 3 vectors farthest from their own
+    label's centroid, per label — mislabeled or corrupt vectors sit in
+    exactly this set (the embedding-space twin of q_anomaly_mad).
+
+    Centroids are a (labels × dims)-sized exact-decimal aggregation
+    that BROADCASTS back onto the exploded vector stream, so the fact
+    never shuffles for the distance pass; per-vector distances reduce
+    doc-keyed, and the top-3 window partitions by label over a
+    corpus-sized but label-bounded table. Distances round at 6 dp
+    before ranking (tie-break vec_id) so the cutoff is cross-engine
+    stable."""
+    e = load_table(spark, d, "embeddings")
+    ev = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = ev.groupBy("label", "i").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    dists = (
+        ev.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))),
+                6,
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2").desc(), "vec_id")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_id", F.col("d2").alias("dist2"))
+    )

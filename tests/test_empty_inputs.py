@@ -51,6 +51,14 @@ _REPRESENTATIVE = [
     "q_quality_classifier",  # doc-keyed agg over empty token stream
     "q_shard_plan",       # shard histogram over empty corpus
     "q_xml_roundtrip",    # codec round-trip over no rows
+    "q_retention_matrix",  # cohort triangle over empty
+    "q_dedup_keep_best",  # components + argmax over empty
+    "q_embed_outliers",   # centroid distances over empty
+    "q_changepoint",      # CUSUM over empty daily series
+    "q_ab_test",          # arm rollup with missing arms
+    "q_knn_classify",     # probe vector missing from empty corpus
+    "q_cohort_ltv",       # purchase join over empty
+    "q_audience_overlap", # type self-join over empty
 ]
 
 
@@ -96,5 +104,11 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
     elif name == "q_drift_ks":
         # no samples: undefined KS (NULL), zero counts
         assert [(r.ks, r.n_a, r.n_b) for r in rows] == [(None, 0, 0)]
+    elif name == "q_ab_test":
+        # no users: both arms absent, every statistic undefined (the
+        # ungrouped final rollup still emits its one row, all NULL)
+        assert [
+            (r.n0, r.n1, r.mean0, r.mean1, r.z_score) for r in rows
+        ] == [(None, None, None, None, None)]
     else:
         assert rows == []

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.exprs import dsum
+from direct_kafka_stream_spark.exprs import dsum, dsum_sql
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -203,7 +203,7 @@ def q_attribution(spark: SparkSession, d: str):
 
 @query(
     "q_cohort_ltv",
-    oracle="""
+    oracle=f"""
     WITH first_touch AS (
         SELECT user_id, date_trunc('month', MIN(ts)) AS cohort
         FROM events GROUP BY user_id
@@ -218,7 +218,7 @@ def q_attribution(spark: SparkSession, d: str):
     ),
     per_offset AS (
         SELECT strftime(cohort, '%Y-%m') AS cohort, month_offset,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE)
+               {dsum_sql("value")}
                    AS revenue
         FROM purchases GROUP BY cohort, month_offset
     )
@@ -277,11 +277,11 @@ def q_cohort_ltv(spark: SparkSession, d: str):
 
 @query(
     "q_seasonality",
-    oracle="""
+    oracle=f"""
     SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
            CAST(hour(ts) AS INTEGER) AS hod,
            COUNT(*) AS n_events,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE)
+           {dsum_sql("value")}
                AS total_value
     FROM events
     GROUP BY dow, hod
@@ -383,10 +383,10 @@ def q_audience_overlap(spark: SparkSession, d: str):
 
 @query(
     "q_changepoint",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE)
+               {dsum_sql("value")}
                    AS x
         FROM events GROUP BY day
     ),
@@ -402,7 +402,7 @@ def q_audience_overlap(spark: SparkSession, d: str):
            round(s, 4) AS cusum,
            round(ABS(s), 4) AS abs_cusum
     FROM cusum
-    ORDER BY ABS(s) DESC, day
+    ORDER BY round(ABS(s), 4) DESC, day
     LIMIT 5
     """,
     tags=("events", "monitoring"),
@@ -418,8 +418,6 @@ def q_changepoint(spark: SparkSession, d: str):
     combined aggregation (exact-decimal sums); the mean is a 1-row
     broadcast and the running CUSUM window runs over days, not events.
     Top-5 via TakeOrderedAndProject."""
-    from direct_kafka_stream_spark.exprs import dsum
-
     e = load_table(spark, d, "events")
     daily = e.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")

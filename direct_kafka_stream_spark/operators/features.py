@@ -794,7 +794,8 @@ def _keep_best_oracle() -> str:
     ranked AS (
         SELECT l.component, l.doc_id, s.score,
                ROW_NUMBER() OVER (PARTITION BY l.component
-                                  ORDER BY s.score DESC, l.doc_id) AS rn,
+                                  ORDER BY round(s.score, 6) DESC,
+                                           l.doc_id) AS rn,
                COUNT(*) OVER (PARTITION BY l.component) AS cluster_size
         FROM labels l JOIN scored s ON l.doc_id = s.doc_id
     )
@@ -824,11 +825,11 @@ def q_dedup_keep_best(spark: SparkSession, d: str):
     classifier scores (one scan + doc-keyed agg, no join inside) →
     per-component argmax via a component-keyed window. Every exchange
     is doc- or component-keyed; clusters are bounded by the LSH bucket
-    cap so no window partition can explode. Docs with no tokens score
-    NULL and cannot represent a cluster (sort puts them last) — but a
-    singleton cluster of an empty doc keeps itself via the tie-break
-    only if scored; the fixture has no token-free docs (pinned by
-    test_quality_classifier)."""
+    cap so no window partition can explode. Docs with no tokens have
+    no classifier score row at all, so the inner join drops them from
+    their cluster (and from cluster_size) on BOTH engines — a
+    token-free doc can never represent anything; the fixture has no
+    token-free docs (pinned by test_quality_classifier)."""
     from direct_kafka_stream_spark.operators.llm import q_dedup_components
 
     labels = q_dedup_components(spark, d)

@@ -151,6 +151,28 @@ def test_knn_classify_majority_is_consistent(spark):
 
 
 def test_running_distinct_is_monotone_and_bounded(spark):
+    """Per user: starts at 1, never decreases, bounded by the type
+    count. Sorting by event_id is valid because the fixture assigns
+    event_ids in (ts, event_id) order per user — asserted here so a
+    regenerated fixture fails loudly instead of silently weakening the
+    test."""
+    from direct_kafka_stream_spark import load_table
+    from pyspark.sql import functions as Fn
+    from pyspark.sql.window import Window as W
+
+    mis = (
+        load_table(spark, SF_DIR, "events")
+        .withColumn(
+            "prev_id",
+            Fn.lag("event_id").over(
+                W.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(Fn.col("prev_id") > Fn.col("event_id"))
+        .count()
+    )
+    assert mis == 0  # event_id order == running order in this fixture
+
     rows = QUERIES["q_win_running_distinct"].spark(spark, SF_DIR).collect()
     assert rows
     by_user: dict[int, list] = {}
@@ -161,6 +183,7 @@ def test_running_distinct_is_monotone_and_bounded(spark):
         rs.sort(key=lambda r: r.event_id)
         vals = [r.distinct_types_so_far for r in rs]
         assert vals[0] == 1  # the first event introduces its type
+        assert vals == sorted(vals)  # running distinct never decreases
         assert all(1 <= v <= n_types for v in vals)
 
 

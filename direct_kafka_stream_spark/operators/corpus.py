@@ -535,3 +535,63 @@ def q_embed_outliers(spark: SparkSession, d: str):
         .filter(F.col("rn") <= 3)
         .select("label", "vec_id", F.col("d2").alias("dist2"))
     )
+
+
+def _langid_confusion_oracle() -> str:
+    from direct_kafka_stream_spark.operators.llm import _marker_hits_sql
+
+    return f"""
+    SELECT lang AS actual,
+           CASE WHEN {_marker_hits_sql()} > 0 THEN 'en' ELSE 'unknown' END
+               AS predicted,
+           COUNT(*) AS n,
+           round(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6)
+               AS frac_of_actual
+    FROM documents
+    GROUP BY actual, predicted
+    """
+
+
+@query(
+    "q_langid_confusion",
+    oracle=_langid_confusion_oracle(),
+    tags=("llm", "text", "diagnostic"),
+)
+def q_langid_confusion(spark: SparkSession, d: str):
+    """Language-ID confusion matrix: the langid heuristic's prediction
+    (en / unknown) crossed with the corpus's actual language labels,
+    with each cell's share of its actual-language row — the accuracy
+    report that tells you the classifier's recall on 'en' and its
+    false-positive rate on every other language BEFORE you trust it to
+    route documents (the evaluation loop every heuristic filter needs).
+
+    One conditional scan (the same marker-count expression as
+    q_text_langid — length-delta-of-replace, no regex) + a
+    (langs × 2)-cell aggregation; the row-share window runs on that
+    tiny matrix."""
+    from direct_kafka_stream_spark.operators.llm import _LANG_MARKERS
+
+    docs = load_table(spark, d, "documents")
+    pad = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    hits = None
+    for m in _LANG_MARKERS:
+        t = (
+            F.length(pad)
+            - F.length(F.replace(pad, F.lit(f" {m} "), F.lit(" ")))
+        ) / (len(m) + 1)
+        hits = t if hits is None else hits + t
+    cells = (
+        docs.select(
+            F.col("lang").alias("actual"),
+            F.when(hits > 0, "en").otherwise("unknown").alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("actual")
+    return cells.select(
+        "actual",
+        "predicted",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("frac_of_actual"),
+    )

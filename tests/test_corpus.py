@@ -74,3 +74,15 @@ def test_zipf_slope_is_negative_powerlaw(spark):
     assert 0 < row.n_words <= 100
     assert row.zipf_slope < 0  # frequency falls with rank
     assert 0.0 <= row.r2 <= 1.0
+
+
+def test_langid_confusion_rows_are_distributions(spark):
+    rows = QUERIES["q_langid_confusion"].spark(spark, SF_DIR).collect()
+    assert rows
+    by_actual: dict[str, float] = {}
+    for r in rows:
+        assert r.predicted in ("en", "unknown")
+        assert r.n > 0
+        by_actual[r.actual] = by_actual.get(r.actual, 0.0) + r.frac_of_actual
+    for actual, total in by_actual.items():
+        assert abs(total - 1.0) < 1e-4, (actual, total)

@@ -569,17 +569,10 @@ def q_langid_confusion(spark: SparkSession, d: str):
     q_text_langid — length-delta-of-replace, no regex) + a
     (langs × 2)-cell aggregation; the row-share window runs on that
     tiny matrix."""
-    from direct_kafka_stream_spark.operators.llm import _LANG_MARKERS
+    from direct_kafka_stream_spark.operators.llm import _marker_hits
 
     docs = load_table(spark, d, "documents")
-    pad = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    hits = None
-    for m in _LANG_MARKERS:
-        t = (
-            F.length(pad)
-            - F.length(F.replace(pad, F.lit(f" {m} "), F.lit(" ")))
-        ) / (len(m) + 1)
-        hits = t if hits is None else hits + t
+    hits = _marker_hits()
     cells = (
         docs.select(
             F.col("lang").alias("actual"),

@@ -173,9 +173,9 @@ def q_collocations(spark: SparkSession, d: str):
     cdf AS (
         SELECT v,
                SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) * 1.0
-                   / (SELECT COUNT(*) FROM a) AS fa,
+                   / (SELECT NULLIF(COUNT(*), 0) FROM a) AS fa,
                SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) * 1.0
-                   / (SELECT COUNT(*) FROM b) AS fb
+                   / (SELECT NULLIF(COUNT(*), 0) FROM b) AS fb
         FROM perv
     )
     SELECT round(MAX(ABS(fa - fb)), 6) AS ks,
@@ -199,9 +199,10 @@ def q_drift_ks(spark: SparkSession, d: str):
     gives 1.0 instead of the true 0.5 — caught in round-3 review,
     pinned by the numpy cross-check test.) The running window also
     shrinks to one row per distinct value. It is single-partition by
-    construction — exact KS needs a total order; the 100 TB variant
-    bins values first (q_hist_equi's shape) and maxes over ~1000
-    binned CDF points, same operator tree."""
+    construction — exact KS needs a total order; the 100 TB variant is
+    REGISTERED as q_drift_ks_binned (operators/scale_variants.py):
+    bin values first (q_hist_equi's shape), max over ≤ ~1000 binned
+    CDF points, same operator tree."""
     e = load_table(spark, d, "events")
     a = e.filter(F.col("event_type") == "view").select(
         F.col("value").alias("v"),
@@ -229,8 +230,11 @@ def q_drift_ks(spark: SparkSession, d: str):
         .select(
             "n_a",
             "n_b",
-            (F.sum("ca").over(w) / F.col("n_a")).alias("fa"),
-            (F.sum("cb").over(w) / F.col("n_b")).alias("fb"),
+            # nullif guard: with one sample empty (no such event_type)
+            # the CDF is NULL on both engines rather than NaN/Inf on
+            # one of them; the final MAX then ignores it identically.
+            (F.sum("ca").over(w) / F.nullif(F.col("n_a"), F.lit(0))).alias("fa"),
+            (F.sum("cb").over(w) / F.nullif(F.col("n_b"), F.lit(0))).alias("fb"),
         )
     )
     # coalesce: on an empty pooled sample first() is NULL but the
@@ -280,7 +284,7 @@ def _qc_weight_sql(bucket_expr: str) -> str:
     )
     SELECT doc_id,
            round(1.0 / (1.0 + exp(-z)), 6) AS score,
-           1.0 / (1.0 + exp(-z)) >= {_QC_THRESHOLD} AS keep
+           round(1.0 / (1.0 + exp(-z)), 6) >= {_QC_THRESHOLD} AS keep
     FROM scored
     """,
     tags=("features", "text", "quality"),
@@ -298,8 +302,10 @@ def q_quality_classifier(spark: SparkSession, d: str):
     on the bucket id (no join at all), so scoring cost is exactly one
     scan + one map-side-combined groupBy regardless of corpus size.
     Sigmoid is exp-based, rounded 6 dp (ALIGNMENT.md transcendental
-    rule); the keep decision compares the UNROUNDED score on both
-    engines."""
+    rule); the keep decision compares the ROUNDED score on both
+    engines so a document landing within float accumulation error of
+    the threshold cannot flip keep/drop between engines (same
+    round-before-compare contract as the kmeans argmin)."""
     return quality_scores(load_table(spark, d, "documents"))
 
 
@@ -321,7 +327,7 @@ def quality_scores(docs):
         .groupBy("doc_id")
         .agg(
             F.round(score, 6).alias("score"),
-            (score >= _QC_THRESHOLD).alias("keep"),
+            (F.round(score, 6) >= _QC_THRESHOLD).alias("keep"),
         )
     )
 
@@ -446,8 +452,9 @@ def q_text_bigram_lm(spark: SparkSession, d: str):
 def lm_scores(docs):
     """Composable interpolated-bigram-LM scorer over any
     (doc_id, text) DataFrame: returns (doc_id, n_bigrams, alp) with
-    alp the UNROUNDED mean log-probability (callers round for display
-    and threshold on the raw value). Shared by q_text_bigram_lm and
+    alp the UNROUNDED mean log-probability (callers round to 6 dp for
+    display AND before any keep/drop threshold — the
+    round-before-compare contract). Shared by q_text_bigram_lm and
     the q_curation_v2 capstone so the tokenization, bigram formation,
     and interpolation live in exactly one place."""
     toks_arr = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
@@ -523,8 +530,8 @@ _CV2_LM_MIN = -3.42     # bigram-LM perplexity gate
     ),
     scored AS (
         SELECT doc_id,
-               1.0 / (1.0 + exp(-(SUM({_qc_weight_sql('bucket')})
-                                  / COUNT(*) + {_QC_BIAS}))) AS score
+               round(1.0 / (1.0 + exp(-(SUM({_qc_weight_sql('bucket')})
+                                        / COUNT(*) + {_QC_BIAS}))), 6) AS score
         FROM buckets GROUP BY doc_id
     ),
     s2 AS (
@@ -552,8 +559,8 @@ _CV2_LM_MIN = -3.42     # bigram-LM perplexity gate
     big AS (SELECT w1, w2, COUNT(*) AS n FROM bigpos GROUP BY w1, w2),
     lm AS (
         SELECT p.doc_id,
-               AVG(LN({_LM_L1} * (b.n * 1.0 / u1.n)
-                      + {_LM_L2} * (u2.n * 1.0 / t.t))) AS alp
+               round(AVG(LN({_LM_L1} * (b.n * 1.0 / u1.n)
+                            + {_LM_L2} * (u2.n * 1.0 / t.t))), 6) AS alp
         FROM bigpos p
         JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
         JOIN uni u1 ON p.w1 = u1.word
@@ -594,8 +601,9 @@ def q_curation_v2(spark: SparkSession, d: str):
     broadcast back), LM per-doc mean (doc-keyed), sha256 window
     (doc-keyed) — every exchange is either document-keyed (bounded per
     key) or vocabulary-sized; nothing is quadratic and nothing
-    collects. Gate thresholds compare UNROUNDED values on both
-    engines; only display columns round."""
+    collects. Gate thresholds compare values ROUNDED to 6 dp on both
+    engines (the round-before-compare contract) so float accumulation
+    order can't flip a near-threshold document's keep/drop."""
     docs = load_table(spark, d, "documents")
     url_canon = F.concat(
         F.lower(F.concat(F.lit("https://"), F.upper("source"),
@@ -614,7 +622,7 @@ def q_curation_v2(spark: SparkSession, d: str):
         .filter(F.col("score") >= _CV2_SCORE_MIN)
     )
 
-    lm = lm_scores(s2).select("doc_id", "alp")
+    lm = lm_scores(s2).select("doc_id", F.round("alp", 6).alias("alp"))
     s3 = s2.join(lm, "doc_id").filter(F.col("alp") >= _CV2_LM_MIN)
     w4 = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
     return (

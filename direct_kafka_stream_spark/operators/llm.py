@@ -904,6 +904,21 @@ def _marker_hits_sql() -> str:
     return " + ".join(terms)
 
 
+def _marker_hits():
+    """Spark twin of ``_marker_hits_sql`` — the marker-word occurrence
+    count as a Column over a ``text`` column. Shared by q_text_langid
+    and q_langid_confusion so the two can't drift if markers or the
+    padding scheme change."""
+    pad = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    hits = None
+    for m in _LANG_MARKERS:
+        t = (F.length(pad) - F.length(F.replace(pad, F.lit(f" {m} "), F.lit(" ")))) / (
+            len(m) + 1
+        )
+        hits = t if hits is None else hits + t
+    return hits
+
+
 @query(
     "q_text_langid",
     oracle=f"""
@@ -920,13 +935,7 @@ def q_text_langid(spark: SparkSession, d: str):
     divergence). Real pipelines swap in per-language marker n-gram
     tables — same dataflow shape."""
     docs = load_table(spark, d, "documents")
-    pad = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    hits = None
-    for m in _LANG_MARKERS:
-        t = (F.length(pad) - F.length(F.replace(pad, F.lit(f" {m} "), F.lit(" ")))) / (
-            len(m) + 1
-        )
-        hits = t if hits is None else hits + t
+    hits = _marker_hits()
     return docs.select(
         "doc_id",
         hits.cast("long").alias("en_hits"),

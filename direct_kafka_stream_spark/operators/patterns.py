@@ -43,8 +43,10 @@ def q_islands(spark: SparkSession, d: str):
     the DISTINCT key set — fine when keys fit one executor (ids of a
     dimension), and the distinct itself is map-side-combined. For a
     100 TB fact the same report is computed per partition-range and
-    islands are stitched at the boundaries (a partitions-sized merge);
-    this operator is the exact-semantics anchor for that."""
+    islands are stitched at the boundaries (a partitions-sized merge)
+    — REGISTERED as q_islands_ranged (operators/scale_variants.py),
+    oracle-checked against this exact global-window form; this
+    operator is the exact-semantics anchor for that."""
     o = load_table(spark, d, "orders").select(
         F.col("o_orderkey").alias("k")
     ).distinct()

@@ -211,3 +211,110 @@ def test_dedup_keep_best_picks_max_score_per_cluster(spark):
         assert r.cluster_size == len(members)
         best = max(scores[m] for m in members)
         assert abs(r.score - round(best, 6)) < 1e-9
+
+
+def _exact_islands(keys: list[int]) -> list[tuple[int, int, int]]:
+    """Reference islands via a linear scan (the oracle the ranged form
+    must reproduce)."""
+    out = []
+    for k in sorted(keys):
+        if out and k == out[-1][1] + 1:
+            s, _, n = out[-1]
+            out[-1] = (s, k, n + 1)
+        else:
+            out.append((k, k, 1))
+    return out
+
+
+@pytest.mark.parametrize(
+    "keys",
+    [
+        # one island spanning 4 buckets (width 8): every internal bucket
+        # edge must stitch
+        list(range(5, 31)),
+        # islands exactly aligned with bucket boundaries
+        list(range(8, 16)) + list(range(24, 32)),
+        # adjacent singletons across a boundary (7,8 merge) + isolated
+        # singleton + a two-bucket island
+        [7, 8, 16, 40, 41, 42, 43, 44, 45, 46, 47, 48],
+        # dense run then gaps of exactly one key
+        [0, 2, 4, 6, 8, 10, 12],
+        # single key
+        [9],
+    ],
+)
+def test_ranged_islands_matches_exact_on_adversarial_sets(spark, keys):
+    """q_islands_ranged's bucket+stitch algorithm must equal the exact
+    gaps-and-islands semantics on key sets engineered to stress the
+    stitch pass (multi-bucket islands, edge-aligned islands,
+    boundary-adjacent singletons)."""
+    from direct_kafka_stream_spark.operators.scale_variants import ranged_islands
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = [
+        (r.island_start, r.island_end, r.island_len)
+        for r in ranged_islands(df, bucket_width=8).collect()
+    ]
+    assert got == _exact_islands(keys)
+
+
+def test_islands_ranged_query_equals_exact_form(spark):
+    """The registered ranged query must reproduce the exact
+    k - row_number() trick over the same (gappy) fixture key set."""
+    from direct_kafka_stream_spark.operators.scale_variants import ranged_islands
+
+    keys = [
+        r.k
+        for r in load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .collect()
+    ]
+    assert len(keys) < len(set(range(min(keys), max(keys) + 1)))  # gappy
+    got = [
+        (r.island_start, r.island_end, r.island_len)
+        for r in QUERIES["q_islands_ranged"].spark(spark, SF_DIR).collect()
+    ]
+    assert got == _exact_islands(keys)
+    assert len(got) > 1  # the fixture subset genuinely has gaps
+
+
+def test_drift_ks_binned_matches_numpy_and_bounds_window(spark):
+    """The binned KS must equal a numpy recomputation over the same
+    fixed-width bins, and the bin table (the only windowed relation)
+    must stay bounded regardless of row count."""
+    import numpy as np
+
+    from direct_kafka_stream_spark.operators.scale_variants import _KSB_W
+
+    e = load_table(spark, SF_DIR, "events")
+    a = np.array(
+        [r.value for r in e.filter(F.col("event_type") == "view").collect()]
+    )
+    b = np.array(
+        [r.value for r in e.filter(F.col("event_type") == "error").collect()]
+    )
+    bins_a = np.floor(a / _KSB_W).astype(np.int64)
+    bins_b = np.floor(b / _KSB_W).astype(np.int64)
+    grid = np.unique(np.concatenate([bins_a, bins_b]))
+    fa = np.array([(bins_a <= g).mean() for g in grid])
+    fb = np.array([(bins_b <= g).mean() for g in grid])
+    expect = round(float(np.max(np.abs(fa - fb))), 6)
+
+    row = QUERIES["q_drift_ks_binned"].spark(spark, SF_DIR).collect()[0]
+    assert row.ks_binned == pytest.approx(expect, abs=1e-9)
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert row.n_bins == len(grid)
+    # bounded window: bins can never exceed the value range over the
+    # fixed width (+1), no matter how many rows the table has
+    assert row.n_bins <= int(max(a.max(), b.max()) / _KSB_W) + 1
+
+    # the binned statistic is a sane estimate of the exact one: within
+    # the largest single-bin probability mass
+    exact = QUERIES["q_drift_ks"].spark(spark, SF_DIR).collect()[0].ks
+    mass = max(
+        max(np.bincount(bins_a - grid.min().astype(np.int64)).max() / len(a), 0),
+        max(np.bincount(bins_b - grid.min().astype(np.int64)).max() / len(b), 0),
+    )
+    assert abs(row.ks_binned - exact) <= mass + 1e-9

@@ -166,3 +166,23 @@ def test_kmv_sketch_error_is_bounded():
             row.kmv_estimate,
             exact,
         )
+
+
+def test_json_fns_fixture_payload_is_integer_valued(spark):
+    """q_json_fns derives k_str by casting the typed from_json INT to
+    string, which matches raw get_json_object extraction ONLY while the
+    fixture payload is a plain integer (a payload of "1.50", true, or a
+    padded string would silently diverge from the DuckDB oracle). Pin
+    that assumption so a regenerated fixture fails loudly here instead
+    of as a driver hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from direct_kafka_stream_spark import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    raw = F.get_json_object("props", "$.k")
+    typed = F.from_json("props", "k INT")["k"].cast("string")
+    diverged = e.filter(
+        ~(raw.isNull() & typed.isNull()) & ~(raw.eqNullSafe(typed))
+    ).count()
+    assert diverged == 0

@@ -58,10 +58,19 @@ def main() -> None:
         materialize(q.spark(spark, sf_dir))
         return round(time.perf_counter() - t0, 3)
 
+    # Min-of-N per query: this host (gVisor sandbox) shows run-to-run
+    # stalls of 0.6 -> 19.7 s on identical jobs (BENCH_NOTES.md), so a
+    # single-shot number is noise-dominated. The minimum of N
+    # back-to-back runs measures the query, not the host weather.
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    if len(sys.argv) > 2 and sys.argv[1] == "--repeat":
+        repeat = int(sys.argv[2])
+    repeat = max(1, repeat)
+
     times: dict[str, float] = {}
     for name, q in QUERIES.items():
         try:
-            times[name] = run_once(name, q)
+            times[name] = min(run_once(name, q) for _ in range(repeat))
         except Exception as e:  # pragma: no cover - bench must not die
             times[name] = -1.0
             print(f"# BENCH ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
@@ -90,6 +99,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "n_queries": len(times),
+                "repeat_min_of": repeat,
             }
         )
     )

@@ -112,7 +112,14 @@ def q_funnel3(spark: SparkSession, d: str):
     scans of one column-pruned projection beat one shuffle of the
     full table at 100 TB."""
     e = load_table(spark, d, "events").select("user_id", "event_type", "ts")
+    return funnel3_counts(e)
 
+
+def funnel3_counts(e):
+    """Composable form of q_funnel3 over any (user_id, event_type, ts)
+    DataFrame — also applied per micro-batch snapshot by the streaming
+    twin in tests/test_streaming.py (the §2.C batch-analog/streaming
+    pattern extended to the round-3 analytics)."""
     view = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")

@@ -1339,6 +1339,25 @@ def q_dedup_components(spark: SparkSession, d: str):
     CTE of the same closure."""
     docs = load_table(spark, d, "documents")
     edges = _materialized(_minhash_band_edges(docs))
+    labels = propagate_min_labels(edges)
+    edges.unpersist()
+    singletons = docs.join(labels, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    return (
+        labels.unionByName(singletons)
+        .select("doc_id", F.col("label").alias("component"))
+    )
+
+
+def propagate_min_labels(edges, max_rounds: int = 15):
+    """Iterative min-label propagation with pointer jumping over a
+    SYMMETRIC edge list (src, dst): returns (doc_id, label) for every
+    node with at least one edge, label = min node id reachable.
+    Raises rather than silently returning unconverged labels if the
+    O(log diameter) bound is ever violated. Composable so the
+    convergence tests can drive it with adversarial synthetic graphs
+    (long paths needing genuine pointer jumping)."""
     # Iterate ONLY over nodes that have at least one edge; singleton
     # documents (the overwhelming majority of a deduped corpus) never
     # enter the loop and are unioned back labeled with themselves —
@@ -1354,7 +1373,7 @@ def q_dedup_components(spark: SparkSession, d: str):
     ).localCheckpoint()
     cur_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
-    for _ in range(15):
+    for _ in range(max_rounds):
         prop = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -1389,18 +1408,12 @@ def q_dedup_components(spark: SparkSession, d: str):
             converged = True
             break
         cur_sum = nxt_sum
-    edges.unpersist()
     if not converged:
-        # Pointer jumping converges in O(log diameter) rounds, so 15
-        # covers any real graph — but wrong labels must never be
+        # Pointer jumping converges in O(log diameter) rounds, so the
+        # cap covers any real graph — but wrong labels must never be
         # returned silently if that assumption ever breaks.
         raise RuntimeError(
-            "q_dedup_components: label propagation did not converge in 15 rounds"
+            "propagate_min_labels: label propagation did not converge "
+            f"in {max_rounds} rounds"
         )
-    singletons = docs.join(labels, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("label")
-    )
-    return (
-        labels.unionByName(singletons)
-        .select("doc_id", F.col("label").alias("component"))
-    )
+    return labels

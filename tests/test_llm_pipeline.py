@@ -365,3 +365,34 @@ def test_ivf_index_built_from_trained_centroids(spark, tmp_path):
     assert 0 < n_probe < n_corpus
     # every corpus vector landed in exactly one inverted list
     assert n_corpus == e.count()
+
+
+def test_components_pointer_jumping_converges_on_long_path(spark):
+    """A 300-node path graph needs genuine pointer jumping: plain
+    one-hop propagation would take 300 rounds, far over the 15-round
+    cap — convergence within the cap proves the label's-label jump
+    contracts chains in O(log diameter), and the helper must label the
+    whole chain with its minimum node id (and never raise)."""
+    from direct_kafka_stream_spark.operators.llm import propagate_min_labels
+
+    n = 300
+    hops = [(i, i + 1) for i in range(n - 1)]
+    sym = hops + [(b, a) for a, b in hops]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    rows = propagate_min_labels(edges).collect()
+    assert len(rows) == n
+    assert all(r.label == 0 for r in rows)
+
+
+def test_components_nonconvergence_raises_not_silent(spark):
+    """If the round cap is ever too small, wrong labels must not be
+    returned silently — the helper raises."""
+    import pytest as _pytest
+
+    from direct_kafka_stream_spark.operators.llm import propagate_min_labels
+
+    hops = [(i, i + 1) for i in range(63)]
+    sym = hops + [(b, a) for a, b in hops]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        propagate_min_labels(edges, max_rounds=2)

@@ -186,3 +186,44 @@ def test_json_fns_fixture_payload_is_integer_valued(spark):
         ~(raw.isNull() & typed.isNull()) & ~(raw.eqNullSafe(typed))
     ).count()
     assert diverged == 0
+
+
+def test_zscore_degenerate_group_matches_oracle(spark):
+    """A constant-value group has zero stddev: the pandas grouped-map
+    emits 0.0 and the oracle mirrors it with COALESCE(.../NULLIF, 0.0).
+    Hand-build such a group (the fixture has none) and check both
+    engines agree row-for-row."""
+    import duckdb as _duckdb
+    import pandas as pd
+
+    from direct_kafka_stream_spark.functions.udf import _zscore
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6, 7],
+            "event_type": ["const", "const", "const", "var", "var", "var", "solo"],
+            "value": [5.0, 5.0, 5.0, 1.0, 2.0, 4.0, 9.0],
+        }
+    )
+    got = sorted(
+        (r.event_id, r.event_type, r.z)
+        for r in spark.createDataFrame(pdf)
+        .groupBy("event_type")
+        .applyInPandas(_zscore, schema="event_id long, event_type string, z double")
+        .collect()
+    )
+    con = _duckdb.connect()
+    con.register("ev", pdf)
+    want = sorted(
+        (int(eid), et, z)
+        for eid, et, z in con.sql(
+            """
+            SELECT event_id, event_type,
+                   round(COALESCE((value - AVG(value) OVER w)
+                                  / NULLIF(STDDEV_POP(value) OVER w, 0), 0.0), 4) AS z
+            FROM ev WINDOW w AS (PARTITION BY event_type)
+            """
+        ).fetchall()
+    )
+    assert got == want
+    assert [z for _, et, z in got if et == "const"] == [0.0, 0.0, 0.0]

@@ -796,3 +796,40 @@ def test_rate_source_generated_stream(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(30)
+
+
+def test_streaming_funnel3_equals_batch(spark, events_dir, tmp_path):
+    """§2.C streaming twin for a round-3 analytic: events stream in via
+    foreachBatch (the reference's foreachRDD successor), each
+    micro-batch appends to a staged table and the three-step funnel is
+    recomputed over everything staged so far — after the final batch
+    the report equals the batch analog exactly. This is the
+    ingest-then-analyze shape the reference app ran (Kafka → store →
+    process, KafkaDirectStream.scala:43-51), with the round-3 funnel
+    as the analyze step."""
+    from direct_kafka_stream_spark import QUERIES
+    from direct_kafka_stream_spark.operators.events_analytics import funnel3_counts
+
+    expected = tuple(QUERIES["q_funnel3"].spark(spark, SF_DIR).collect()[0])
+
+    stage = str(tmp_path / "staged")
+    result = str(tmp_path / "funnel_result")
+
+    def process(batch_df, batch_id):
+        batch_df.select("user_id", "event_type", "ts").write.mode(
+            "append"
+        ).parquet(stage)
+        funnel3_counts(spark.read.parquet(stage)).write.mode(
+            "overwrite"
+        ).parquet(result)
+
+    stream = file_stream(spark, events_dir, events_schema())
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = tuple(spark.read.parquet(result).collect()[0])
+    assert got == expected

@@ -185,7 +185,13 @@ def q_attribution(spark: SparkSession, d: str):
     the attribution matrix is |types|² rows. The null-skipping LAG
     (ignorenulls) is the engine-portable way to say 'latest earlier
     event of another type' without a self-join."""
-    e = load_table(spark, d, "events")
+    return attribution_matrix(load_table(spark, d, "events"))
+
+
+def attribution_matrix(e):
+    """Composable form of q_attribution over any (user_id, event_id,
+    event_type, ts) DataFrame — also applied per micro-batch snapshot
+    by the streaming twin in tests/test_streaming.py."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wp = w.rowsBetween(Window.unboundedPreceding, -1)
     seq = e.select(
@@ -571,7 +577,13 @@ def q_retention_matrix(spark: SparkSession, d: str):
     onto the events scan; activity dedupes to (user, offset) rows
     before counting, and the cohort-size table joins broadcast-side.
     Output is the triangle — weeks² rows — regardless of table size."""
-    e = load_table(spark, d, "events")
+    return retention_triangle(load_table(spark, d, "events"))
+
+
+def retention_triangle(e):
+    """Composable form of q_retention_matrix over any (user_id, ts)
+    events DataFrame — also applied per micro-batch snapshot by the
+    streaming twin in tests/test_streaming.py."""
     first_week = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort")
     )

@@ -222,3 +222,74 @@ def ranged_islands(keys, bucket_width: int = _ISL_BUCKET):
         .drop("gid")
         .orderBy("island_start")
     )
+
+
+# Decile boundaries for the scale-safe quantile binning.
+_QB_PCTS = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+
+def _qb_oracle() -> str:
+    bounds = ", ".join(
+        f"quantile_cont(o_totalprice, {p}) AS b{i + 1}"
+        for i, p in enumerate(_QB_PCTS)
+    )
+    binexpr = " + ".join(
+        f"(CASE WHEN o_totalprice > b{i + 1} THEN 1 ELSE 0 END)"
+        for i in range(len(_QB_PCTS))
+    )
+    return f"""
+    WITH bs AS (SELECT {bounds} FROM orders)
+    SELECT 1 + {binexpr} AS bin,
+           COUNT(*) AS n,
+           round(MIN(o_totalprice), 2) AS lo,
+           round(MAX(o_totalprice), 2) AS hi
+    FROM orders, bs
+    GROUP BY bin
+    ORDER BY bin
+    """
+
+
+@query(
+    "q_quantile_bins_scaled",
+    oracle=_qb_oracle(),
+    tags=("profiling", "histogram", "scale-variant"),
+)
+def q_quantile_bins_scaled(spark: SparkSession, d: str):
+    """Boundary-based decile binning — the 100 TB form named in
+    q_quantile_bins' docstring: compute 9 decile BOUNDARIES once
+    (here the exact interpolating percentile, which is bit-identical
+    to DuckDB's quantile_cont per ALIGNMENT.md; at 100 TB swap in the
+    one-pass approx_percentile sketch), broadcast the 9 doubles, and
+    assign each row's bin with a pure per-row comparison — no global
+    NTILE sort over the fact table, so the per-row transform
+    map-side-combines like any histogram.
+
+    Semantics note: boundary binning puts boundary-equal values in the
+    LOWER bin (v > b strictly advances), so counts differ from NTILE's
+    exact equal-splits at ties — that is the documented trade of the
+    scale path, and both engines apply the identical rule to identical
+    boundary doubles."""
+    o = load_table(spark, d, "orders")
+    pcts = F.array(*[F.lit(p) for p in _QB_PCTS])
+    bs = o.agg(F.percentile("o_totalprice", pcts).alias("bs")).select(
+        *[
+            F.element_at("bs", i + 1).alias(f"b{i + 1}")
+            for i in range(len(_QB_PCTS))
+        ]
+    )
+    bin_col = F.lit(1)
+    for i in range(len(_QB_PCTS)):
+        bin_col = bin_col + F.when(
+            F.col("o_totalprice") > F.col(f"b{i + 1}"), 1
+        ).otherwise(0)
+    return (
+        o.crossJoin(F.broadcast(bs))
+        .select("o_totalprice", bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )

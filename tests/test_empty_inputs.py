@@ -59,6 +59,14 @@ _REPRESENTATIVE = [
     "q_knn_classify",     # probe vector missing from empty corpus
     "q_cohort_ltv",       # purchase join over empty
     "q_audience_overlap", # type self-join over empty
+    # round-4 additions
+    "q_drift_ks_binned",  # binned CDF with zero-count denominators
+    "q_islands_ranged",   # stitch pass over zero local islands
+    "q_quantile_bins_scaled",  # NULL percentile boundaries over empty
+    "q_rag_bm25",         # NULL avgdl, empty tf table
+    "q_boilerplate_ngrams",  # gram df join over empty
+    "q_mix_temperature",  # zero-source normalizer
+    "q_path_topk",        # user-keyed rank window over empty
 ]
 
 
@@ -104,6 +112,11 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
     elif name == "q_drift_ks":
         # no samples: undefined KS (NULL), zero counts
         assert [(r.ks, r.n_a, r.n_b) for r in rows] == [(None, 0, 0)]
+    elif name == "q_drift_ks_binned":
+        # same contract as the exact form, plus an empty bin table
+        assert [
+            (r.ks_binned, r.n_a, r.n_b, r.n_bins) for r in rows
+        ] == [(None, 0, 0, 0)]
     elif name == "q_ab_test":
         # no users: both arms absent, every statistic undefined (the
         # ungrouped final rollup still emits its one row, all NULL)

@@ -798,28 +798,39 @@ def test_rate_source_generated_stream(spark, tmp_path):
         q.awaitTermination(30)
 
 
-def test_streaming_funnel3_equals_batch(spark, events_dir, tmp_path):
-    """§2.C streaming twin for a round-3 analytic: events stream in via
-    foreachBatch (the reference's foreachRDD successor), each
-    micro-batch appends to a staged table and the three-step funnel is
+@pytest.mark.parametrize(
+    "qname, transform_name",
+    [
+        ("q_funnel3", "funnel3_counts"),
+        ("q_attribution", "attribution_matrix"),
+        ("q_retention_matrix", "retention_triangle"),
+    ],
+)
+def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, transform_name):
+    """§2.C streaming twins for the round-3 event analytics: events
+    stream in via foreachBatch (the reference's foreachRDD successor),
+    each micro-batch appends to a staged table and the analytic is
     recomputed over everything staged so far — after the final batch
     the report equals the batch analog exactly. This is the
     ingest-then-analyze shape the reference app ran (Kafka → store →
-    process, KafkaDirectStream.scala:43-51), with the round-3 funnel
-    as the analyze step."""
+    process, KafkaDirectStream.scala:43-51), with the round-3
+    analytics as the analyze step."""
     from direct_kafka_stream_spark import QUERIES
-    from direct_kafka_stream_spark.operators.events_analytics import funnel3_counts
+    from direct_kafka_stream_spark.operators import events_analytics as ea
 
-    expected = tuple(QUERIES["q_funnel3"].spark(spark, SF_DIR).collect()[0])
+    transform = getattr(ea, transform_name)
+    expected = sorted(
+        map(tuple, QUERIES[qname].spark(spark, SF_DIR).collect())
+    )
 
     stage = str(tmp_path / "staged")
-    result = str(tmp_path / "funnel_result")
+    result = str(tmp_path / "analytic_result")
 
     def process(batch_df, batch_id):
-        batch_df.select("user_id", "event_type", "ts").write.mode(
+        batch_df.select("user_id", "event_id", "event_type", "ts").write.mode(
             "append"
         ).parquet(stage)
-        funnel3_counts(spark.read.parquet(stage)).write.mode(
+        transform(spark.read.parquet(stage)).write.mode(
             "overwrite"
         ).parquet(result)
 
@@ -831,5 +842,5 @@ def test_streaming_funnel3_equals_batch(spark, events_dir, tmp_path):
         .start()
     )
     _await(q)
-    got = tuple(spark.read.parquet(result).collect()[0])
+    got = sorted(map(tuple, spark.read.parquet(result).collect()))
     assert got == expected

@@ -54,7 +54,13 @@ def q_transition_matrix(spark: SparkSession, d: str):
     the row-normalization window runs on that tiny table. Ties on ts
     are broken by event_id so the sequence — hence the matrix — is
     deterministic across engines."""
-    e = load_table(spark, d, "events")
+    return transition_matrix(load_table(spark, d, "events"))
+
+
+def transition_matrix(e):
+    """Composable form of q_transition_matrix over any (user_id,
+    event_id, event_type, ts) DataFrame — also applied per micro-batch
+    snapshot by the streaming twin in tests/test_streaming.py."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         e.select(

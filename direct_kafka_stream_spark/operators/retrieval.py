@@ -304,3 +304,156 @@ def q_path_topk(spark: SparkSession, d: str):
         .orderBy(F.col("n_users").desc(), "path")
         .limit(_PATH_TOPK)
     )
+
+
+# Gap-based sessionization: a new session starts after 30 minutes of
+# inactivity (the industry-default web session boundary).
+_SESS_GAP_S = 1800
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > {_SESS_GAP_S}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM seq
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+               AS duration_s
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+    tags=("events", "session"),
+)
+def q_sessionize(spark: SparkSession, d: str):
+    """Gap-based sessionization: per user, a new session begins
+    whenever more than 30 minutes separate consecutive events; the
+    classic flag + running-sum assignment yields a per-user session
+    sequence number, then per-session event counts and durations —
+    the complement of q_win_session's fixed-window grouping (gap
+    sessions follow activity, window sessions follow the clock).
+
+    Both windows are user-partitioned and ordered (ts, event_id) —
+    bounded per user, one shuffle total shared by flag and running
+    sum; the session rollup is (user, session)-keyed. Gap comparison
+    and duration use integer epoch-second differences on both engines
+    (no sub-second float divergence)."""
+    e = load_table(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_s > _SESS_GAP_S), 1
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("new_sess").over(w_cum).alias("session_seq"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("duration_s"),
+    )
+
+
+# Novelty analysis shingle width.
+_NOV_N = 3
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w != '') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(toks) - {_NOV_N - 1}),
+                   i -> array_to_string(toks[i:i + {_NOV_N - 1}], ' ')))
+                   AS gram
+        FROM t
+        WHERE len(toks) >= {_NOV_N}
+    ),
+    firsts AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN firsts.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(SUM(CASE WHEN firsts.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS novelty_frac
+    FROM g JOIN firsts USING (gram)
+    GROUP BY g.doc_id
+    """,
+    tags=("corpus", "text", "dedup"),
+)
+def q_ngram_novelty(spark: SparkSession, d: str):
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct 3-gram shingles whose FIRST corpus occurrence (minimum
+    doc_id — in production, earliest ingest time) is this document —
+    the marginal-contribution measure dedup research uses to decide
+    whether a document adds anything the corpus doesn't already have
+    (near-1 → fresh content, near-0 → recombination of known text).
+
+    Same bounded dataflow as q_boilerplate_ngrams: distinct (doc,
+    gram) pairs, a gram-keyed MIN to find first owners (map-side
+    combined), a gram-keyed join back, and a doc-keyed rollup —
+    nothing quadratic, no global window anywhere."""
+    docs = load_table(spark, d, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    tokenized = docs.select("doc_id", toks.alias("toks"))
+    grams = F.when(
+        F.size(F.col("toks")) >= _NOV_N,
+        F.expr(
+            f"transform(sequence(1, size(toks) - {_NOV_N - 1}),"
+            f" i -> array_join(slice(toks, i, {_NOV_N}), ' '))"
+        ),
+    ).otherwise(F.expr("array()"))
+    dg = (
+        tokenized.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    )
+    firsts = dg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        dg.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel / F.count(F.lit(1)), 6).alias("novelty_frac"),
+        )
+    )

@@ -67,6 +67,8 @@ _REPRESENTATIVE = [
     "q_boilerplate_ngrams",  # gram df join over empty
     "q_mix_temperature",  # zero-source normalizer
     "q_path_topk",        # user-keyed rank window over empty
+    "q_sessionize",       # lag/running-sum windows over empty
+    "q_ngram_novelty",    # gram first-owner join over empty
 ]
 
 

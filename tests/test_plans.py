@@ -247,3 +247,30 @@ def test_mix_sample_is_single_pass_over_corpus(spark):
     assert "BroadcastHashJoin" in plan
     # the only exchanges allowed are inside the tiny rate aggregation
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bm25_is_topk_with_broadcast_stats(spark):
+    """BM25 must plan as broadcast joins for the term-df and corpus
+    stats plus a top-k heap — never a global sort of scored docs."""
+    df = QUERIES["q_rag_bm25"].spark(spark, SF_DIR)
+    assert inspect.has_broadcast_join(df)
+    assert inspect.plan_contains(df, "TakeOrderedAndProject")
+
+
+def test_quantile_bins_scaled_has_no_ntile_window(spark):
+    """The scale-safe binning must assign bins with a broadcast of 9
+    boundary doubles and a per-row comparison — the plan may not
+    contain the global NTILE window the exact form uses."""
+    df = QUERIES["q_quantile_bins_scaled"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "ntile(10)" not in plan  # ("ntile" alone matches percentile)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_islands_ranged_local_window_is_bucket_partitioned(spark):
+    """Phase 1's island window must hash-partition by bucket (parallel
+    per key range), not run on a single global partition."""
+    df = QUERIES["q_islands_ranged"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "hashpartitioning(bucket" in plan

@@ -804,6 +804,7 @@ def test_rate_source_generated_stream(spark, tmp_path):
         ("q_funnel3", "funnel3_counts"),
         ("q_attribution", "attribution_matrix"),
         ("q_retention_matrix", "retention_triangle"),
+        ("q_transition_matrix", "transition_matrix"),
     ],
 )
 def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, transform_name):

@@ -1,7 +1,9 @@
 """Round-4 classic-operator and event-behavior additions: skyline
 (Pareto frontier), MATCH_RECOGNIZE-style sequence patterns, burst/bot
-detection, time-proximity event debouncing, and funnel conversion
-latency.
+detection, time-proximity event debouncing, funnel conversion
+latency, corpus compressibility, tokenizer fertility, ANN recall
+evaluation, Markov stationary distribution (power iteration), and
+the distributed partial-aggregate merge exhibit.
 
 Reference anchor: EXT operators per SURVEY.md §2 (the reference's
 processing hook is KafkaDirectStream.scala:43-51).
@@ -338,3 +340,484 @@ def q_funnel_latency(spark: SparkSession, d: str):
             "p90_latency_s",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus / LLM additions
+# ---------------------------------------------------------------------------
+
+# Compressibility proxy shingle width.
+_CR_N = 4
+
+_CR_PERDOC_SQL = f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), t -> t != '') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   range(1, len(toks) - {_CR_N - 2}),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3])) AS gram
+        FROM w WHERE len(toks) >= {_CR_N}
+    )
+    SELECT doc_id, source,
+           round(COUNT(DISTINCT gram) * 1.0 / COUNT(*), 6) AS ratio
+    FROM g GROUP BY doc_id, source
+"""
+
+
+@query(
+    "q_compress_ratio",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_docs,
+           round(AVG(ratio), 6) AS avg_ratio,
+           MIN(ratio) AS min_ratio
+    FROM ({_CR_PERDOC_SQL})
+    GROUP BY source
+    """,
+    tags=("llm", "quality"),
+)
+def q_compress_ratio(spark: SparkSession, d: str):
+    """Compressibility proxy: per document, the share of its word
+    4-grams that are distinct (1.0 = fully novel text, low = highly
+    repetitive), rolled up per source — the cheap stand-in for the
+    zlib-compression-ratio quality signal LLM corpus filters use
+    (highly compressible documents are templates/spam; gzip itself
+    is per-row Python, this is pure JVM array/agg code).
+
+    4-grams are built array-side (transform over an index sequence,
+    zero shuffle), the distinct/total counts are doc-keyed, and the
+    rollup is source-sized. Documents under 4 words have no 4-grams
+    and drop out on both engines (WHERE len >= 4 / explode of an
+    empty sequence)."""
+    docs = load_table(spark, d, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    tokd = docs.select("doc_id", "source", toks.alias("toks"))
+    grams = tokd.filter(F.size("toks") >= _CR_N).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (_CR_N - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                    F.element_at(F.col("toks"), i + 2),
+                    F.element_at(F.col("toks"), i + 3),
+                ),
+            )
+        ).alias("gram"),
+    )
+    per_doc = grams.groupBy("doc_id", "source").agg(
+        F.round(
+            F.count_distinct("gram") / F.count(F.lit(1)), 6
+        ).alias("ratio")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("ratio"), 6).alias("avg_ratio"),
+        F.min("ratio").alias("min_ratio"),
+    )
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '), w -> w != ''))
+                   AS n_words,
+               CAST(list_sum(list_transform(
+                    list_filter(string_split(text, ' '), w -> w != ''),
+                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)
+                   AS n_pieces,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS words,
+           CAST(SUM(n_pieces) AS BIGINT) AS tokens,
+           round(SUM(n_pieces) * 1.0 / SUM(n_words), 6)
+               AS tokens_per_word,
+           round(SUM(n_chars) * 1.0 / SUM(n_pieces), 6)
+               AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+    tags=("llm", "text"),
+)
+def q_tokenizer_fertility(spark: SparkSession, d: str):
+    """Tokenizer fertility by language: subword tokens per whitespace
+    word and characters per token, using the same fixed-rate BPE-ish
+    piece count as q_text_bpe (ceil(len/4) pieces per word). Fertility
+    is THE tokenizer-equity metric multilingual pretraining tracks —
+    languages with high tokens-per-word get proportionally less
+    effective context window and higher serving cost.
+
+    All three counters are per-row array expressions folded in one
+    map-side-combined aggregation to a languages-sized table; the
+    corpus is scanned once, nothing shuffles but the bounded
+    per-language partials."""
+    docs = load_table(spark, d, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    pieces = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+    t = docs.select(
+        "lang",
+        F.size(toks).alias("n_words"),
+        pieces.alias("n_pieces"),
+        F.length("text").alias("n_chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("words"),
+        F.sum("n_pieces").alias("tokens"),
+        F.round(F.sum("n_pieces") / F.sum("n_words"), 6).alias(
+            "tokens_per_word"
+        ),
+        F.round(F.sum("n_chars") / F.sum("n_pieces"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN evaluation, Markov stationary distribution, partial-agg merge
+# ---------------------------------------------------------------------------
+
+# Probe set for the recall evaluation (bounded, documented).
+_RECALL_PROBES = 5
+_RECALL_K = 10
+
+
+def _ann_recall_oracle() -> str:
+    from direct_kafka_stream_spark.operators.llm import (
+        _EV_SQL,
+        _SRP_BUCKET_SQL,
+        _SRP_MASKS,
+    )
+
+    masks = ", ".join(f"({m})" for m in _SRP_MASKS)
+    return f"""
+    WITH ev AS ({_EV_SQL}),
+    qv AS (SELECT vec_id AS probe_id, i, x AS qx
+           FROM ev WHERE vec_id < {_RECALL_PROBES}),
+    dots AS (
+        SELECT q.probe_id, e.vec_id,
+               SUM(e.x * q.qx) AS dot, SUM(e.x * e.x) AS na
+        FROM ev e JOIN qv q USING (i)
+        GROUP BY q.probe_id, e.vec_id
+    ),
+    nq AS (SELECT probe_id, SUM(qx * qx) AS nq FROM qv GROUP BY probe_id),
+    sims AS (
+        SELECT d.probe_id, d.vec_id,
+               round(d.dot / (sqrt(d.na) * sqrt(nq.nq)), 6) AS sim
+        FROM dots d JOIN nq USING (probe_id)
+        WHERE d.vec_id != d.probe_id
+    ),
+    topk AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY sim DESC, vec_id) AS rn
+            FROM sims
+        ) WHERE rn <= {_RECALL_K}
+    ),
+    b AS ({_SRP_BUCKET_SQL}),
+    pb AS (SELECT vec_id AS probe_id, bucket AS qbucket
+           FROM b WHERE vec_id < {_RECALL_PROBES}),
+    probes AS (
+        SELECT probe_id, xor(qbucket, m.mask) AS pbucket
+        FROM pb, (VALUES {masks}) AS m(mask)
+    ),
+    cand AS (
+        SELECT p.probe_id, b.vec_id
+        FROM b JOIN probes p ON b.bucket = p.pbucket
+        WHERE b.vec_id != p.probe_id
+    ),
+    hits AS (
+        SELECT t.probe_id, COUNT(c.vec_id) AS n_hits
+        FROM topk t LEFT JOIN cand c
+          ON c.probe_id = t.probe_id AND c.vec_id = t.vec_id
+        GROUP BY t.probe_id
+    ),
+    ncand AS (SELECT probe_id, COUNT(*) AS n_candidates
+              FROM cand GROUP BY probe_id)
+    SELECT h.probe_id,
+           COALESCE(nc.n_candidates, 0) AS n_candidates,
+           h.n_hits,
+           round(h.n_hits * 1.0 / {_RECALL_K}, 6) AS recall
+    FROM hits h LEFT JOIN ncand nc USING (probe_id)
+    """
+
+
+@query(
+    "q_ann_recall",
+    oracle=_ann_recall_oracle(),
+    tags=("llm", "similarity", "eval"),
+)
+def q_ann_recall(spark: SparkSession, d: str):
+    """ANN recall@10 evaluation: for each of 5 probe vectors, the
+    exact brute-force cosine top-10 is compared against the multi-probe
+    SRP-LSH candidate set (q_sim_ann_bucket's 9-bucket probe schedule);
+    recall = |top10 ∩ candidates| / 10. This is the evaluation loop
+    that sizes LSH parameters before anyone trusts the approximate
+    path — the embedding twin of q_minhash_accuracy's Jaccard census.
+
+    The exact side is a probes-bounded cross join (5 broadcast probe
+    rows × one corpus scan, per-partition top-k heaps); the candidate
+    side reuses the production bucket expression, with the 45-row
+    (probe × mask) bucket table broadcast. Both sides are documented
+    sample-only on the probe axis: recall is a statistic you estimate
+    on a bounded probe set, never computed corpus × corpus."""
+    from direct_kafka_stream_spark.operators.llm import (
+        _SRP_MASKS,
+        _cosine,
+        _srp_bucket_col,
+    )
+
+    e = load_table(spark, d, "embeddings")
+    probes = e.filter(F.col("vec_id") < _RECALL_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qv")
+    )
+    sims = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), "vec_id")
+    topk = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("probe_id", "vec_id")
+    )
+    b = e.select("vec_id", _srp_bucket_col().alias("bucket"))
+    pb = b.filter(F.col("vec_id") < _RECALL_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("bucket").alias("qbucket")
+    )
+    masks = F.explode(F.array(*[F.lit(m) for m in _SRP_MASKS])).alias("mask")
+    probe_buckets = pb.select("probe_id", "qbucket", masks).select(
+        "probe_id",
+        F.col("qbucket").bitwiseXOR(F.col("mask")).alias("pbucket"),
+    )
+    cand = (
+        b.join(F.broadcast(probe_buckets), b.bucket == probe_buckets.pbucket)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+    )
+    hits = (
+        topk.alias("t")
+        .join(
+            cand.alias("c"),
+            (F.col("c.probe_id") == F.col("t.probe_id"))
+            & (F.col("c.vec_id") == F.col("t.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("t.probe_id").alias("probe_id"))
+        .agg(F.count(F.col("c.vec_id")).alias("n_hits"))
+    )
+    ncand = cand.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    return (
+        hits.join(ncand, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            "n_hits",
+            F.round(F.col("n_hits") / _RECALL_K, 6).alias("recall"),
+        )
+    )
+
+
+# Power-iteration count for the stationary distribution (contraction
+# converges in far fewer; fixed so both engines run identical math).
+_MARKOV_ITERS = 40
+
+_MARKOV_M_SQL = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ),
+    m AS MATERIALIZED (
+        SELECT prev_type, next_type,
+               n * 1.0 / SUM(n) OVER (PARTITION BY prev_type) AS p
+        FROM cnt
+    )
+"""
+
+
+def _markov_oracle() -> str:
+    """Unrolled power iteration: v0 = uniform over states, v_{k+1} =
+    P^T v_k, 40 stages of tiny GROUP BY CTEs (the state space is the
+    event-type vocabulary — bounded), rounded at the end."""
+    stages = [
+        """
+    types AS MATERIALIZED (SELECT DISTINCT prev_type AS typ FROM m),
+    v0 AS MATERIALIZED (
+        SELECT typ, 1.0 / (SELECT COUNT(*) FROM types) AS p FROM types)"""
+    ]
+    for k in range(_MARKOV_ITERS):
+        stages.append(
+            f"""
+    v{k + 1} AS MATERIALIZED (
+        SELECT m.next_type AS typ, SUM(v{k}.p * m.p) AS p
+        FROM v{k} JOIN m ON m.prev_type = v{k}.typ
+        GROUP BY m.next_type
+    )"""
+        )
+    return (
+        _MARKOV_M_SQL
+        + ","
+        + ",".join(stages)
+        + f"""
+    SELECT typ AS event_type, round(p, 6) AS stationary_p
+    FROM v{_MARKOV_ITERS}
+    """
+    )
+
+
+@query(
+    "q_markov_stationary",
+    oracle=_markov_oracle(),
+    tags=("events", "iterative"),
+)
+def q_markov_stationary(spark: SparkSession, d: str):
+    """Stationary distribution of the user-behaviour Markov chain
+    (where does a random surfer of the event graph spend time?) via
+    power iteration on the q_transition_matrix chain — the PageRank
+    primitive applied to the event-type graph.
+
+    Scale shape: the distributed work is exactly one pass — the
+    user-keyed LAG + the |types|²-bounded transition-count aggregate
+    (identical to q_transition_matrix). The matrix is then COLLECTED
+    (bounded by the event-type vocabulary squared — 25 rows here,
+    never corpus-sized) and the 40 vector iterations run driver-side
+    in microseconds, exactly like q_kmeans_train's k-row center
+    collect. Iterating distributed would cost 40 tiny jobs for a
+    matrix that fits in a cache line. Summation inside each iteration
+    runs in sorted state order on both engines; the result is rounded
+    to 6dp (contraction keeps cross-engine float drift ~1e-14).
+
+    Dangling guard: every state must have outgoing mass (true here —
+    each event type both precedes and follows others); states never
+    appearing as prev_type would leak mass and are asserted against."""
+    from direct_kafka_stream_spark.operators.events_analytics import (
+        transition_matrix,
+    )
+
+    e = load_table(spark, d, "events")
+    m_rows = transition_matrix(e).collect()  # bounded: |types|^2
+    states = sorted({r["prev_type"] for r in m_rows})
+    next_states = {r["next_type"] for r in m_rows}
+    assert next_states <= set(states), "dangling state: mass would leak"
+    p = {(r["prev_type"], r["next_type"]): r["n"] for r in m_rows}
+    row_tot = {
+        s: sum(n for (a, _), n in p.items() if a == s) for s in states
+    }
+    prob = {(a, b): n / row_tot[a] for (a, b), n in p.items()}
+    v = {s: 1.0 / len(states) for s in states}
+    for _ in range(_MARKOV_ITERS):
+        v = {
+            t: sum(v[s] * prob.get((s, t), 0.0) for s in states)
+            for t in states
+        }
+    # Round half-away-from-zero to match both engines' SQL round()
+    # (Python's built-in round is banker's).
+    import math
+
+    rows = [
+        (s, math.floor(v[s] * 1e6 + 0.5) / 1e6) for s in states
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, stationary_p double"
+    )
+
+
+# Shard count for the partial-aggregate merge exhibit.
+_PM_SHARDS = 4
+
+
+@query(
+    "q_partial_merge",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           round(AVG(value), 6) AS mean_value,
+           round(var_pop(value), 6) AS var_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "distributed"),
+)
+def q_partial_merge(spark: SparkSession, d: str):
+    """Distributed partial-aggregate merge: the fact table is split
+    into 4 hash shards, each shard computes local partials (count,
+    sum, min, max, M2 sum-of-squared-deviations), and the partials
+    are merged with the parallel-variance combine formula
+    (total M2 = Σ M2_i + Σ n_i·(mean_i − mean_total)²). The oracle is
+    the DIRECT single-pass aggregate — passing the hash check proves
+    the merge algebra is exact, which is the contract every
+    incremental rollup / materialized-view maintenance path depends
+    on (merge yesterday's partials with today's delta instead of
+    rescanning 100 TB).
+
+    Two bounded aggregations over a (shards × types)-sized partial
+    table after the one fact-keyed exchange; the merge itself is
+    arithmetic on that tiny table."""
+    e = load_table(spark, d, "events")
+    partials = (
+        e.withColumn("shard", F.col("event_id") % _PM_SHARDS)
+        .groupBy("shard", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.sum("value").alias("s_i"),
+            F.min("value").alias("min_i"),
+            F.max("value").alias("max_i"),
+            (F.var_pop("value") * F.count(F.lit(1))).alias("m2_i"),
+        )
+    )
+    totals = partials.groupBy("event_type").agg(
+        F.sum("n_i").alias("n"), F.sum("s_i").alias("s")
+    )
+    merged = (
+        partials.join(F.broadcast(totals), "event_type")
+        .withColumn("mean_tot", F.col("s") / F.col("n"))
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.round(F.first("mean_tot"), 6).alias("mean_value"),
+            F.round(
+                (
+                    F.sum("m2_i")
+                    + F.sum(
+                        F.col("n_i")
+                        * F.pow(
+                            F.col("s_i") / F.col("n_i") - F.col("mean_tot"), 2
+                        )
+                    )
+                )
+                / F.first("n"),
+                6,
+            ).alias("var_value"),
+            F.min("min_i").alias("min_value"),
+            F.max("max_i").alias("max_value"),
+        )
+    )
+    return merged

@@ -3,7 +3,8 @@
 detection, time-proximity event debouncing, funnel conversion
 latency, corpus compressibility, tokenizer fertility, ANN recall
 evaluation, Markov stationary distribution (power iteration), and
-the distributed partial-aggregate merge exhibit.
+the distributed partial-aggregate merge exhibit, plus graph analytics
+(triangle counting, PageRank step) and zone-map pruning.
 
 Reference anchor: EXT operators per SURVEY.md §2 (the reference's
 processing hook is KafkaDirectStream.scala:43-51).
@@ -821,3 +822,249 @@ def q_partial_merge(spark: SparkSession, d: str):
         )
     )
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the bounded similarity graph / trade graph
+# ---------------------------------------------------------------------------
+
+# Similarity-graph edge threshold (rounded cosine within sign-LSH
+# buckets; picked so the fixture graph has a non-trivial triangle
+# census: sf0.01 -> 751 edges, 132 triangles).
+_TRI_TAU = 0.2
+
+
+def _triangle_oracle() -> str:
+    from direct_kafka_stream_spark.operators.llm import _BUCKET16_SQL, _EV_SQL
+
+    return f"""
+    WITH ev AS ({_EV_SQL}),
+    b AS (SELECT vec_id, {_BUCKET16_SQL} AS bucket FROM embeddings),
+    norms AS (SELECT vec_id, SUM(x * x) AS nn FROM ev GROUP BY vec_id),
+    cand AS (
+        SELECT a.vec_id AS va, b2.vec_id AS vb
+        FROM b AS a JOIN b AS b2
+          ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ),
+    dots AS (
+        SELECT c.va, c.vb, SUM(ea.x * eb.x) AS dot
+        FROM cand c
+        JOIN ev ea ON ea.vec_id = c.va
+        JOIN ev eb ON eb.vec_id = c.vb AND eb.i = ea.i
+        GROUP BY c.va, c.vb
+    ),
+    e AS MATERIALIZED (
+        SELECT d.va AS a, d.vb AS b
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.va
+        JOIN norms nb ON nb.vec_id = d.vb
+        WHERE round(d.dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= {_TRI_TAU}
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*)
+            FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+               AS n_triangles
+    """
+
+
+@query(
+    "q_triangle_count",
+    oracle=_triangle_oracle(),
+    tags=("graph", "llm"),
+)
+def q_triangle_count(spark: SparkSession, d: str):
+    """Triangle counting over the embedding similarity graph: edges
+    are intra-LSH-bucket pairs with rounded cosine >= 0.2 (oriented
+    a < b), and triangles are found with the standard distributed
+    edge-join algorithm — e1(a,b) ⋈ e2(b,c) produces wedges, closed
+    by a semi-check against e3(a,c). Triangle density is the
+    clustering-coefficient numerator — the graph-level summary of how
+    clumped near-duplicate content is (complement of
+    q_dup_cluster_stats' component sizes).
+
+    Scale shape: edge generation is the bucket-scoped q_dedup_embed
+    pattern (sum of squared bucket sizes, never corpus²); the wedge
+    join is keyed on the shared vertex and the closing join on the
+    (a, b) edge pair — the exact plan GraphX/Pregel triangle counting
+    lowers to, entirely as DataFrame joins. Because sign-buckets are
+    a function of the vector, every triangle's three edges share one
+    bucket, so all joins stay bucket-local (skew bounded by the
+    bucket-size cap that the bit-count controls)."""
+    from direct_kafka_stream_spark.operators.llm import (
+        _bucket16_col,
+        _cosine,
+    )
+
+    emb = load_table(spark, d, "embeddings").select(
+        "vec_id", "embedding", _bucket16_col().alias("bucket")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "bucket"
+    )
+    bb = emb.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), "bucket"
+    )
+    edges = (
+        a.join(bb, "bucket")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(
+            F.round(_cosine(F.col("ea"), F.col("eb")), 6) >= _TRI_TAU
+        )
+        .select(F.col("va").alias("a"), F.col("vb").alias("b"))
+    )
+    edges = edges.persist()
+    wedges = edges.alias("e1").join(
+        edges.alias("e2"), F.col("e2.a") == F.col("e1.b")
+    )
+    tris = wedges.join(
+        edges.alias("e3"),
+        (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        "inner",
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tris = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_edges.crossJoin(n_tris)
+
+
+# PageRank damping factor.
+_PR_D = 0.85
+
+
+@query(
+    "q_pagerank_step",
+    oracle=f"""
+    WITH edges AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               COUNT(*) AS w
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY src, dst
+    ),
+    outdeg AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM nation),
+    contrib AS (
+        SELECT e.dst,
+               SUM((1.0 / nn.n) * e.w / od.outw) AS inflow
+        FROM edges e JOIN outdeg od ON od.src = e.src
+        CROSS JOIN nn
+        GROUP BY e.dst
+    )
+    SELECT n.n_name,
+           round(0.15 / nn.n + {_PR_D} * COALESCE(c.inflow, 0), 6) AS rank
+    FROM nation n
+    CROSS JOIN nn
+    LEFT JOIN contrib c ON c.dst = n.n_nationkey
+    """,
+    tags=("graph", "tpch"),
+)
+def q_pagerank_step(spark: SparkSession, d: str):
+    """One PageRank iteration over the international trade graph:
+    vertices are nations, edge weight supplier-nation → customer-nation
+    is the count of lineitems shipped between them (the TPC-H Q7
+    bilateral-trade shape), rank starts uniform and one damped step
+    redistributes it along outgoing-weight shares. The iterate-to-
+    fixpoint form of the same math is q_markov_stationary's driver
+    loop; this registers the distributed single-step that would run
+    per superstep on an unbounded vertex set.
+
+    Scale shape: the only heavy work is the fact scan + the
+    lineitem→supplier / →orders→customer key joins (exactly Q7's
+    exchanges); everything after is nation²-bounded (edges ≤ 625
+    rows). The vertex count and outdegree tables are broadcast-sized.
+    Dangling vertices (no outgoing trade) keep the base 0.15/N mass —
+    documented single-step semantics on both engines."""
+    li = load_table(spark, d, "lineitem")
+    sup = load_table(spark, d, "supplier")
+    orders = load_table(spark, d, "orders")
+    cust = load_table(spark, d, "customer")
+    nation = load_table(spark, d, "nation")
+
+    edges = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    n = nation.agg(F.count(F.lit(1)).alias("n"))
+    contrib = (
+        edges.join(F.broadcast(outdeg), "src")
+        .crossJoin(F.broadcast(n))
+        .groupBy("dst")
+        .agg(
+            F.sum((1.0 / F.col("n")) * F.col("w") / F.col("outw")).alias(
+                "inflow"
+            )
+        )
+    )
+    return (
+        nation.crossJoin(F.broadcast(n))
+        .join(
+            F.broadcast(contrib),
+            nation.n_nationkey == contrib.dst,
+            "left",
+        )
+        .select(
+            "n_name",
+            F.round(
+                0.15 / F.col("n")
+                + _PR_D * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                6,
+            ).alias("rank"),
+        )
+    )
+
+
+# Zone-map pruning predicate (the literal a reader would push down).
+_ZM_PRICE = 400000.0
+
+
+@query(
+    "q_zonemap_prune",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS bucket_month,
+           COUNT(*) AS n_rows,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           MAX(o_totalprice) <= {_ZM_PRICE} AS skippable
+    FROM orders GROUP BY bucket_month
+    """,
+    tags=("scale", "profiling"),
+)
+def q_zonemap_prune(spark: SparkSession, d: str):
+    """Zone-map construction + pruning report: per month-partition,
+    the min/max of o_totalprice and whether a reader evaluating
+    `o_totalprice > 400000` could skip the partition entirely
+    (max <= literal). This is the data-skipping index every lakehouse
+    format (parquet row-group stats, Delta/Iceberg file stats) uses —
+    materialized as a query so the skip rate is inspectable: the
+    fraction of skippable rows is exactly the I/O a predicate saves
+    at 100 TB.
+
+    One map-side-combined aggregation to a months-sized table; the
+    skippability test is arithmetic on that bounded zone map."""
+    o = load_table(spark, d, "orders")
+    return (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("bucket_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .select(
+            "bucket_month",
+            "n_rows",
+            "min_price",
+            "max_price",
+            (F.col("max_price") <= _ZM_PRICE).alias("skippable"),
+        )
+    )

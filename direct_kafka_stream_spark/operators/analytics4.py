@@ -118,7 +118,13 @@ def q_seq_pattern(spark: SparkSession, d: str):
     collect_list order is not guaranteed across partitions, sorting
     the collected structs is. The pattern table is a literal
     inline VALUES (3 rows, broadcast trivially)."""
-    e = load_table(spark, d, "events")
+    return seq_pattern_counts(load_table(spark, d, "events"))
+
+
+def seq_pattern_counts(e):
+    """Composable form of q_seq_pattern over any (user_id, event_id,
+    event_type, ts) DataFrame — also applied per micro-batch snapshot
+    by the streaming twin in tests/test_streaming.py."""
     path = F.array_join(
         F.transform(
             F.array_sort(
@@ -187,7 +193,13 @@ def q_bot_burst(spark: SparkSession, d: str):
     global order exists anywhere. Epoch math is integer seconds on
     both engines (Spark unix_timestamp truncates, the oracle floors
     epoch() explicitly)."""
-    e = load_table(spark, d, "events")
+    return bot_burst_report(load_table(spark, d, "events"))
+
+
+def bot_burst_report(e):
+    """Composable form of q_bot_burst over any (user_id, event_id,
+    event_type, ts) DataFrame — also applied per micro-batch snapshot
+    by the streaming twin in tests/test_streaming.py."""
     sec = e.select(
         "user_id",
         F.unix_timestamp("ts").alias("ts_s"),
@@ -334,9 +346,9 @@ def q_funnel_latency(spark: SparkSession, d: str):
         .select(
             "n_signup",
             "n_converted",
-            F.round(F.col("n_converted") / F.col("n_signup"), 6).alias(
-                "conv_rate"
-            ),
+            F.round(
+                F.try_divide(F.col("n_converted"), F.col("n_signup")), 6
+            ).alias("conv_rate"),
             "p50_latency_s",
             "p90_latency_s",
         )

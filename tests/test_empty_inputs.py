@@ -69,6 +69,19 @@ _REPRESENTATIVE = [
     "q_path_topk",        # user-keyed rank window over empty
     "q_sessionize",       # lag/running-sum windows over empty
     "q_ngram_novelty",    # gram first-owner join over empty
+    "q_skyline",          # bounded frontier window over empty
+    "q_seq_pattern",      # path aggregation over empty
+    "q_bot_burst",        # RANGE frame over empty
+    "q_event_debounce",   # lag window over empty
+    "q_funnel_latency",   # ungrouped agg + 0/0 rate over empty
+    "q_compress_ratio",   # gram explode over empty
+    "q_tokenizer_fertility",  # per-lang ratio with zero denominators
+    "q_ann_recall",       # probe set missing from empty corpus
+    "q_markov_stationary",  # driver loop with an empty state space
+    "q_partial_merge",    # merge of zero partials
+    "q_triangle_count",   # wedge join over zero edges
+    "q_pagerank_step",    # zero-vertex graph
+    "q_zonemap_prune",    # zone map of an empty table
 ]
 
 
@@ -125,5 +138,16 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         assert [
             (r.n0, r.n1, r.mean0, r.mean1, r.z_score) for r in rows
         ] == [(None, None, None, None, None)]
+    elif name == "q_funnel_latency":
+        # ungrouped rollup: one row, zero counts, NULL rate (0/0) and
+        # NULL percentiles (nothing to interpolate)
+        assert [
+            (r.n_signup, r.n_converted, r.conv_rate,
+             r.p50_latency_s, r.p90_latency_s)
+            for r in rows
+        ] == [(0, 0, None, None, None)]
+    elif name == "q_triangle_count":
+        # zero edges -> zero wedges -> zero triangles, one row
+        assert [(r.n_edges, r.n_triangles) for r in rows] == [(0, 0)]
     else:
         assert rows == []

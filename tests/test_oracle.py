@@ -38,6 +38,9 @@ sys_path_queries = [
     "q_join_asof",
     "q_rollup_hypertable",
     "q_subquery_correlated",
+    "q_skyline",
+    "q_partial_merge",
+    "q_markov_stationary",
 ]
 
 

@@ -274,3 +274,39 @@ def test_islands_ranged_local_window_is_bucket_partitioned(spark):
     df = QUERIES["q_islands_ranged"].spark(spark, SF_DIR)
     plan = inspect.physical_plan(df)
     assert "hashpartitioning(bucket" in plan
+
+
+def test_skyline_broadcasts_bounded_frontier(spark):
+    """The skyline must join the fact against a BROADCAST of the
+    distinct-size-bounded frontier table — never a dominance
+    self-join of the fact (which is O(n²))."""
+    df = QUERIES["q_skyline"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert inspect.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_contrib_broadcasts_bounded_tables(spark):
+    """One PageRank step: the outdegree and vertex-count tables are
+    nation-bounded and must broadcast; the only shuffles are the fact
+    key joins."""
+    df = QUERIES["q_pagerank_step"].spark(spark, SF_DIR)
+    assert inspect.has_broadcast_join(df)
+
+
+def test_triangle_join_stays_bucket_scoped(spark):
+    """Edge generation must join on the LSH bucket id (bucket-scoped
+    candidate pairs), never a corpus cross join."""
+    df = QUERIES["q_triangle_count"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_zonemap_is_single_agg_no_window(spark):
+    """The zone map is one map-side-combined aggregation to a
+    months-sized table — no window, no join."""
+    df = QUERIES["q_zonemap_prune"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert inspect.codegen_stage_count(df) >= 1

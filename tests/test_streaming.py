@@ -805,6 +805,8 @@ def test_rate_source_generated_stream(spark, tmp_path):
         ("q_attribution", "attribution_matrix"),
         ("q_retention_matrix", "retention_triangle"),
         ("q_transition_matrix", "transition_matrix"),
+        ("q_seq_pattern", "seq_pattern_counts"),
+        ("q_bot_burst", "bot_burst_report"),
     ],
 )
 def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, transform_name):
@@ -817,9 +819,11 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
     process, KafkaDirectStream.scala:43-51), with the round-3
     analytics as the analyze step."""
     from direct_kafka_stream_spark import QUERIES
-    from direct_kafka_stream_spark.operators import events_analytics as ea
+    from direct_kafka_stream_spark.operators import analytics4, events_analytics
 
-    transform = getattr(ea, transform_name)
+    transform = getattr(
+        events_analytics, transform_name, None
+    ) or getattr(analytics4, transform_name)
     expected = sorted(
         map(tuple, QUERIES[qname].spark(spark, SF_DIR).collect())
     )

@@ -1080,3 +1080,294 @@ def q_zonemap_prune(spark: SparkSession, d: str):
             (F.col("max_price") <= _ZM_PRICE).alias("skippable"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical / forensic analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_benford",
+    oracle="""
+    WITH d AS (
+        SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM d)
+    SELECT CAST(d.digit AS INTEGER) AS digit, COUNT(*) AS n,
+           round(COUNT(*) * 1.0 / tot.n, 6) AS share,
+           round(log10(1.0 + 1.0 / CAST(d.digit AS INTEGER)), 6)
+               AS benford_p,
+           round(COUNT(*) * 1.0 / tot.n
+                 - log10(1.0 + 1.0 / CAST(d.digit AS INTEGER)), 6)
+               AS deviation
+    FROM d CROSS JOIN tot
+    GROUP BY d.digit, tot.n
+    """,
+    tags=("stats", "forensic"),
+)
+def q_benford(spark: SparkSession, d: str):
+    """Benford's-law first-digit census over order totals: observed
+    share of each leading digit vs the log10(1 + 1/d) expectation —
+    the classic forensic-accounting / data-fabrication screen, useful
+    on any money-valued fact feed before it enters training data.
+
+    The leading digit is extracted through exact integer cents
+    (round(price·100) → BIGINT → string head) rather than
+    floor(log10(price)) arithmetic, so no cross-engine float-log
+    boundary can flip a digit. One map-side-combined aggregation to
+    ≤ 9 rows + a 1-row total broadcast."""
+    o = load_table(spark, d, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    dd = o.select(digit.alias("digit"))
+    tot = dd.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        dd.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("n_total"), 6).alias("share"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias(
+                "benford_p"
+            ),
+            F.round(
+                F.col("n") / F.col("n_total")
+                - F.log10(1.0 + 1.0 / F.col("digit")),
+                6,
+            ).alias("deviation"),
+        )
+    )
+
+
+@query(
+    "q_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey, SUM(o_totalprice) AS r
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT n.n_name, rev.r,
+               ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                  ORDER BY rev.r, rev.o_custkey) AS i,
+               COUNT(*) OVER (PARTITION BY n.n_name) AS cnt,
+               SUM(rev.r) OVER (PARTITION BY n.n_name) AS tot
+        FROM rev
+        JOIN customer c ON c.c_custkey = rev.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT n_name, MAX(cnt) AS n_cust,
+           round(2.0 * SUM(i * r) / (MAX(cnt) * MAX(tot))
+                 - (MAX(cnt) + 1.0) / MAX(cnt), 6) AS gini
+    FROM ranked
+    GROUP BY n_name
+    """,
+    tags=("stats",),
+)
+def q_gini(spark: SparkSession, d: str):
+    """Gini coefficient of revenue concentration per nation: how
+    unequally order revenue distributes over a nation's customers
+    (0 = perfectly equal, →1 = one whale) via the sorted-rank closed
+    form G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n. The whale-detection metric
+    behind mixture weighting and abuse screens.
+
+    Revenue reduces fact→customer-keyed first (the only corpus-sized
+    exchange); ranking then runs per nation — each frame bounded by a
+    nation's customer count. At extreme per-key cardinality the
+    rank-free binned Lorenz approximation (accumulate into revenue
+    deciles, integrate the discrete Lorenz curve — q_hist_equi's
+    machinery) replaces the exact window; exact is kept here as the
+    calibration anchor. Ties in revenue rank deterministically by
+    custkey on both engines."""
+    orders = load_table(spark, d, "orders")
+    cust = load_table(spark, d, "customer")
+    nation = load_table(spark, d, "nation")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    joined = rev.join(
+        cust, rev.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    wp = Window.partitionBy("n_name")
+    wr = wp.orderBy("r", "o_custkey")
+    ranked = joined.select(
+        "n_name",
+        "r",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+        F.sum("r").over(wp).alias("tot"),
+    )
+    return ranked.groupBy("n_name").agg(
+        F.max("cnt").alias("n_cust"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("r"))
+            / (F.max("cnt") * F.max("tot"))
+            - (F.max("cnt") + 1.0) / F.max("cnt"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# Windowed funnel: every later stage must land within this many
+# seconds of the user's FIRST view (ClickHouse windowFunnel shape).
+_WF_WINDOW_S = 7 * 86400
+
+
+@query(
+    "q_funnel_windowed",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT v.user_id, v.t1, MIN(e.ts) AS t2
+        FROM v JOIN events e
+          ON e.user_id = v.user_id AND e.event_type = 'click'
+         AND e.ts >= v.t1
+         AND CAST(floor(epoch(e.ts)) AS BIGINT)
+             <= CAST(floor(epoch(v.t1)) AS BIGINT) + {_WF_WINDOW_S}
+        GROUP BY v.user_id, v.t1
+    ),
+    p AS (
+        SELECT c.user_id
+        FROM c JOIN events e
+          ON e.user_id = c.user_id AND e.event_type = 'purchase'
+         AND e.ts >= c.t2
+         AND CAST(floor(epoch(e.ts)) AS BIGINT)
+             <= CAST(floor(epoch(c.t1)) AS BIGINT) + {_WF_WINDOW_S}
+        GROUP BY c.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+    tags=("events", "funnel"),
+)
+def q_funnel_windowed(spark: SparkSession, d: str):
+    """Windowed strict-order funnel (the ClickHouse windowFunnel
+    shape): view → click → purchase where every later stage must fall
+    within 7 days of the user's FIRST view — q_funnel3's ordering
+    constraint plus a conversion deadline, which is how funnels are
+    actually reported (unbounded funnels only ever grow).
+
+    Each stage is one filtered fact scan (filter pushed to parquet)
+    reduced user-keyed, then joined user-keyed onto the previous
+    stage's anchor — identical exchange budget to q_funnel3 plus the
+    deadline predicate in integer epoch seconds (no sub-second float
+    drift across engines)."""
+    e = load_table(spark, d, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    c = (
+        v.join(clicks, "user_id")
+        .filter(
+            (F.col("c_ts") >= F.col("t1"))
+            & (
+                F.unix_timestamp("c_ts")
+                <= F.unix_timestamp("t1") + _WF_WINDOW_S
+            )
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("c_ts").alias("t2"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    p = (
+        c.join(purchases, "user_id")
+        .filter(
+            (F.col("p_ts") >= F.col("t2"))
+            & (
+                F.unix_timestamp("p_ts")
+                <= F.unix_timestamp("t1") + _WF_WINDOW_S
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    n1 = v.agg(F.count(F.lit(1)).alias("n_view"))
+    n2 = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    n3 = p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    return n1.crossJoin(n2).crossJoin(n3)
+
+
+# SAX breakpoints for a 4-symbol alphabet (standard normal quartiles).
+_SAX_BP = 0.6745
+
+
+@query(
+    "q_sax_symbols",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               round(SUM(value), 6) AS rev
+        FROM events GROUP BY day
+    ),
+    st AS (
+        SELECT AVG(rev) AS mu, stddev_pop(rev) AS sigma FROM daily
+    ),
+    z AS (
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               round((rev - st.mu) / NULLIF(st.sigma, 0), 6) AS zscore
+        FROM daily CROSS JOIN st
+    )
+    SELECT day, zscore,
+           CASE WHEN zscore < -{_SAX_BP} THEN 'a'
+                WHEN zscore < 0 THEN 'b'
+                WHEN zscore < {_SAX_BP} THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM z
+    """,
+    tags=("timeseries", "stats"),
+)
+def q_sax_symbols(spark: SparkSession, d: str):
+    """SAX symbolization of the daily revenue series: z-normalize the
+    days-bounded series and map each day onto a 4-letter alphabet at
+    the standard-normal quartile breakpoints (±0.6745, 0) — the
+    symbolic time-series representation behind motif discovery and
+    cheap sequence indexing (a day's shape becomes a character,
+    a quarter becomes a string you can grep).
+
+    One fact aggregation to a days-sized table; mean/stddev are a
+    1-row broadcast back onto it. The symbol compares the ROUNDED
+    z-score on both engines so accumulation-order float drift cannot
+    flip a letter at a breakpoint (ALIGNMENT.md round-before-compare
+    rule); a zero-variance series yields NULL z and symbol 'd' —
+    pinned by the degenerate-series unit test."""
+    e = load_table(spark, d, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("rev")
+    )
+    st = daily.agg(
+        F.avg("rev").alias("mu"), F.stddev_pop("rev").alias("sigma")
+    )
+    z = daily.crossJoin(F.broadcast(st)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(
+            (F.col("rev") - F.col("mu"))
+            / F.nullif(F.col("sigma"), F.lit(0.0)),
+            6,
+        ).alias("zscore"),
+    )
+    return z.select(
+        "day",
+        "zscore",
+        F.when(F.col("zscore") < -_SAX_BP, "a")
+        .when(F.col("zscore") < 0, "b")
+        .when(F.col("zscore") < _SAX_BP, "c")
+        .otherwise("d")
+        .alias("symbol"),
+    )

@@ -82,6 +82,10 @@ _REPRESENTATIVE = [
     "q_triangle_count",   # wedge join over zero edges
     "q_pagerank_step",    # zero-vertex graph
     "q_zonemap_prune",    # zone map of an empty table
+    "q_benford",          # digit census with zero total
+    "q_gini",             # per-nation rank windows over empty
+    "q_funnel_windowed",  # deadline joins over empty anchors
+    "q_sax_symbols",      # z-normalization of an empty series
 ]
 
 
@@ -146,6 +150,9 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
              r.p50_latency_s, r.p90_latency_s)
             for r in rows
         ] == [(0, 0, None, None, None)]
+    elif name == "q_funnel_windowed":
+        assert [(r.n_view, r.n_view_click, r.n_view_click_purchase)
+                for r in rows] == [(0, 0, 0)]
     elif name == "q_triangle_count":
         # zero edges -> zero wedges -> zero triangles, one row
         assert [(r.n_edges, r.n_triangles) for r in rows] == [(0, 0)]

@@ -318,3 +318,59 @@ def test_drift_ks_binned_matches_numpy_and_bounds_window(spark):
         max(np.bincount(bins_b - grid.min().astype(np.int64)).max() / len(b), 0),
     )
     assert abs(row.ks_binned - exact) <= mass + 1e-9
+
+
+def test_sax_zero_variance_series_symbolizes_as_d(spark, tmp_path):
+    """A constant daily series has sigma = 0: the z-score must be NULL
+    (NULLIF guard, both engines) and the symbol falls through every
+    breakpoint comparison to 'd' — never a divide-by-zero error."""
+    import datetime
+
+    from direct_kafka_stream_spark.io import TABLES, load_table
+
+    d = tmp_path / "const_sf"
+    d.mkdir()
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(0).write.mode("overwrite").parquet(
+            str(d / f"{t}.parquet")
+        )
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i, 12, 0, 0), i % 3, "view", 10.0, "{}")
+        for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    out = {r.day: r for r in QUERIES["q_sax_symbols"].spark(spark, str(d)).collect()}
+    assert len(out) == 6
+    for r in out.values():
+        assert r.zscore is None
+        assert r.symbol == "d"
+
+
+def test_skyline_is_exactly_the_non_dominated_set(spark):
+    """Differential check of the bounded-domain skyline rewrite against
+    the O(n²) dominance definition computed directly in pandas."""
+    import pandas as pd
+
+    part = load_table(spark, SF_DIR, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    ).toPandas()
+    keep = []
+    for _, p in part.iterrows():
+        dominated = (
+            (part.p_size >= p.p_size)
+            & (part.p_retailprice <= p.p_retailprice)
+            & (
+                (part.p_size > p.p_size)
+                | (part.p_retailprice < p.p_retailprice)
+            )
+        ).any()
+        if not dominated:
+            keep.append(int(p.p_partkey))
+    got = sorted(
+        r.p_partkey
+        for r in QUERIES["q_skyline"].spark(spark, SF_DIR).collect()
+    )
+    assert got == sorted(keep)

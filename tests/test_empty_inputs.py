@@ -86,6 +86,17 @@ _REPRESENTATIVE = [
     "q_gini",             # per-nation rank windows over empty
     "q_funnel_windowed",  # deadline joins over empty anchors
     "q_sax_symbols",      # z-normalization of an empty series
+    # round-4 statistics / time-series sweep
+    "q_ewma",             # weighted self-join over an empty daily series
+    "q_acf",              # corr over zero lag pairs
+    "q_cross_corr",       # corr over zero shifted pairs
+    "q_corr_matrix",      # one-row corr aggregate over empty (NULL r)
+    "q_chi2",             # contingency grid of zero cells
+    "q_inter_event",      # lag window over empty
+    "q_concurrent_peak",  # sweep-line over zero endpoints
+    "q_snapshot_diff",    # full outer of two empty snapshots
+    "q_dedup_fuzzy",      # block self-join over empty
+    "q_degree_dist",      # degree count with zero vertices
 ]
 
 
@@ -156,5 +167,13 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
     elif name == "q_triangle_count":
         # zero edges -> zero wedges -> zero triangles, one row
         assert [(r.n_edges, r.n_triangles) for r in rows] == [(0, 0)]
+    elif name == "q_corr_matrix":
+        # the one-row aggregate still emits: 6 pairs, undefined corr
+        assert len(rows) == 6
+        assert all(r.r is None for r in rows)
+    elif name == "q_chi2":
+        # empty contingency grid: undefined N and statistic; dof is
+        # (0-1)*(0-1) from the empty marginals — documented artifact
+        assert [(r.n, r.chi2) for r in rows] == [(None, None)]
     else:
         assert rows == []

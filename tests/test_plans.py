@@ -310,3 +310,40 @@ def test_zonemap_is_single_agg_no_window(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert inspect.codegen_stage_count(df) >= 1
+
+
+def test_concurrent_peak_window_is_day_partitioned(spark):
+    """The sweep-line running sum must hash-partition by day (bounded
+    at 86400 rows per partition by the per-second pre-aggregation) —
+    never a global single-partition ORDER BY time."""
+    df = QUERIES["q_concurrent_peak"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "hashpartitioning(day" in plan
+
+
+def test_corr_matrix_is_one_aggregate_no_join(spark):
+    """All six correlations fuse into ONE aggregation pass over the
+    fact scan — no self-joins, no repeated scans."""
+    df = QUERIES["q_corr_matrix"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "Join" not in plan
+    # formatted plans print each node twice (tree + detail section)
+    assert plan.count("(1) Scan parquet") == 1 and "(2) Scan" not in plan
+
+
+def test_ewma_weights_are_broadcast(spark):
+    """The literal (1-alpha)^lag weight table must broadcast onto the
+    days-bounded self-join; the fact table shuffles once (the daily
+    aggregate)."""
+    df = QUERIES["q_ewma"].spark(spark, SF_DIR)
+    assert inspect.has_broadcast_join(df)
+
+
+def test_dedup_fuzzy_has_no_cartesian(spark):
+    """Fuzzy-dup candidates must come from the blocking-key self-join
+    — a corpus cross join followed by a Levenshtein filter would be
+    O(n^2) at any scale."""
+    df = QUERIES["q_dedup_fuzzy"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -47,6 +47,7 @@ from direct_kafka_stream_spark.operators import scale_variants  # noqa: F401
 from direct_kafka_stream_spark.operators import retrieval  # noqa: F401
 from direct_kafka_stream_spark.operators import analytics4  # noqa: F401
 from direct_kafka_stream_spark.operators import analytics5  # noqa: F401
+from direct_kafka_stream_spark.operators import analytics6  # noqa: F401
 
 __all__ = [
     "get_session",

@@ -97,6 +97,12 @@ _REPRESENTATIVE = [
     "q_snapshot_diff",    # full outer of two empty snapshots
     "q_dedup_fuzzy",      # block self-join over empty
     "q_degree_dist",      # degree count with zero vertices
+    "q_assoc_rules",      # basket self-join over empty
+    "q_winsorize",        # percentile clip over empty groups
+    "q_impute",           # median fill over empty groups
+    "q_sample_weighted",  # top-k heap over empty corpus
+    "q_km_survival",      # risk-set windows over zero durations
+    "q_embed_quantize",   # per-dim scales over zero vectors
 ]
 
 

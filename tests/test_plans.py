@@ -347,3 +347,28 @@ def test_dedup_fuzzy_has_no_cartesian(spark):
     plan = inspect.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sample_weighted_is_topk_heap_then_bounded_window(spark):
+    """A-ES selection must plan as TakeOrderedAndProject (distributed
+    k-heap); the rn window may only run AFTER the limit, over k rows
+    — never a global ROW_NUMBER over the corpus."""
+    df = QUERIES["q_sample_weighted"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_winsorize_broadcasts_percentile_table(spark):
+    """The |types|-sized percentile table must broadcast onto the
+    fact scan — winsorization is two aggregation passes, not a
+    fact-fact shuffle join."""
+    df = QUERIES["q_winsorize"].spark(spark, SF_DIR)
+    assert inspect.has_broadcast_join(df)
+
+
+def test_embed_quantize_broadcasts_dim_scales(spark):
+    """The 64-row per-dimension scale table must broadcast back onto
+    the exploded vector stream; the fact never shuffles for the
+    quantize pass."""
+    df = QUERIES["q_embed_quantize"].spark(spark, SF_DIR)
+    assert inspect.has_broadcast_join(df)

@@ -395,7 +395,12 @@ def q_inter_event(spark: SparkSession, d: str):
     exact (decimal-sum contract) and the interpolating percentiles
     engine-identical (ALIGNMENT: both engines average the straddling
     values)."""
-    e = load_table(spark, d, "events")
+    return inter_event_profile(load_table(spark, d, "events"))
+
+
+def inter_event_profile(e):
+    """Core transform of q_inter_event over an events frame — shared
+    with its foreachBatch streaming twin (tests/test_streaming.py)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = e.select(
         "event_type",
@@ -466,7 +471,12 @@ def q_concurrent_peak(spark: SparkSession, d: str):
     by construction. Summing net per second applies -1s before +1s
     at the same instant, which is exactly the half-open [s, s+300)
     interval semantic."""
-    e = load_table(spark, d, "events")
+    return concurrent_peak_report(load_table(spark, d, "events"))
+
+
+def concurrent_peak_report(e):
+    """Core transform of q_concurrent_peak over an events frame —
+    shared with its foreachBatch streaming twin."""
     day = F.date_trunc("day", "ts").cast("date").alias("day")
     starts = e.select(day, epoch_s("ts").alias("sec"), F.lit(1).alias("delta"))
     day_end = epoch_s(F.date_trunc("day", "ts")) + 86400

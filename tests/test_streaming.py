@@ -807,6 +807,8 @@ def test_rate_source_generated_stream(spark, tmp_path):
         ("q_transition_matrix", "transition_matrix"),
         ("q_seq_pattern", "seq_pattern_counts"),
         ("q_bot_burst", "bot_burst_report"),
+        ("q_inter_event", "inter_event_profile"),
+        ("q_concurrent_peak", "concurrent_peak_report"),
     ],
 )
 def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, transform_name):
@@ -819,11 +821,17 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
     process, KafkaDirectStream.scala:43-51), with the round-3
     analytics as the analyze step."""
     from direct_kafka_stream_spark import QUERIES
-    from direct_kafka_stream_spark.operators import analytics4, events_analytics
+    from direct_kafka_stream_spark.operators import (
+        analytics4,
+        analytics5,
+        events_analytics,
+    )
 
-    transform = getattr(
-        events_analytics, transform_name, None
-    ) or getattr(analytics4, transform_name)
+    transform = (
+        getattr(events_analytics, transform_name, None)
+        or getattr(analytics4, transform_name, None)
+        or getattr(analytics5, transform_name)
+    )
     expected = sorted(
         map(tuple, QUERIES[qname].spark(spark, SF_DIR).collect())
     )

@@ -103,6 +103,11 @@ _REPRESENTATIVE = [
     "q_sample_weighted",  # top-k heap over empty corpus
     "q_km_survival",      # risk-set windows over zero durations
     "q_embed_quantize",   # per-dim scales over zero vectors
+    "q_user_lifecycle",   # lifecycle windows over zero user-weeks
+    "q_dau_mau",          # coverage explode over empty
+    "q_rolling_median",   # rolling self-join over an empty series
+    "q_seasonal_index",   # dow rollup with NULL overall mean
+    "q_pivot_multi_agg",  # explicit-values pivot over empty
 ]
 
 

@@ -372,3 +372,23 @@ def test_embed_quantize_broadcasts_dim_scales(spark):
     quantize pass."""
     df = QUERIES["q_embed_quantize"].spark(spark, SF_DIR)
     assert inspect.has_broadcast_join(df)
+
+
+def test_dau_mau_has_no_nested_loop_range_join(spark):
+    """The trailing-30-day MAU must come from the sequence-explode
+    fan-out + day-keyed distinct count — never a nested-loop range
+    join of user-days against the day table."""
+    df = QUERIES["q_dau_mau"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the sequence explode
+
+
+def test_pivot_multi_agg_is_single_pass(spark):
+    """Explicit pivot values: one scan, one grouped aggregate with 10
+    conditional accumulators — no distinct-values pre-query, no join."""
+    df = QUERIES["q_pivot_multi_agg"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "Join" not in plan
+    assert "(2) Scan" not in plan

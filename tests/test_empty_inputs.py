@@ -108,6 +108,10 @@ _REPRESENTATIVE = [
     "q_rolling_median",   # rolling self-join over an empty series
     "q_seasonal_index",   # dow rollup with NULL overall mean
     "q_pivot_multi_agg",  # explicit-values pivot over empty
+    "q_hll_manual",       # all-zero registers, linear-counting branch
+    "q_cms_heavy_hitters",  # empty sketch, zero heavy hitters
+    "q_bloom_manual",     # zero-bit filter, zero probes
+    "q_interval_overlap",  # bucket join over zero intervals
 ]
 
 
@@ -182,6 +186,17 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         # the one-row aggregate still emits: 6 pairs, undefined corr
         assert len(rows) == 6
         assert all(r.r is None for r in rows)
+    elif name == "q_hll_manual":
+        # empty stream: all 256 registers zero -> linear counting of
+        # V=m empty buckets estimates exactly 0 distinct
+        r = rows[0]
+        assert (r.n_exact, r.m, r.v_empty, r.estimate) == (0, 256, 256, 0.0)
+    elif name == "q_bloom_manual":
+        # no keys, no probes: the ungrouped rollup emits one row with
+        # zero counts and NULL member-sum/fp-rate (ANSI)
+        r = rows[0]
+        assert (r.n_probes, r.n_true_members, r.n_bloom_positive,
+                r.n_false_positive, r.fp_rate) == (0, None, 0, 0, None)
     elif name == "q_chi2":
         # empty contingency grid: undefined N and statistic; dof is
         # (0-1)*(0-1) from the empty marginals — documented artifact

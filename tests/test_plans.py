@@ -392,3 +392,28 @@ def test_pivot_multi_agg_is_single_pass(spark):
     plan = inspect.physical_plan(df)
     assert "Join" not in plan
     assert "(2) Scan" not in plan
+
+
+def test_hll_harmonic_sum_is_integer_exact(spark):
+    """The HLL register table must aggregate bucket-keyed and the
+    harmonic sum must be the scaled integer BIGINT sum (LongType), not
+    a float accumulation."""
+    df = QUERIES["q_hll_manual"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_bits_and_sketch_broadcast(spark):
+    """The <=4096-row bit set must broadcast onto the probe stream —
+    the probe side never shuffles on the bit id."""
+    df = QUERIES["q_bloom_manual"].spark(spark, SF_DIR)
+    assert inspect.has_broadcast_join(df)
+
+
+def test_interval_overlap_is_bucket_equijoin(spark):
+    """Interval candidates must join on the time bucket (equi-join);
+    a nested-loop range join over the raw intervals is quadratic."""
+    df = QUERIES["q_interval_overlap"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -112,6 +112,11 @@ _REPRESENTATIVE = [
     "q_cms_heavy_hitters",  # empty sketch, zero heavy hitters
     "q_bloom_manual",     # zero-bit filter, zero probes
     "q_interval_overlap",  # bucket join over zero intervals
+    "q_psi",              # bin shares with NULL totals
+    "q_jsd",              # divergence over an empty vocab
+    "q_dedup_cross_source",  # rare-gram blocking over empty
+    "q_compaction_plan",  # packing plan for zero shards
+    "q_win_nav",          # navigation windows over empty
 ]
 
 
@@ -186,6 +191,11 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         # the one-row aggregate still emits: 6 pairs, undefined corr
         assert len(rows) == 6
         assert all(r.r is None for r in rows)
+    elif name in ("q_psi", "q_jsd"):
+        # ungrouped divergence rollup over an empty bin/vocab table:
+        # one row, all statistics undefined (ANSI)
+        assert len(rows) == 1
+        assert rows[0][-1] is None
     elif name == "q_hll_manual":
         # empty stream: all 256 registers zero -> linear counting of
         # V=m empty buckets estimates exactly 0 distinct

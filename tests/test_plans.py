@@ -417,3 +417,19 @@ def test_interval_overlap_is_bucket_equijoin(spark):
     plan = inspect.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cross_source_join_is_rare_gram_blocked(spark):
+    """The contamination pair join must be gram-keyed with the rare-
+    gram (df <= 10) filter applied BEFORE pairing — no cartesian, no
+    unblocked doc-doc join."""
+    df = QUERIES["q_dedup_cross_source"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_jsd_vocab_is_broadcast(spark):
+    """The top-200 vocabulary must broadcast onto the token stream;
+    divergence arithmetic runs on the vocab-bounded count table."""
+    df = QUERIES["q_jsd"].spark(spark, SF_DIR)
+    assert inspect.has_broadcast_join(df)

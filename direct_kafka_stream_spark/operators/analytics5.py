@@ -476,20 +476,31 @@ def q_concurrent_peak(spark: SparkSession, d: str):
 
 def concurrent_peak_report(e):
     """Core transform of q_concurrent_peak over an events frame —
-    shared with its foreachBatch streaming twin."""
+    shared with its foreachBatch streaming twin.
+
+    Both interval endpoints are emitted from ONE scan (explode of a
+    2-element struct array) — the UNION-of-two-projections form reads
+    the fact twice, which is the difference between one and two
+    100 TB scans. The oracle keeps the UNION ALL form (same rows)."""
     day = F.date_trunc("day", "ts").cast("date").alias("day")
-    starts = e.select(day, epoch_s("ts").alias("sec"), F.lit(1).alias("delta"))
     day_end = epoch_s(F.date_trunc("day", "ts")) + 86400
-    ends = e.select(
+    pts = e.select(
         day,
-        F.least(epoch_s("ts") + _PRESENCE_S, day_end).alias("sec"),
-        F.lit(-1).alias("delta"),
-    )
-    net = (
-        starts.unionAll(ends)
-        .groupBy("day", "sec")
-        .agg(F.sum("delta").alias("net"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    epoch_s("ts").alias("sec"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.least(epoch_s("ts") + _PRESENCE_S, day_end).alias(
+                        "sec"
+                    ),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("pt"),
+    ).select("day", F.col("pt.sec").alias("sec"), F.col("pt.delta").alias("delta"))
+    net = pts.groupBy("day", "sec").agg(F.sum("delta").alias("net"))
     w = Window.partitionBy("day").orderBy("sec").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

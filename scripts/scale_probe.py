@@ -124,6 +124,37 @@ def main() -> None:
 
     run("quality_classifier", quality_scores(docs))
 
+    # Round-4 shapes over an inflated event stream: the sweep-line
+    # concurrency window must stay day-partitioned (bounded at 86400
+    # rows/partition by the per-second pre-aggregation) and the DAU/MAU
+    # explode fan-out must stay a plain day-keyed aggregation — both
+    # would degrade into single-partition windows / nested-loop joins
+    # if their rewrites regressed.
+    from direct_kafka_stream_spark.operators.analytics5 import (
+        concurrent_peak_report,
+    )
+
+    ev = inflate(
+        load_table(spark, SF_DIR, "events"), n, ("event_id", "user_id")
+    ).repartition(par, "event_id")
+    rows["events"] = ev.count()
+    run("concurrent_peak", concurrent_peak_report(ev))
+
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    run(
+        "dau_mau_coverage",
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 29))
+            ).alias("day"),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("mau")),
+    )
+
     print(json.dumps({"inflate": n, "rows": rows, "seconds": secs}))
 
 

@@ -433,3 +433,12 @@ def test_jsd_vocab_is_broadcast(spark):
     divergence arithmetic runs on the vocab-bounded count table."""
     df = QUERIES["q_jsd"].spark(spark, SF_DIR)
     assert inspect.has_broadcast_join(df)
+
+
+def test_concurrent_peak_is_single_scan(spark):
+    """Both sweep-line endpoints must come from ONE fact scan (struct
+    explode) — the union-of-two-projections form reads the fact
+    twice."""
+    df = QUERIES["q_concurrent_peak"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "(2) Scan" not in plan

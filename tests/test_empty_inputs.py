@@ -117,6 +117,10 @@ _REPRESENTATIVE = [
     "q_dedup_cross_source",  # rare-gram blocking over empty
     "q_compaction_plan",  # packing plan for zero shards
     "q_win_nav",          # navigation windows over empty
+    "q_bpe_merge_step",   # pair census over an empty vocab
+    "q_textcat_profiles",  # profiles + argmax over zero docs
+    "q_dup_threshold_curve",  # threshold counts over zero pairs
+    "q_gopher_rules",     # rule census with 0/0 pass rate
 ]
 
 
@@ -191,6 +195,10 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         # the one-row aggregate still emits: 6 pairs, undefined corr
         assert len(rows) == 6
         assert all(r.r is None for r in rows)
+    elif name == "q_gopher_rules":
+        # ungrouped census over empty: zero counts, NULL 0/0 pass rate
+        r = rows[0]
+        assert (r.n_docs, r.n_pass_all, r.pass_rate) == (0, 0, None)
     elif name in ("q_psi", "q_jsd"):
         # ungrouped divergence rollup over an empty bin/vocab table:
         # one row, all statistics undefined (ANSI)

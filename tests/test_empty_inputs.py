@@ -121,6 +121,9 @@ _REPRESENTATIVE = [
     "q_textcat_profiles",  # profiles + argmax over zero docs
     "q_dup_threshold_curve",  # threshold counts over zero pairs
     "q_gopher_rules",     # rule census with 0/0 pass rate
+    "q_sample_consistent",  # 0/0 join-sample ratio
+    "q_train_test_split",  # split census over zero docs
+    "q_zorder_key",       # interleave census over empty
 ]
 
 
@@ -195,6 +198,11 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         # the one-row aggregate still emits: 6 pairs, undefined corr
         assert len(rows) == 6
         assert all(r.r is None for r in rows)
+    elif name == "q_sample_consistent":
+        # four scalar counts and a 0/0 ratio: one row, NULL ratio
+        r = rows[0]
+        assert (r.n_orders_sampled, r.n_join_sampled, r.n_join_full,
+                r.join_sample_ratio) == (0, 0, 0, None)
     elif name == "q_gopher_rules":
         # ungrouped census over empty: zero counts, NULL 0/0 pass rate
         r = rows[0]

@@ -124,6 +124,8 @@ _REPRESENTATIVE = [
     "q_sample_consistent",  # 0/0 join-sample ratio
     "q_train_test_split",  # split census over zero docs
     "q_zorder_key",       # interleave census over empty
+    "q_roc_curve",        # operating points with 0/0 rates
+    "q_calibration_bins",  # bins with NULL range width
 ]
 
 

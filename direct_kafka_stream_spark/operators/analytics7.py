@@ -69,7 +69,12 @@ def q_user_lifecycle(spark: SparkSession, d: str):
     weekly ledger is a weeks-sized table, so the final churn LAG is a
     calendar-bounded window. No unbounded windows, one user-keyed
     exchange."""
-    e = load_table(spark, d, "events")
+    return lifecycle_ledger(load_table(spark, d, "events"))
+
+
+def lifecycle_ledger(e):
+    """Core transform of q_user_lifecycle over an events frame —
+    shared with its foreachBatch streaming twin."""
     uw = e.select(
         "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
     ).distinct()
@@ -168,7 +173,12 @@ def q_dau_mau(spark: SparkSession, d: str):
     standard space-for-shuffle trade for windowed distinct counts.
     Days without activity simply don't report (inner join back to
     real days)."""
-    e = load_table(spark, d, "events")
+    return dau_mau_report(load_table(spark, d, "events"))
+
+
+def dau_mau_report(e):
+    """Core transform of q_dau_mau over an events frame — shared with
+    its foreachBatch streaming twin."""
     ud = e.select(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
     ).distinct()

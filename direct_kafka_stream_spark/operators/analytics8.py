@@ -447,7 +447,12 @@ def q_interval_overlap(spark: SparkSession, d: str):
     (cid, pid) dedups the pair that matched in two buckets. Cost is
     bounded by events-per-bucket², the same bound as every LSH path
     here."""
-    e = load_table(spark, d, "events")
+    return interval_overlap_report(load_table(spark, d, "events"))
+
+
+def interval_overlap_report(e):
+    """Core transform of q_interval_overlap over an events frame —
+    shared with its foreachBatch streaming twin."""
     es = F.col("ts").cast("long")
 
     def _iv(df, idcol):

@@ -114,3 +114,114 @@ def test_winnow_shared_run_shares_fingerprint(spark, pre_a, post_a, pre_b, post_
     for r in fps:
         by_doc[r.doc_id].add(r.fp)
     assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+
+
+# --- Z-order interleave is a bijection -------------------------------------
+# Morton interleave of two 8-bit dimensions must be injective on
+# [0,255]² with the dimensions recoverable from the even/odd bits —
+# the property that makes the Z-value a lossless clustering key.
+
+_bytes = st.lists(
+    st.tuples(st.integers(0, 255), st.integers(0, 255)),
+    min_size=1, max_size=20, unique=True,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pairs=_bytes)
+def test_zorder_interleave_bijective(spark, pairs):
+    from direct_kafka_stream_spark.operators.analytics10 import _z_col
+
+    df = spark.createDataFrame(pairs, "ka bigint, kb bigint")
+    out = df.select(
+        "ka", "kb", _z_col(F.col("ka"), F.col("kb")).alias("z")
+    ).collect()
+    zs = [r.z for r in out]
+    assert len(set(zs)) == len(pairs), "interleave must be injective"
+    for r in out:
+        a = sum(((r.z >> (2 * k)) & 1) << k for k in range(8))
+        b = sum(((r.z >> (2 * k + 1)) & 1) << k for k in range(8))
+        assert (a, b) == (r.ka, r.kb), "deinterleave must invert"
+        assert 0 <= r.z < 65536
+
+
+# --- Sweep-line peak concurrency equals brute force ------------------------
+# The per-second-aggregated running sum must equal the brute-force
+# "how many intervals cover second s" maximum for every day — the
+# half-open [s, s+300) semantic included.
+
+_epochs = st.lists(
+    st.integers(min_value=1_704_067_200, max_value=1_704_067_200 + 2 * 86400 - 1),
+    min_size=1, max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(epochs=_epochs)
+def test_concurrent_peak_matches_brute_force(spark, epochs):
+    import collections
+    import datetime
+
+    import pandas as pd
+
+    from direct_kafka_stream_spark.operators.analytics5 import (
+        _PRESENCE_S,
+        concurrent_peak_report,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(epochs)),
+            "ts": [
+                datetime.datetime.utcfromtimestamp(s) for s in epochs
+            ],
+            "user_id": [i % 7 for i in range(len(epochs))],
+            "event_type": ["click"] * len(epochs),
+            "value": [1.0] * len(epochs),
+            "props": ["{}"] * len(epochs),
+        }
+    )
+    e = spark.createDataFrame(pdf)
+    got = {
+        r.day: r.peak_concurrent for r in concurrent_peak_report(e).collect()
+    }
+
+    # brute force: count covering intervals per (day, second)
+    per_day = collections.defaultdict(lambda: collections.defaultdict(int))
+    for s in epochs:
+        day_start = (s // 86400) * 86400
+        end = min(s + _PRESENCE_S, day_start + 86400)
+        day = datetime.date.fromtimestamp(day_start).isoformat()
+        for sec in range(s, end):
+            per_day[day][sec] += 1
+    expected = {d: max(cov.values()) for d, cov in per_day.items()}
+    assert got == expected
+
+
+# --- Bloom filter has no false negatives -----------------------------------
+# Every true member probe must be bloom-positive: positives minus
+# false positives == true members, for any key set.
+
+_keys = st.lists(
+    st.integers(min_value=1, max_value=10_000), min_size=1, max_size=40,
+    unique=True,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(keys=_keys)
+def test_bloom_has_no_false_negatives(spark, keys):
+    import tempfile, pathlib
+
+    import pandas as pd
+
+    from direct_kafka_stream_spark.registry import QUERIES
+
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame({"c_custkey": keys, "c_nationkey": [0] * len(keys)}
+                     ).to_parquet(pathlib.Path(td) / "customer.parquet")
+        r = QUERIES["q_bloom_manual"].spark(spark, td).collect()[0]
+    assert r.n_bloom_positive - r.n_false_positive == r.n_true_members

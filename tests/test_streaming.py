@@ -809,6 +809,9 @@ def test_rate_source_generated_stream(spark, tmp_path):
         ("q_bot_burst", "bot_burst_report"),
         ("q_inter_event", "inter_event_profile"),
         ("q_concurrent_peak", "concurrent_peak_report"),
+        ("q_user_lifecycle", "lifecycle_ledger"),
+        ("q_dau_mau", "dau_mau_report"),
+        ("q_interval_overlap", "interval_overlap_report"),
     ],
 )
 def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, transform_name):
@@ -824,13 +827,16 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
     from direct_kafka_stream_spark.operators import (
         analytics4,
         analytics5,
+        analytics7,
+        analytics8,
         events_analytics,
     )
 
-    transform = (
-        getattr(events_analytics, transform_name, None)
-        or getattr(analytics4, transform_name, None)
-        or getattr(analytics5, transform_name)
+    transform = next(
+        t
+        for m in (events_analytics, analytics4, analytics5, analytics7,
+                  analytics8)
+        if (t := getattr(m, transform_name, None)) is not None
     )
     expected = sorted(
         map(tuple, QUERIES[qname].spark(spark, SF_DIR).collect())

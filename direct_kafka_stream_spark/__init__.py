@@ -54,6 +54,7 @@ from direct_kafka_stream_spark.operators import analytics9  # noqa: F401
 from direct_kafka_stream_spark.operators import llm3  # noqa: F401
 from direct_kafka_stream_spark.operators import analytics10  # noqa: F401
 from direct_kafka_stream_spark.operators import analytics11  # noqa: F401
+from direct_kafka_stream_spark.operators import analytics12  # noqa: F401
 
 __all__ = [
     "get_session",

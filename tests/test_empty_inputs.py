@@ -126,6 +126,8 @@ _REPRESENTATIVE = [
     "q_zorder_key",       # interleave census over empty
     "q_roc_curve",        # operating points with 0/0 rates
     "q_calibration_bins",  # bins with NULL range width
+    "q_ols_multi",        # NULL moments, NULL coefficients
+    "q_pca_power",        # empty Gram matrix, no direction
 ]
 
 
@@ -200,6 +202,9 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         # the one-row aggregate still emits: 6 pairs, undefined corr
         assert len(rows) == 6
         assert all(r.r is None for r in rows)
+    elif name == "q_ols_multi":
+        # ungrouped moment rollup over empty: one row, NULL betas
+        assert [(r.n, r.b0, r.b1, r.b2) for r in rows] == [(0, None, None, None)]
     elif name == "q_sample_consistent":
         # four scalar counts and a 0/0 ratio: one row, NULL ratio
         r = rows[0]

@@ -128,6 +128,9 @@ _REPRESENTATIVE = [
     "q_calibration_bins",  # bins with NULL range width
     "q_ols_multi",        # NULL moments, NULL coefficients
     "q_pca_power",        # empty Gram matrix, no direction
+    "q_join_pit",         # LOCF over an empty union stream
+    "q_theil_sen",        # median of zero pairwise slopes
+    "q_runs_test",        # runs over an empty sign sequence
 ]
 
 
@@ -202,6 +205,14 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         # the one-row aggregate still emits: 6 pairs, undefined corr
         assert len(rows) == 6
         assert all(r.r is None for r in rows)
+    elif name == "q_theil_sen":
+        # scalar rollup over empty: zero counts, NULL medians
+        assert [(r.n_days, r.n_pairs, r.slope, r.intercept)
+                for r in rows] == [(0, 0, None, None)]
+    elif name == "q_runs_test":
+        # ungrouped stats over empty: one row, NULL z
+        assert [(r.n_up, r.n_down, r.n_runs, r.z_score)
+                for r in rows] == [(None, None, None, None)]
     elif name == "q_ols_multi":
         # ungrouped moment rollup over empty: one row, NULL betas
         assert [(r.n, r.b0, r.b1, r.b2) for r in rows] == [(0, None, None, None)]

@@ -131,6 +131,7 @@ _REPRESENTATIVE = [
     "q_join_pit",         # LOCF over an empty union stream
     "q_theil_sen",        # median of zero pairwise slopes
     "q_runs_test",        # runs over an empty sign sequence
+    "q_lateness_watermark",  # stitched runmax over zero blocks
 ]
 
 

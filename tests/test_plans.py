@@ -442,3 +442,13 @@ def test_concurrent_peak_is_single_scan(spark):
     df = QUERIES["q_concurrent_peak"].spark(spark, SF_DIR)
     plan = inspect.physical_plan(df)
     assert "(2) Scan" not in plan
+
+
+def test_lateness_runmax_windows_are_block_partitioned(spark):
+    """The exact global running max must be stitched from block-
+    partitioned windows — hashpartitioning on blk, never one global
+    unpartitioned frame over the event stream (the blocks-table
+    window is blocks-sized, which is the bounded exception)."""
+    df = QUERIES["q_lateness_watermark"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "hashpartitioning(blk" in plan

@@ -132,6 +132,8 @@ _REPRESENTATIVE = [
     "q_theil_sen",        # median of zero pairwise slopes
     "q_runs_test",        # runs over an empty sign sequence
     "q_lateness_watermark",  # stitched runmax over zero blocks
+    "q_decision_stump",   # no valid split on empty
+    "q_uplift_segments",  # empty segment cells
 ]
 
 

@@ -134,6 +134,9 @@ _REPRESENTATIVE = [
     "q_lateness_watermark",  # stitched runmax over zero blocks
     "q_decision_stump",   # no valid split on empty
     "q_uplift_segments",  # empty segment cells
+    "q_ab_proportions",   # both arms absent, NULL everything
+    "q_seasonal_anomaly",  # MAD gate over an empty residual series
+    "q_target_encode",    # encoding with NULL prior
 ]
 
 
@@ -208,6 +211,9 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         # the one-row aggregate still emits: 6 pairs, undefined corr
         assert len(rows) == 6
         assert all(r.r is None for r in rows)
+    elif name == "q_ab_proportions":
+        # ungrouped wide rollup over empty: one row, all NULL
+        assert len(rows) == 1 and rows[0].z_score is None
     elif name == "q_theil_sen":
         # scalar rollup over empty: zero counts, NULL medians
         assert [(r.n_days, r.n_pairs, r.slope, r.intercept)

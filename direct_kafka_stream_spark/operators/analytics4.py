@@ -261,8 +261,11 @@ def q_event_debounce(spark: SparkSession, d: str):
     exchange, no global order. The lag comparison is against the
     previous RAW event (simple debounce), which is a pure window
     expression on both engines; chain-collapse semantics (compare
-    against the previous KEPT event) is inherently sequential and
-    would go through applyInPandasWithState on the streaming path."""
+    against the previous KEPT event) is inherently sequential and is
+    implemented on the streaming path as
+    ``streaming/transforms.py::debounce_stateful``
+    (applyInPandasWithState, survivor timestamp carried across
+    micro-batches — ``test_debounce_stateful_chain_collapse``)."""
     e = load_table(spark, d, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))

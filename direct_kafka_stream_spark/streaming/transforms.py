@@ -109,3 +109,50 @@ def windowed_counts_with_watermark(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(*_win_bounds(F.col("window")), "event_type", "n_events")
     )
+
+
+def debounce_stateful(events: DataFrame, gap_s: int = 300) -> DataFrame:
+    """Chain-collapse debounce as a custom stateful streaming operator
+    (applyInPandasWithState): per (user_id, event_type), an event is
+    kept only if it arrives more than ``gap_s`` seconds after the last
+    KEPT event — so a long burst collapses to one kept event per gap
+    window, however many events it contains. This is the semantics
+    q_event_debounce's batch lag-rule approximates (lag compares to
+    the previous EVENT; chain-collapse compares to the previous
+    SURVIVOR) and the reason the streaming form needs real state: the
+    survivor timestamp must carry across micro-batches.
+
+    State is one epoch-second per (user, type) — bounded by the key
+    domain, evictable with a timeout in production. Emitted rows are
+    the kept (user_id, event_type, ts_s) tuples."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def collapse(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        kept = []
+        frames = [pdf for pdf in pdfs]
+        allpdf = pd.concat(frames).sort_values(["ts", "event_id"])
+        for ts in allpdf["ts"]:
+            es = int(ts.timestamp())
+            if last is None or es - last > gap_s:
+                kept.append(es)
+                last = es
+        if last is not None:
+            state.update((last,))
+        if kept:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(kept),
+                    "event_type": [key[1]] * len(kept),
+                    "ts_s": kept,
+                }
+            )
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        collapse,
+        outputStructType="user_id long, event_type string, ts_s long",
+        stateStructType="last_kept long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

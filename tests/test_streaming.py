@@ -863,3 +863,56 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
     _await(q)
     got = sorted(map(tuple, spark.read.parquet(result).collect()))
     assert got == expected
+
+
+def test_debounce_stateful_chain_collapse(spark, tmp_path):
+    """The applyInPandasWithState debounce documented by
+    q_event_debounce: survivors carry across micro-batches (an event
+    in batch 2 within the gap of a batch-1 SURVIVOR is dropped), and
+    the kept set equals a greedy chain-collapse computed directly."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from direct_kafka_stream_spark.streaming.transforms import debounce_stateful
+
+    src = tmp_path / "deb_src"
+    src.mkdir()
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+
+    def mk(ids, users, types, offsets_s):
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": [base + pd.Timedelta(seconds=o) for o in offsets_s],
+                "user_id": users,
+                "event_type": types,
+                "value": [1.0] * len(ids),
+                "props": ["{}"] * len(ids),
+            }
+        )
+
+    # user 1: burst at 0s, 100s, 200s (one survivor: 0s), then 400s
+    # (kept: > 300s after survivor 0s). Batch 2 carries 650s (dropped:
+    # within 300s of batch-1 survivor 400s) and 800s (kept).
+    b1 = mk([1, 2, 3, 4], [1] * 4, ["click"] * 4, [0, 100, 200, 400])
+    b2 = mk([5, 6], [1, 1], ["click", "click"], [650, 800])
+    b1.to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    b2.to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    now = _time.time()
+    os.utime(src / "b1.parquet", (now - 120, now - 120))
+    os.utime(src / "b2.parquet", (now, now))
+
+    stream = file_stream(spark, str(src), events_schema(), max_files_per_trigger=1)
+    kept = debounce_stateful(stream, gap_s=300)
+    q = pipeline.run_to_memory(
+        kept, "t_debounce", str(tmp_path / "ckpt_deb"), output_mode="append"
+    )
+    _await(q)
+    got = sorted(
+        (r.user_id, r.event_type, r.ts_s - int(base.timestamp()))
+        for r in spark.table("t_debounce").collect()
+    )
+    assert got == [(1, "click", 0), (1, "click", 400), (1, "click", 800)]

@@ -452,3 +452,14 @@ def test_lateness_runmax_windows_are_block_partitioned(spark):
     df = QUERIES["q_lateness_watermark"].spark(spark, SF_DIR)
     plan = inspect.physical_plan(df)
     assert "hashpartitioning(blk" in plan
+
+
+def test_join_pit_is_locf_not_range_join(spark):
+    """The point-in-time join must plan as the union + customer-keyed
+    LOCF window (hash exchanges on the customer key) — never a
+    nested-loop interval join of fact against dimension versions."""
+    df = QUERIES["q_join_pit"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(custkey" in plan

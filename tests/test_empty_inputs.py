@@ -137,6 +137,7 @@ _REPRESENTATIVE = [
     "q_ab_proportions",   # both arms absent, NULL everything
     "q_seasonal_anomaly",  # MAD gate over an empty residual series
     "q_target_encode",    # encoding with NULL prior
+    "q_ivm_delta",        # merge of empty view and empty delta
 ]
 
 

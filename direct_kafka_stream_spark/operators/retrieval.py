@@ -24,6 +24,74 @@ _BM25_B = 0.75
 _BM25_TERMS = ("spark", "join", "window")
 _BM25_TOPK = 10
 
+# Shared CTE chain producing the per-document BM25 score for the fixed
+# lexical query — used by the q_rag_bm25 oracle and by q_rrf_fusion's
+# (analytics18.py) fused-ranking oracle so the two can never drift.
+BM25_SCORED_SQL = f"""
+    t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w != '') AS toks
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    tok AS (SELECT doc_id, unnest(toks) AS word FROM t),
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf
+        FROM tok
+        WHERE word IN {repr(_BM25_TERMS)}
+        GROUP BY doc_id, word
+    ),
+    dfreq AS (SELECT word, COUNT(*) AS dfr FROM tf GROUP BY word),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(LN(1 + (st.n - dfreq.dfr + 0.5) / (dfreq.dfr + 0.5))
+                   * tf.tf * ({_BM25_K1} + 1)
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                            + {_BM25_B} * dl.dl / st.avgdl)))
+                   AS score,
+               COUNT(*) AS n_terms_hit
+        FROM tf
+        JOIN dfreq USING (word)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN st
+        GROUP BY tf.doc_id
+    )
+"""
+
+
+def bm25_scored(spark: SparkSession, d: str):
+    """Per-document BM25 score (unrounded) for the fixed query — the
+    Spark twin of ``BM25_SCORED_SQL``. Candidate-docs-sized output:
+    only documents containing at least one query term appear."""
+    docs = load_table(spark, d, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    dl = docs.select("doc_id", F.size(toks).alias("dl"))
+    st = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("word"))
+        .filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfr"))
+    idf = F.log(
+        1 + (F.col("n") - F.col("dfr") + 0.5) / (F.col("dfr") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+
 
 @query(
     "q_rag_bm25",
@@ -78,36 +146,9 @@ def q_rag_bm25(spark: SparkSession, d: str):
     scanned once; top-k leaves via TakeOrderedAndProject. Ranking
     compares the ROUNDED score with a doc_id tiebreak on both engines
     (ALIGNMENT.md ranking rule)."""
-    docs = load_table(spark, d, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-    dl = docs.select("doc_id", F.size(toks).alias("dl"))
-    st = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    )
-    tf = (
-        docs.select("doc_id", F.explode(toks).alias("word"))
-        .filter(F.col("word").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfr"))
-    idf = F.log(
-        1 + (F.col("n") - F.col("dfr") + 0.5) / (F.col("dfr") + 0.5)
-    )
-    denom = F.col("tf") + _BM25_K1 * (
-        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
-    )
     return (
-        tf.join(F.broadcast(dfreq), "word")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(st))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom), 6
-            ).alias("score"),
-            F.count(F.lit(1)).alias("n_terms_hit"),
-        )
+        bm25_scored(spark, d)
+        .select("doc_id", F.round("score", 6).alias("score"), "n_terms_hit")
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )

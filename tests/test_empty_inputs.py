@@ -138,6 +138,11 @@ _REPRESENTATIVE = [
     "q_seasonal_anomaly",  # MAD gate over an empty residual series
     "q_target_encode",    # encoding with NULL prior
     "q_ivm_delta",        # merge of empty view and empty delta
+    "q_rrf_fusion",       # fusion of two empty top-k lists
+    "q_bfs_hops",         # seed frontier with zero edges, empty nation dim
+    "q_interpolate_linear",  # neighbor windows over empty
+    "q_did",              # 2x2 cells all empty, NULL estimate
+    "q_weighted_median",  # bin CDF over zero bins
 ]
 
 
@@ -251,6 +256,12 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         r = rows[0]
         assert (r.n_probes, r.n_true_members, r.n_bloom_positive,
                 r.n_false_positive, r.fp_rate) == (0, None, 0, 0, None)
+    elif name == "q_did":
+        # ungrouped 2x2 rollup over empty: one row, every cell mean
+        # NULL (0-count division), NULL estimate
+        r = rows[0]
+        assert (r.mean_ctrl_pre, r.mean_ctrl_post, r.mean_treat_pre,
+                r.mean_treat_post, r.did) == (None,) * 5
     elif name == "q_chi2":
         # empty contingency grid: undefined N and statistic; dof is
         # (0-1)*(0-1) from the empty marginals — documented artifact

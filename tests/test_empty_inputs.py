@@ -143,6 +143,9 @@ _REPRESENTATIVE = [
     "q_interpolate_linear",  # neighbor windows over empty
     "q_did",              # 2x2 cells all empty, NULL estimate
     "q_weighted_median",  # bin CDF over zero bins
+    "q_setsim_prefix",    # prefix join over zero shingles
+    "q_lof_bucketed",     # kNN graph over zero points
+    "q_geo_cell_knn",     # probe neighborhoods over zero points
 ]
 
 

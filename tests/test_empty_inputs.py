@@ -146,6 +146,9 @@ _REPRESENTATIVE = [
     "q_setsim_prefix",    # prefix join over zero shingles
     "q_lof_bucketed",     # kNN graph over zero points
     "q_geo_cell_knn",     # probe neighborhoods over zero points
+    "q_item_cf",          # basket self-join over zero baskets
+    "q_golden_record",    # survivorship over zero clusters
+    "q_bitemporal",       # version windows over an empty ledger
 ]
 
 

@@ -149,6 +149,11 @@ _REPRESENTATIVE = [
     "q_item_cf",          # basket self-join over zero baskets
     "q_golden_record",    # survivorship over zero clusters
     "q_bitemporal",       # version windows over an empty ledger
+    "q_ndcg",             # per-order ranking windows over empty
+    "q_mann_whitney",     # ungrouped rank-sum rollup over empty
+    "q_class_metrics",    # centroid argmin over zero vectors
+    "q_table_checksum",   # partition fingerprints of an empty table
+    "q_bollinger",        # full-frame filter drops every row
 ]
 
 
@@ -272,5 +277,8 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         # empty contingency grid: undefined N and statistic; dof is
         # (0-1)*(0-1) from the empty marginals — documented artifact
         assert [(r.n, r.chi2) for r in rows] == [(None, None)]
+    elif name == "q_mann_whitney":
+        # ungrouped rank rollup over empty: one row, all NULL (ANSI)
+        assert [(r.n_a, r.n_b, r.u2, r.z) for r in rows] == [(None,) * 4]
     else:
         assert rows == []

@@ -154,6 +154,11 @@ _REPRESENTATIVE = [
     "q_class_metrics",    # centroid argmin over zero vectors
     "q_table_checksum",   # partition fingerprints of an empty table
     "q_bollinger",        # full-frame filter drops every row
+    "q_kcore",            # peel loop over zero edges
+    "q_mutual_best",      # reciprocity self-join over zero candidates
+    "q_welch_ttest",      # moment rollups over two empty samples
+    "q_hist2d",           # grid aggregate over empty
+    "q_mutual_info",      # top-k vocabulary from an empty corpus
 ]
 
 
@@ -277,6 +282,11 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         # empty contingency grid: undefined N and statistic; dof is
         # (0-1)*(0-1) from the empty marginals — documented artifact
         assert [(r.n, r.chi2) for r in rows] == [(None, None)]
+    elif name == "q_welch_ttest":
+        # two empty moment triples crossed: one row, zero counts,
+        # NULL means and statistics (0-count division)
+        assert [(r.n_a, r.n_b, r.mean_a, r.mean_b, r.t, r.df)
+                for r in rows] == [(0, 0, None, None, None, None)]
     elif name == "q_mann_whitney":
         # ungrouped rank rollup over empty: one row, all NULL (ANSI)
         assert [(r.n_a, r.n_b, r.u2, r.z) for r in rows] == [(None,) * 4]

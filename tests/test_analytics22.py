@@ -36,37 +36,6 @@ def con():
     return c
 
 
-@pytest.fixture(scope="module")
-def sim_graph(con):
-    """(edges, sims): the bucketed similarity graph replicated in pure
-    Python with Spark's exact fold order (sequential double adds)."""
-    rows = con.sql("SELECT vec_id, embedding FROM embeddings").fetchall()
-    vecs = {vid: [float(x) for x in emb] for vid, emb in rows}
-    bucket = {
-        vid: (v[0] > 0) * 8 + (v[1] > 0) * 4 + (v[2] > 0) * 2 + (v[3] > 0)
-        for vid, v in vecs.items()
-    }
-    norms = {}
-    for vid, v in vecs.items():
-        acc = 0.0
-        for x in v:
-            acc += x * x
-        norms[vid] = acc
-    by_bucket = collections.defaultdict(list)
-    for vid in sorted(vecs):
-        by_bucket[bucket[vid]].append(vid)
-    sims = {}
-    for ids in by_bucket.values():
-        for i, a in enumerate(ids):
-            for b in ids[i + 1 :]:
-                acc = 0.0
-                for x, y in zip(vecs[a], vecs[b]):
-                    acc += x * y
-                sims[(a, b)] = _r6(acc / (math.sqrt(norms[a]) * math.sqrt(norms[b])))
-    edges = {p for p, c in sims.items() if c >= 0.2}
-    return edges, sims
-
-
 def test_kcore_equals_unbounded_python_peel(spark, sim_graph):
     edges, _ = sim_graph
     cur = set(edges)

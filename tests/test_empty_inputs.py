@@ -159,6 +159,10 @@ _REPRESENTATIVE = [
     "q_welch_ttest",      # moment rollups over two empty samples
     "q_hist2d",           # grid aggregate over empty
     "q_mutual_info",      # top-k vocabulary from an empty corpus
+    "q_epoch_shuffle",    # shard windows over zero documents
+    "q_sentence_stats",   # higher-order array ops on no rows
+    "q_spearman",         # rank moments over an empty table
+    "q_link_predict",     # wedge join over zero edges
 ]
 
 
@@ -282,6 +286,9 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         # empty contingency grid: undefined N and statistic; dof is
         # (0-1)*(0-1) from the empty marginals — documented artifact
         assert [(r.n, r.chi2) for r in rows] == [(None, None)]
+    elif name == "q_spearman":
+        # ungrouped moment rollup over empty: zero n, NULL rho
+        assert [(r.n, r.rho) for r in rows] == [(0, None)]
     elif name == "q_welch_ttest":
         # two empty moment triples crossed: one row, zero counts,
         # NULL means and statistics (0-count division)

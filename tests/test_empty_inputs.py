@@ -163,6 +163,9 @@ _REPRESENTATIVE = [
     "q_sentence_stats",   # higher-order array ops on no rows
     "q_spearman",         # rank moments over an empty table
     "q_link_predict",     # wedge join over zero edges
+    "q_cohens_kappa",     # agreement cells over zero documents
+    "q_jackknife",        # replicate table over zero buckets
+    "q_modularity",       # label propagation over zero edges
 ]
 
 
@@ -286,6 +289,17 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         # empty contingency grid: undefined N and statistic; dof is
         # (0-1)*(0-1) from the empty marginals — documented artifact
         assert [(r.n, r.chi2) for r in rows] == [(None, None)]
+    elif name == "q_cohens_kappa":
+        # ungrouped agreement cells over empty: zero n, NULL rates
+        assert [(r.n, r.po, r.pe, r.kappa) for r in rows] == [(0, None, None, None)]
+    elif name == "q_jackknife":
+        # replicate rollup over an empty bucket table: one row, all NULL
+        assert [(r.n, r.k, r.mean_value, r.jk_se) for r in rows] == [(None,) * 4]
+    elif name == "q_modularity":
+        # zero edges: no components, undefined Q, zero-count rollup row
+        assert [(r.n_edges, r.n_components, r.modularity) for r in rows] == [
+            (None, 0, None)
+        ]
     elif name == "q_spearman":
         # ungrouped moment rollup over empty: zero n, NULL rho
         assert [(r.n, r.rho) for r in rows] == [(0, None)]

@@ -532,13 +532,19 @@ def q_bollinger(spark: SparkSession, d: str):
     the breakout threshold compares a 6 dp-rounded margin per the
     ALIGNMENT.md round-before-compare rule. Scale shape: one
     user-keyed window — bounded per-user frames, no global state."""
+    return bollinger_bands(load_table(spark, d, "events"))
+
+
+def bollinger_bands(ev):
+    """The q_bollinger analytic as a DataFrame transform — shared by
+    the batch query and its §2.C foreachBatch streaming twin."""
     frame = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(-(_BB_N - 1), Window.currentRow)
     )
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w = load_table(spark, d, "events").select(
+    w = ev.select(
         "user_id",
         "event_id",
         "value",

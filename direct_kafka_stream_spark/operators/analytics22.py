@@ -370,7 +370,12 @@ def q_hist2d(spark: SparkSession, d: str):
     value-range/binwidth rows), never over raw events. Integer bin
     arithmetic on both engines; the share is a ratio of exact counts
     rounded once."""
-    ev = load_table(spark, d, "events")
+    return hist2d_grid(load_table(spark, d, "events"))
+
+
+def hist2d_grid(ev):
+    """The q_hist2d analytic as a DataFrame transform — shared by the
+    batch query and its §2.C foreachBatch streaming twin."""
     cells = (
         ev.select(
             F.hour("ts").cast("bigint").alias("hour_of_day"),

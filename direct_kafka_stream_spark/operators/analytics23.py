@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from direct_kafka_stream_spark.exprs import bounded_window_key
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -214,7 +215,10 @@ def q_spearman(spark: SparkSession, d: str):
             .agg(F.count(F.lit(1)).alias("t"))
         )
         bins = vals.groupBy("bin").agg(F.sum("t").alias("bt"))
-        wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+        # literal key: bins-sized frame, one-partition window intended
+        wb = Window.partitionBy(bounded_window_key("bin")).orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
         binp = bins.select(
             "bin", F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("prior")
         )

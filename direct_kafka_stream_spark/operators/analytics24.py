@@ -289,35 +289,18 @@ def q_modularity(spark: SparkSession, d: str):
     via a recursive closure, so the label propagation itself is also
     cross-checked."""
     from direct_kafka_stream_spark.operators.analytics22 import _sim_edges_spark
+    from direct_kafka_stream_spark.operators.llm import propagate_min_labels
 
     e = _sim_edges_spark(spark, d).persist()
     und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    # min-label propagation to fixpoint (superstep pattern; graph is
-    # bucket-sparse so diameters are small — assert convergence)
-    labels = und.select("u").distinct().withColumn("comp", F.col("u"))
-    for _ in range(15):
-        prop = (
-            und.join(labels, und.u == labels.u)
-            .select(F.col("v").alias("u"), "comp")
-            .unionAll(labels.select("u", "comp"))
-            .groupBy("u")
-            .agg(F.min("comp").alias("comp"))
-        )
-        prop = prop.localCheckpoint(eager=False)
-        moved = (
-            prop.alias("p")
-            .join(labels.alias("l"), "u")
-            .filter(F.col("p.comp") != F.col("l.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = prop
-        if moved == 0:
-            break
-    else:
-        raise RuntimeError("q_modularity: label propagation did not converge")
+    # components from the ONE shared superstep kernel (pointer-jumping
+    # min-label propagation, convergence-asserted) — same fixpoint as
+    # the inline loop it replaces: label = min node id reachable
+    labels = propagate_min_labels(
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    ).select(F.col("doc_id").alias("u"), F.col("label").alias("comp"))
     la = labels.select(F.col("u").alias("a"), F.col("comp").alias("ca"))
     lb = labels.select(F.col("u").alias("b"), F.col("comp").alias("cb"))
     intra = (

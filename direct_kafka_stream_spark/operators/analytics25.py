@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.exprs import DEC
+from direct_kafka_stream_spark.exprs import DEC, bounded_window_key
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -123,13 +123,20 @@ _MC_BIN = 10.0  # events.value bin width for the order-stat refine
     WITH v AS (SELECT value AS x, event_id FROM events),
     tot AS (SELECT COUNT(*) AS n FROM v),
     targets AS (
-        SELECT 'ci_lo' AS which,
-               CAST(floor((n - 1.959964 * sqrt(n)) / 2) AS BIGINT) AS r FROM tot
-        UNION ALL
-        SELECT 'median', CAST((n + 1) / 2 AS BIGINT) FROM tot
-        UNION ALL
-        SELECT 'ci_hi',
-               CAST(ceil(1 + (n + 1.959964 * sqrt(n)) / 2) AS BIGINT) FROM tot
+        -- ranks clamped to [1, n]: the conservative CI at tiny n,
+        -- and the median rank in INTEGER arithmetic ((n+1)//2 —
+        -- float division would round half-to-even at n ≡ 2 mod 4)
+        SELECT which, GREATEST(1, LEAST(n, r)) AS r FROM (
+            SELECT 'ci_lo' AS which,
+                   CAST(floor((n - 1.959964 * sqrt(n)) / 2) AS BIGINT) AS r,
+                   n FROM tot
+            UNION ALL
+            SELECT 'median', (n + 1) // 2, n FROM tot
+            UNION ALL
+            SELECT 'ci_hi',
+                   CAST(ceil(1 + (n + 1.959964 * sqrt(n)) / 2) AS BIGINT),
+                   n FROM tot
+        )
     ),
     binc AS (
         SELECT CAST(floor(x / {_MC_BIN}) AS BIGINT) AS bin, COUNT(*) AS bc
@@ -185,22 +192,34 @@ def q_median_ci(spark: SparkSession, d: str):
     v = load_table(spark, d, "events").select(F.col("value").alias("x"), "event_id")
     tot = v.agg(F.count(F.lit(1)).alias("n"))
     nd = F.col("n").cast("double")
+    # ranks clamped to [1, n] (conservative CI at tiny n); median rank
+    # floored to match the oracle's integer (n+1)//2 — a bare double
+    # division differs at n ≡ 2 (mod 4) (cast-truncate vs half-even)
     targets = (
         tot.select(
             F.lit("ci_lo").alias("which"),
             F.floor((nd - 1.959964 * F.sqrt(nd)) / 2).cast("bigint").alias("r"),
+            "n",
         )
         .unionAll(
             tot.select(
                 F.lit("median").alias("which"),
-                ((F.col("n") + 1) / 2).cast("bigint").alias("r"),
+                F.floor((F.col("n") + 1) / 2).cast("bigint").alias("r"),
+                "n",
             )
         )
         .unionAll(
             tot.select(
                 F.lit("ci_hi").alias("which"),
                 F.ceil(1 + (nd + 1.959964 * F.sqrt(nd)) / 2).cast("bigint").alias("r"),
+                "n",
             )
+        )
+        .select(
+            "which",
+            F.greatest(
+                F.lit(1).cast("bigint"), F.least(F.col("n"), F.col("r"))
+            ).alias("r"),
         )
     )
     binc = (
@@ -208,7 +227,10 @@ def q_median_ci(spark: SparkSession, d: str):
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("bc"))
     )
-    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # literal key: bins-sized frame, one-partition window intended
+    wb = Window.partitionBy(bounded_window_key("bin")).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     bins = binc.withColumn("cum", F.sum("bc").over(wb))
     tb = (
         targets.join(F.broadcast(bins), F.col("cum") >= F.col("r"))

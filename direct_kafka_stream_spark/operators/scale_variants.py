@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from direct_kafka_stream_spark.exprs import bounded_window_key
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -98,7 +99,8 @@ def q_drift_ks_binned(spark: SparkSession, d: str):
         .agg(F.sum("in_a").alias("ca"), F.sum("in_b").alias("cb"))
     )
     nbins = perb.agg(F.count(F.lit(1)).cast("long").alias("n_bins"))
-    w = Window.orderBy("bin").rowsBetween(
+    # literal key: bins-sized frame, one-partition window intended
+    w = Window.partitionBy(bounded_window_key("bin")).orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cdf = (

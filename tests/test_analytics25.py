@@ -175,3 +175,50 @@ def test_hhi_matches_decimal_share_computation(spark, con):
     # HHI bounds: between 10000/n_cust (perfect equality) and 10000
     for seg, (n_cust, hhi) in got.items():
         assert 10000 / n_cust - 1e-3 <= hhi <= 10000 + 1e-9
+
+
+def _median_ci_on_slice(spark, tmp_path, n_rows: int):
+    """Run q_median_ci's Spark side AND its DuckDB oracle on an
+    n_rows-row slice of the events fixture; return (spark_row,
+    oracle_row, sorted_values)."""
+    d = tmp_path / f"slice{n_rows}"
+    d.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT * FROM '/root/testdata/sf0.01/events.parquet' "
+        f"ORDER BY event_id LIMIT {n_rows}) "
+        f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    srow = QUERIES["q_median_ci"].spark(spark, str(d)).collect()[0]
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+    )
+    orow = con2.execute(QUERIES["q_median_ci"].oracle).fetchone()
+    vals = sorted(
+        v
+        for (v,) in con2.execute("SELECT value FROM events").fetchall()
+    )
+    con2.close()
+    return srow, orow, vals
+
+
+def test_median_ci_integer_rank_at_n_1002(spark, tmp_path):
+    """n = 1002 ≡ 2 (mod 4): float median rank (n+1)/2 = 501.5 rounds
+    half-to-even to 502 in DuckDB but truncates to 501 under a double
+    cast in Spark — the integer (n+1)//2 = 501 must win on BOTH
+    engines (the round-4 ADVICE reproduction)."""
+    srow, orow, vals = _median_ci_on_slice(spark, tmp_path, 1002)
+    assert srow.n == orow[3] == 1002
+    assert srow.median == orow[0] == vals[501 - 1]
+    assert srow.ci_lo == orow[1] and srow.ci_hi == orow[2]
+
+
+def test_median_ci_tiny_n_clamps_to_extremes(spark, tmp_path):
+    """n = 3: the raw ci_lo rank floor((3-1.96*sqrt 3)/2) < 1 and the
+    raw ci_hi rank > n — both must clamp to [1, n] (conservative CI =
+    sample extremes), never a silent NULL."""
+    srow, orow, vals = _median_ci_on_slice(spark, tmp_path, 3)
+    assert srow.n == 3
+    assert srow.ci_lo == orow[1] == vals[0]
+    assert srow.ci_hi == orow[2] == vals[-1]
+    assert srow.median == orow[0] == vals[1]

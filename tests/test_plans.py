@@ -471,9 +471,10 @@ def test_ndcg_windows_are_order_keyed(spark):
     df = QUERIES["q_ndcg"].spark(spark, SF_DIR)
     plan = inspect.physical_plan(df)
     assert "hashpartitioning(l_orderkey" in plan
-    assert "SinglePartition" not in plan.replace(
-        "SinglePartition$", ""
-    ) or "hashpartitioning(l_orderkey" in plan
+    # no operator anywhere in this plan may run under SinglePartition —
+    # both rank windows and every aggregate are order- or
+    # priority-keyed (q_ndcg has no legitimately-global stage)
+    assert "SinglePartition" not in plan
 
 
 def test_mann_whitney_has_no_global_row_window(spark):

@@ -90,19 +90,37 @@ def main() -> None:
                 pass
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "n_queries": len(times),
-                "repeat_min_of": repeat,
-            }
+    payload = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_queries": len(times),
+        "repeat_min_of": repeat,
+    }
+
+    # The driver's BENCH_r0N.json keeps only a tail window of
+    # `queries`, and registration order rotates round to round — so
+    # round-over-round regression checks are impossible from that
+    # artifact alone. Persist the FULL per-query dict to a tracked
+    # repo file as well (round number from the newest CORRECTNESS
+    # artifact + 1, i.e. the round currently being built).
+    try:
+        here = pathlib.Path(__file__).resolve().parent
+        rounds = [
+            int(p.stem.split("_r")[1])
+            for p in here.glob("CORRECTNESS_r*.json")
+            if p.stem.split("_r")[1].isdigit()
+        ]
+        rnd = (max(rounds) if rounds else 0) + 1
+        (here / f"BENCH_FULL_r{rnd:02d}.json").write_text(
+            json.dumps(payload, indent=1) + "\n"
         )
-    )
+    except OSError:
+        pass  # full-artifact write is best-effort; the contract line below is not
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -189,7 +189,14 @@ def q_median_ci(spark: SparkSession, d: str):
     global total order is ever materialised. The z constant 1.959964
     is a shared decimal literal (the ALIGNMENT.md transcendental
     rule)."""
-    v = load_table(spark, d, "events").select(F.col("value").alias("x"), "event_id")
+    return median_ci_report(load_table(spark, d, "events"))
+
+
+def median_ci_report(ev):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    v = ev.select(F.col("value").alias("x"), "event_id")
     tot = v.agg(F.count(F.lit(1)).alias("n"))
     nd = F.col("n").cast("double")
     # ranks clamped to [1, n] (conservative CI at tiny n); median rank
@@ -296,9 +303,15 @@ def q_lag_features(spark: SparkSession, d: str):
     decimal window-sum pattern (q_bollinger); the time gap is integer
     epoch-millisecond arithmetic on both engines, never a float
     date-diff."""
+    return lag_features_table(load_table(spark, d, "events"))
+
+
+def lag_features_table(ev):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     u = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev3 = u.rowsBetween(-3, -1)
-    ev = load_table(spark, d, "events")
     w = ev.select(
         "user_id",
         "event_id",

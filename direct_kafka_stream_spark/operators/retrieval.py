@@ -397,7 +397,13 @@ def q_sessionize(spark: SparkSession, d: str):
     sum; the session rollup is (user, session)-keyed. Gap comparison
     and duration use integer epoch-second differences on both engines
     (no sub-second float divergence)."""
-    e = load_table(spark, d, "events")
+    return sessionize_report(load_table(spark, d, "events"))
+
+
+def sessionize_report(e):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     flagged = e.select(

@@ -814,6 +814,9 @@ def test_rate_source_generated_stream(spark, tmp_path):
         ("q_interval_overlap", "interval_overlap_report"),
         ("q_bollinger", "bollinger_bands"),
         ("q_hist2d", "hist2d_grid"),
+        ("q_sessionize", "sessionize_report"),
+        ("q_lag_features", "lag_features_table"),
+        ("q_median_ci", "median_ci_report"),
     ],
 )
 def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, transform_name):
@@ -833,13 +836,16 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
         analytics8,
         analytics21,
         analytics22,
+        analytics25,
         events_analytics,
+        retrieval,
     )
 
     transform = next(
         t
         for m in (events_analytics, analytics4, analytics5, analytics7,
-                  analytics8, analytics21, analytics22)
+                  analytics8, analytics21, analytics22, analytics25,
+                  retrieval)
         if (t := getattr(m, transform_name, None)) is not None
     )
     expected = sorted(

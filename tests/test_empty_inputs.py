@@ -170,6 +170,16 @@ _REPRESENTATIVE = [
     "q_median_ci",        # order-stat targets from n = 0
     "q_lag_features",     # lag windows over empty
     "q_hhi",              # share-of-total over zero segments
+    # round-5 statistics sweep
+    "q_anova",            # group moments over zero groups
+    "q_kendall_grid",     # grid pair join over an empty grid
+    "q_cusum",            # prefix-min windows over an empty series
+    "q_grubbs",           # argmax struct over an empty series
+    "q_ridge_closed",     # regularized solve with zero moments
+    "q_gini_binned",      # Lorenz bins over zero customers
+    "q_robust_scale",     # quartile table over zero groups
+    "q_power_law_alpha",  # tail filter drops every row
+    "q_entropy_hour",     # mix entropy over an empty grid
 ]
 
 
@@ -316,6 +326,23 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         # NULL means and statistics (0-count division)
         assert [(r.n_a, r.n_b, r.mean_a, r.mean_b, r.t, r.df)
                 for r in rows] == [(0, 0, None, None, None, None)]
+    elif name == "q_anova":
+        # ungrouped rollup over zero groups: one all-NULL row (ANSI)
+        assert [tuple(r) for r in rows] == [(None,) * 5]
+    elif name == "q_kendall_grid":
+        # COALESCE'd pair masses are 0; n and tau undefined
+        assert [(r.n, r.concordant, r.discordant, r.tau_b) for r in rows] == [
+            (None, 0, 0, None)
+        ]
+    elif name == "q_grubbs":
+        # argmax struct over an empty series: one all-NULL row
+        assert [tuple(r) for r in rows] == [(None,) * 4]
+    elif name == "q_ridge_closed":
+        # zero moments: count 0, coefficients undefined
+        assert [(r.n, r.b0, r.b1, r.b2) for r in rows] == [(0, None, None, None)]
+    elif name == "q_power_law_alpha":
+        # empty tail: zero count, undefined exponent
+        assert [(r.n_tail, r.alpha) for r in rows] == [(0, None)]
     elif name == "q_mann_whitney":
         # ungrouped rank rollup over empty: one row, all NULL (ANSI)
         assert [(r.n_a, r.n_b, r.u2, r.z) for r in rows] == [(None,) * 4]

@@ -1,0 +1,874 @@
+"""Round-5 retrieval-eval / text / corpus sweep: label-relevance MRR
+and precision@k over cosine retrieval, TF-IDF cosine document pairs
+via a df-capped inverted index, a multinomial naive-Bayes language
+classifier, Flesch-style readability, the per-source dataset card,
+calendar gap detection, Pareto top-customer share, and embedding
+whitening with a post-check.
+
+Reference anchor: EXT operators per SURVEY.md §2 (the reference's
+processing hook is KafkaDirectStream.scala:43-51).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from direct_kafka_stream_spark.exprs import DEC, dsum_sql
+from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.registry import query
+
+# Retrieval-eval probe count (first _MRR_PROBES vec_ids are queries).
+_MRR_PROBES = 5
+_MRR_K = 5
+
+
+def _mrr_oracle() -> str:
+    from direct_kafka_stream_spark.operators.llm import _EV_SQL
+
+    return f"""
+    WITH ev AS ({_EV_SQL}),
+    qv AS (SELECT vec_id AS probe_id, i, x AS qx
+           FROM ev WHERE vec_id < {_MRR_PROBES}),
+    dots AS (
+        SELECT q.probe_id, e.vec_id,
+               SUM(e.x * q.qx) AS dot, SUM(e.x * e.x) AS na
+        FROM ev e JOIN qv q USING (i)
+        GROUP BY q.probe_id, e.vec_id
+    ),
+    nq AS (SELECT probe_id, SUM(qx * qx) AS nq FROM qv GROUP BY probe_id),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    sims AS (
+        SELECT d.probe_id, d.vec_id,
+               round(d.dot / (sqrt(d.na) * sqrt(nq.nq)), 6) AS sim,
+               CASE WHEN l.label = pl.label THEN 1 ELSE 0 END AS rel
+        FROM dots d
+        JOIN nq USING (probe_id)
+        JOIN lab l ON l.vec_id = d.vec_id
+        JOIN lab pl ON pl.vec_id = d.probe_id
+        WHERE d.vec_id != d.probe_id
+    ),
+    ranked AS (
+        SELECT probe_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM sims
+    ),
+    per_probe AS (
+        SELECT probe_id,
+               round(1.0 / MIN(CASE WHEN rel = 1 THEN rn END), 6) AS rr,
+               round(CAST(SUM(CASE WHEN rn <= {_MRR_K} THEN rel
+                                   ELSE 0 END) AS DOUBLE) / {_MRR_K}, 6)
+                   AS p_at_k
+        FROM ranked GROUP BY probe_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           round(CAST(ROUND(SUM(CAST(rr AS DECIMAL(38,10))), 6) AS DOUBLE)
+                 / COUNT(*), 6) AS mrr,
+           round(CAST(ROUND(SUM(CAST(p_at_k AS DECIMAL(38,10))), 6)
+                      AS DOUBLE) / COUNT(*), 6) AS precision_at_k
+    FROM per_probe
+    """
+
+
+@query("q_mrr", oracle=_mrr_oracle(), tags=("eval", "retrieval"))
+def q_mrr(spark: SparkSession, d: str):
+    """Mean reciprocal rank and precision@5 of cosine retrieval under
+    LABEL relevance: for each of 5 probe vectors, corpus vectors rank
+    by rounded cosine and a hit is "same label as the probe" — the
+    offline retrieval-eval pair (MRR for first-hit latency, P@k for
+    set quality) that complements q_ndcg's graded-relevance metric and
+    q_ann_recall's self-consistency check.
+
+    Probe-bounded like q_ann_recall: 5 broadcast probe vectors × one
+    corpus scan, per-probe rank windows over probe-scoped partitions.
+    Cosines are rounded 6 dp before ranking (tie-broken by vec_id),
+    reciprocal ranks and precisions are exact rationals rounded 6 dp,
+    and the 5-row final mean uses the exact decimal sum."""
+    from direct_kafka_stream_spark.operators.llm import _cosine
+
+    e = load_table(spark, d, "embeddings")
+    probes = e.filter(F.col("vec_id") < _MRR_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("plabel"),
+    )
+    sims = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+            (F.col("label") == F.col("plabel")).cast("int").alias("rel"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), "vec_id")
+    ranked = sims.withColumn("rn", F.row_number().over(w))
+    per_probe = ranked.groupBy("probe_id").agg(
+        F.round(
+            1.0 / F.min(F.when(F.col("rel") == 1, F.col("rn"))), 6
+        ).alias("rr"),
+        F.round(
+            F.sum(
+                F.when(F.col("rn") <= _MRR_K, F.col("rel")).otherwise(0)
+            ).cast("double")
+            / _MRR_K,
+            6,
+        ).alias("p_at_k"),
+    )
+    return per_probe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.round(
+            F.round(F.sum(F.col("rr").cast(DEC)), 6).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.round(F.sum(F.col("p_at_k").cast(DEC)), 6).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("precision_at_k"),
+    )
+
+
+# TF-IDF pair similarity: document-frequency band for the inverted
+# index (rare enough that posting lists stay bounded, common enough
+# that pairs exist) and the report threshold.
+_TC_DF_MIN = 2
+_TC_DF_MAX = 50
+_TC_TAU = 0.3
+
+
+@query(
+    "q_tfidf_cosine",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          w -> w != '')) AS word
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf
+        FROM toks GROUP BY doc_id, word
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    df AS (
+        SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+        HAVING COUNT(*) BETWEEN {_TC_DF_MIN} AND {_TC_DF_MAX}
+    ),
+    w AS (
+        SELECT tf.doc_id, tf.word,
+               CAST(tf.tf AS DOUBLE)
+                   * round(ln((n.n + 1.0) / (df.df + 1.0)), 9) AS wt
+        FROM tf JOIN df USING (word), n
+    ),
+    nrm AS (
+        SELECT doc_id,
+               sqrt(CAST(ROUND(SUM(CAST(round(wt * wt, 9)
+                   AS DECIMAL(38,10))), 6) AS DOUBLE)) AS nn
+        FROM w GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst,
+               CAST(ROUND(SUM(CAST(round(a.wt * b.wt, 9)
+                   AS DECIMAL(38,10))), 6) AS DOUBLE) AS dot,
+               COUNT(*) AS n_shared
+        FROM w a JOIN w b ON b.word = a.word AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.src, d.dst,
+           CAST(d.n_shared AS BIGINT) AS n_shared,
+           round(d.dot / (na.nn * nb.nn), 6) AS cosine
+    FROM dots d
+    JOIN nrm na ON na.doc_id = d.src
+    JOIN nrm nb ON nb.doc_id = d.dst
+    WHERE round(d.dot / (na.nn * nb.nn), 6) >= {_TC_TAU}
+    """,
+    tags=("llm", "similarity", "scale"),
+)
+def q_tfidf_cosine(spark: SparkSession, d: str):
+    """TF-IDF cosine document pairs via a df-capped inverted index —
+    the sparse-lexical complement of the dense-embedding near-dup
+    operators: pairs scoring ≥ 0.3 on the cosine of their TF-IDF
+    vectors restricted to mid-frequency terms (2 ≤ df ≤ 50).
+
+    Scale shape: candidate pairs come from the TERM join, and the df
+    cap bounds every posting list — pair fan-out is Σ df² over banded
+    terms, never corpus² (the same blocking argument as
+    q_containment_dedup, with weights instead of set bits). Norms are
+    one doc-keyed aggregate. Exactness: idf uses the 9 dp-rounded-ln
+    discipline so both engines weight identically; the w·w terms are
+    rounded 9 dp before exact decimal sums; the final cosine compares
+    6 dp-rounded values (round-before-compare)."""
+    docs = load_table(spark, d, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).alias("word"),
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    df = (
+        tf.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(_TC_DF_MIN, _TC_DF_MAX))
+    )
+    w = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("tf").cast("double")
+                * F.round(F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 9)
+            ).alias("wt"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.round(
+                F.sum(F.round(F.col("wt") * F.col("wt"), 9).cast(DEC)), 6
+            ).cast("double")
+        ).alias("nn")
+    )
+    a = w.select(
+        F.col("doc_id").alias("src"), "word", F.col("wt").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("dst"),
+        F.col("word").alias("wordb"),
+        F.col("wt").alias("wb"),
+    )
+    dots = (
+        a.join(b, (F.col("word") == F.col("wordb")) & (F.col("src") < F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("wa") * F.col("wb"), 9).cast(DEC)), 6
+            )
+            .cast("double")
+            .alias("dot"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("src"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("dst"), F.col("nn").alias("nb"))
+    out = (
+        dots.join(na, "src")
+        .join(nb, "dst")
+        .select(
+            "src",
+            "dst",
+            "n_shared",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    return out.filter(F.col("cosine") >= _TC_TAU)
+
+
+# Naive Bayes: vocabulary size (top-V corpus terms by df) and add-one
+# smoothing — shared constants on both engines.
+_NB_V = 200
+
+
+def _nb_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '),
+                                                w -> w != '')) AS word
+        FROM documents
+    ),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word, COUNT(DISTINCT doc_id) AS df
+            FROM toks GROUP BY word
+            ORDER BY df DESC, word LIMIT {_NB_V}
+        )
+    ),
+    vt AS (SELECT t.doc_id, t.lang, t.word FROM toks t JOIN vocab USING (word)),
+    cls AS (SELECT lang AS clang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    cnt AS (
+        SELECT lang AS clang, word, COUNT(*) AS c
+        FROM vt GROUP BY lang, word
+    ),
+    tl AS (SELECT clang, SUM(c) AS t FROM cnt GROUP BY clang),
+    wt AS (
+        SELECT v.word, cl.clang,
+               round(ln((COALESCE(c.c, 0) + 1.0)
+                        / (tl.t + {_NB_V}.0)), 9) AS lw
+        FROM vocab v
+        CROSS JOIN cls cl
+        JOIN tl ON tl.clang = cl.clang
+        LEFT JOIN cnt c ON c.clang = cl.clang AND c.word = v.word
+    ),
+    dtf AS (
+        SELECT doc_id, lang, word, COUNT(*) AS tf
+        FROM vt GROUP BY doc_id, lang, word
+    ),
+    contrib AS (
+        SELECT d.doc_id, d.lang, w.clang,
+               CAST(ROUND(SUM(CAST(round(d.tf * w.lw, 9)
+                   AS DECIMAL(38,10))), 6) AS DOUBLE) AS body
+        FROM dtf d JOIN wt w USING (word)
+        GROUP BY d.doc_id, d.lang, w.clang
+    ),
+    scored AS (
+        SELECT dd.doc_id, dd.lang AS actual, cl.clang,
+               round(round(ln(cl.n_docs / tot.n), 9)
+                     + COALESCE(c.body, 0.0), 6) AS score
+        FROM documents dd
+        CROSS JOIN cls cl
+        CROSS JOIN tot
+        LEFT JOIN contrib c
+          ON c.doc_id = dd.doc_id AND c.clang = cl.clang
+    ),
+    pred AS (
+        SELECT doc_id, actual, clang AS predicted
+        FROM (SELECT doc_id, actual, clang,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, clang) AS rn
+              FROM scored)
+        WHERE rn = 1
+    )
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY actual, predicted
+    """
+
+
+@query("q_naive_bayes", oracle=_nb_oracle(), tags=("ml", "text", "classification"))
+def q_naive_bayes(spark: SparkSession, d: str):
+    """Multinomial naive-Bayes language classifier trained AND applied
+    in one DAG (resubstitution confusion matrix): top-200-df vocabulary,
+    add-one-smoothed per-language token log-probabilities, document
+    scores as tf-weighted sums plus the log prior, argmax per document —
+    the generative-baseline complement of q_textcat_profiles
+    (profile-distance) and q_text_langid (heuristic rules).
+
+    Scale shape: the corpus reduces to (lang × vocab) count tables
+    (bounded, broadcast); per-doc scoring joins each document's
+    vocab-restricted term counts to the broadcast weight grid —
+    fan-out ≤ tokens-in-vocab × |langs| per doc. Docs with zero vocab
+    hits still score via the prior (left-join coalesce). Exactness:
+    every ln is rounded 9 dp (the q_psi transcendental discipline)
+    before tf-weighting; per-(doc,lang) sums are exact decimal; the
+    argmax compares 6 dp-rounded scores tie-broken by language."""
+    docs = load_table(spark, d, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).alias("word"),
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), "word")
+        .limit(_NB_V)
+        .select("word")
+    )
+    vt = toks.join(F.broadcast(vocab), "word")
+    cls = docs.groupBy(F.col("lang").alias("clang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    cnt = vt.groupBy(F.col("lang").alias("clang"), "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tl = cnt.groupBy("clang").agg(F.sum("c").alias("t"))
+    wt = (
+        vocab.crossJoin(F.broadcast(cls.join(tl, "clang")))
+        .join(cnt, ["clang", "word"], "left")
+        .select(
+            "word",
+            "clang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.col("t") + float(_NB_V))
+                ),
+                9,
+            ).alias("lw"),
+        )
+    )
+    dtf = vt.groupBy("doc_id", "lang", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    contrib = (
+        dtf.join(F.broadcast(wt), "word")
+        .groupBy("doc_id", F.col("lang").alias("actual"), "clang")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("tf") * F.col("lw"), 9).cast(DEC)), 6
+            )
+            .cast("double")
+            .alias("body")
+        )
+    )
+    scored = (
+        docs.select("doc_id", F.col("lang").alias("actual"))
+        .crossJoin(F.broadcast(cls.crossJoin(tot)))
+        .join(contrib, ["doc_id", "actual", "clang"], "left")
+        .select(
+            "doc_id",
+            "actual",
+            "clang",
+            F.round(
+                F.round(F.log(F.col("n_docs") / F.col("n")), 9)
+                + F.coalesce(F.col("body"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    pred = (
+        scored.groupBy("doc_id", "actual")
+        .agg(F.min(F.struct((-F.col("score")).alias("ns"), F.col("clang"))).alias("b"))
+        .select("actual", F.col("b.clang").alias("predicted"))
+    )
+    return pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+@query(
+    "q_readability",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(list_filter(string_split(text, ' '), w -> w != ''))
+                   AS DOUBLE) AS w,
+               CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS DOUBLE) AS s,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS DOUBLE) AS syl
+        FROM documents
+    ),
+    scored AS (
+        SELECT source,
+               round(206.835 - 1.015 * (w / s) - 84.6 * (syl / w), 6)
+                   AS flesch,
+               w, s
+        FROM per_doc WHERE w > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(ROUND(SUM(CAST(flesch AS DECIMAL(38,10))), 6)
+                      AS DOUBLE) / COUNT(*), 6) AS mean_flesch,
+           round({dsum_sql('w')} / {dsum_sql('s')}, 6) AS words_per_sentence
+    FROM scored
+    GROUP BY source
+    """,
+    tags=("text", "quality"),
+)
+def q_readability(spark: SparkSession, d: str):
+    """Flesch-style readability per source: 206.835 − 1.015·(W/S) −
+    84.6·(Syl/W) with a vowel-group syllable proxy — the reading-level
+    quality signal that complements the Gopher/C4 rule census
+    (q_gopher_rules) with a graded score instead of binary gates.
+
+    One scan, pure column expressions (two regexp extractions + a
+    whitespace split), per-source rollup. The regex classes are simple
+    enough to be engine-identical ([aeiouy]+ vowel groups, [.!?]+
+    sentence terminators); coefficient literals are shared verbatim;
+    per-doc scores are rounded 6 dp then exact-decimal averaged.
+    Zero-sentence docs clamp S to 1; zero-word docs are excluded (the
+    score is undefined, and they are q_gopher_rules' problem)."""
+    docs = load_table(spark, d, "documents")
+    wcol = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ).cast("double")
+    scol = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("double")
+    sylcol = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("double")
+    per_doc = docs.select(
+        "source", wcol.alias("w"), scol.alias("s"), sylcol.alias("syl")
+    ).filter(F.col("w") > 0)
+    scored = per_doc.select(
+        "source",
+        F.round(
+            206.835
+            - 1.015 * (F.col("w") / F.col("s"))
+            - 84.6 * (F.col("syl") / F.col("w")),
+            6,
+        ).alias("flesch"),
+        "w",
+        "s",
+    )
+    def _dsum(c):
+        return F.round(F.sum(F.col(c).cast(DEC)), 4).cast("double")
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.round(F.sum(F.col("flesch").cast(DEC)), 6).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_flesch"),
+        F.round(_dsum("w") / _dsum("s"), 6).alias("words_per_sentence"),
+    )
+
+
+@query(
+    "q_dataset_card",
+    oracle="""
+    WITH base AS (
+        SELECT source, doc_id, lang, n_chars,
+               len(list_filter(string_split(text, ' '), w -> w != ''))
+                   AS n_words,
+               md5(text) AS h
+        FROM documents
+    ),
+    per_source AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+               round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_chars,
+               COUNT(DISTINCT lang) AS n_langs
+        FROM base GROUP BY source
+    ),
+    lang_mix AS (
+        SELECT source,
+               round(CAST(ROUND(SUM(CAST(
+                   round((CAST(c AS DOUBLE) / tot) * (CAST(c AS DOUBLE) / tot), 9)
+                   AS DECIMAL(38,10))), 6) AS DOUBLE), 6) AS simpson
+        FROM (
+            SELECT source, lang, COUNT(*) AS c,
+                   SUM(COUNT(*)) OVER (PARTITION BY source) AS tot
+            FROM base GROUP BY source, lang
+        ) GROUP BY source
+    ),
+    dup AS (
+        SELECT source,
+               CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+                   AS dup_docs
+        FROM (SELECT source, h, COUNT(*) AS c FROM base GROUP BY source, h)
+        GROUP BY source
+    )
+    SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs, p.n_tokens,
+           p.mean_chars, CAST(p.n_langs AS BIGINT) AS n_langs,
+           l.simpson, d.dup_docs,
+           round(CAST(d.dup_docs AS DOUBLE) / p.n_docs, 6) AS dup_rate
+    FROM per_source p
+    JOIN lang_mix l USING (source)
+    JOIN dup d USING (source)
+    """,
+    tags=("corpus", "profiling"),
+)
+def q_dataset_card(spark: SparkSession, d: str):
+    """Per-source dataset card — the datasheet a training-data release
+    ships with: document and token counts, mean length, language
+    breadth, the Simpson concentration of the language mix (1 = one
+    language, →0 = uniform), and the exact-duplicate rate (md5 within
+    source). Aggregates the census every curation decision starts from.
+
+    Scale shape: one scan computes doc-level columns; everything after
+    is source-keyed aggregation (dup detection is a (source, md5)-keyed
+    count — the q_dedup_exact machinery scoped per source). Simpson
+    terms are squared exact-count ratios rounded 9 dp then decimal-
+    summed; md5 is the cross-engine-identical hash."""
+    docs = load_table(spark, d, "documents")
+    base = docs.select(
+        "source",
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("n_words"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    lc = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("source")
+    p = F.col("c").cast("double") / F.sum("c").over(wt)
+    lang_mix = (
+        lc.select("source", F.round(p * p, 9).alias("t"))
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("t").cast(DEC)), 6).cast("double"), 6
+            ).alias("simpson")
+        )
+    )
+    dup = (
+        base.groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias("dup_docs")
+        )
+    )
+    return (
+        per_source.join(lang_mix, "source")
+        .join(dup, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "mean_chars",
+            "n_langs",
+            "simpson",
+            "dup_docs",
+            F.round(
+                F.col("dup_docs").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@query(
+    "q_date_gaps",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+               MAX(CAST(o_orderdate AS DATE)) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+            AS day
+        FROM bounds
+    ),
+    have AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders)
+    SELECT strftime(s.day, '%Y-%m-%d') AS missing_day
+    FROM spine s LEFT JOIN have h ON h.day = s.day
+    WHERE h.day IS NULL
+    """,
+    tags=("quality", "calendar"),
+)
+def q_date_gaps(spark: SparkSession, d: str):
+    """Calendar-gap detection: days between the first and last order
+    date with NO orders at all — the data-delivery completeness check
+    every ingestion pipeline runs before trusting a daily series
+    (q_cusum, q_ewma and friends silently skip missing days; this
+    query makes the skips visible).
+
+    The spine is GENERATED (sequence over the min/max bound row), so
+    its size is calendar-bounded at any corpus size; the observed-days
+    side reduces the fact to distinct days first, and the anti join
+    runs spine × days-bounded. Output is the day string (engine-
+    identical strftime)."""
+    orders = load_table(spark, d, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    have = orders.select(F.to_date("o_orderdate").alias("day")).distinct()
+    return (
+        spine.join(have, "day", "left_anti")
+        .select(F.date_format("day", "yyyy-MM-dd").alias("missing_day"))
+    )
+
+
+# Pareto threshold — revenue share the "top customers" must cover.
+_PA_TAU = 0.8
+
+
+@query(
+    "q_pareto_share",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey, {dsum_sql('o_totalprice')} AS r
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT n.n_name, rev.r, rev.o_custkey,
+               COUNT(*) OVER (PARTITION BY n.n_name) AS cnt,
+               CAST(ROUND(SUM(CAST(rev.r AS DECIMAL(38,10)))
+                   OVER (PARTITION BY n.n_name), 4) AS DOUBLE) AS tot,
+               CAST(ROUND(SUM(CAST(rev.r AS DECIMAL(38,10)))
+                   OVER (PARTITION BY n.n_name
+                         ORDER BY rev.r DESC, rev.o_custkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   4) AS DOUBLE) AS cum
+        FROM rev
+        JOIN customer c ON c.c_custkey = rev.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT n_name,
+           CAST(MAX(cnt) AS BIGINT) AS n_cust,
+           CAST(SUM(CASE WHEN round(cum / tot, 6) < {_PA_TAU!r}
+                         THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_top,
+           round(CAST(SUM(CASE WHEN round(cum / tot, 6) < {_PA_TAU!r}
+                               THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+                 / MAX(cnt), 6) AS frac_customers
+    FROM ranked
+    GROUP BY n_name
+    """,
+    tags=("stats", "concentration"),
+)
+def q_pareto_share(spark: SparkSession, d: str):
+    """Pareto concentration per nation: how many top customers cover
+    80% of revenue, and what fraction of the customer base that is —
+    the "is this an 80/20 business" readout that complements q_gini
+    (a single index) and q_hhi (squared shares) with an actionable
+    head-count.
+
+    Same frame discipline as q_gini: revenue reduces customer-keyed
+    first (the only corpus-sized exchange), then descending-rank
+    running shares run per nation (frames bounded by a nation's
+    customer count). Running sums are exact decimal; the crossing
+    count compares a 6 dp-rounded share (round-before-compare) and
+    adds one for the crossing customer."""
+    orders = load_table(spark, d, "orders")
+    cust = load_table(spark, d, "customer")
+    nation = load_table(spark, d, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)), 4)
+        .cast("double")
+        .alias("r")
+    )
+    joined = (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    wn = Window.partitionBy("n_name")
+    wr = wn.orderBy(F.col("r").desc(), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = joined.select(
+        "n_name",
+        F.count(F.lit(1)).over(wn).alias("cnt"),
+        F.round(F.sum(F.col("r").cast(DEC)).over(wn), 4)
+        .cast("double")
+        .alias("tot"),
+        F.round(F.sum(F.col("r").cast(DEC)).over(wr), 4)
+        .cast("double")
+        .alias("cum"),
+    )
+    below = F.sum(
+        F.when(F.round(F.col("cum") / F.col("tot"), 6) < _PA_TAU, 1).otherwise(0)
+    )
+    return ranked.groupBy("n_name").agg(
+        F.max("cnt").cast("bigint").alias("n_cust"),
+        (below + 1).cast("bigint").alias("n_top"),
+        F.round((below + 1).cast("double") / F.max("cnt"), 6).alias(
+            "frac_customers"
+        ),
+    )
+
+
+@query(
+    "q_whiten_embed",
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id, i - 1 AS dim, CAST(x AS DOUBLE) AS x
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+    ),
+    st AS (
+        SELECT dim,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(ROUND(SUM(CAST(x AS DECIMAL(38,10))), 6) AS DOUBLE) AS s,
+               CAST(ROUND(SUM(CAST(x * x AS DECIMAL(38,10))), 6) AS DOUBLE)
+                   AS ssq
+        FROM ev GROUP BY dim
+    ),
+    params AS (
+        SELECT dim, n,
+               round(s / n, 6) AS mu,
+               round(sqrt((ssq - s * s / n) / n), 6) AS sd
+        FROM st
+    ),
+    z AS (
+        SELECT e.dim, p.n,
+               round((e.x - p.mu) / NULLIF(p.sd, 0.0), 6) AS z
+        FROM ev e JOIN params p ON p.dim = e.dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           -- + 0.0 canonicalizes IEEE negative zero (engines differ in
+           -- the sign they keep through round)
+           round(CAST(ROUND(SUM(CAST(z AS DECIMAL(38,10))), 6) AS DOUBLE)
+                 / MAX(n), 6) + 0.0 AS mean_z,
+           round(sqrt(CAST(ROUND(SUM(CAST(round(z * z, 9)
+                   AS DECIMAL(38,10))), 6) AS DOUBLE) / MAX(n)), 6) AS sd_z
+    FROM z
+    GROUP BY dim
+    """,
+    tags=("embedding", "preprocessing"),
+)
+def q_whiten_embed(spark: SparkSession, d: str):
+    """Diagonal whitening of the embedding corpus with a built-in
+    post-check: per-dimension mean/sd (exact decimal moments, rounded
+    to the 6 dp shared literal), z = (x − μ)/σ applied to the exploded
+    stream, and the VERIFICATION aggregate — per-dim mean_z ≈ 0 and
+    sd_z ≈ 1 — returned as the result. The feature-scaling primitive
+    every distance-based downstream (k-means, LOF, ANN) assumes, plus
+    the audit that proves it ran.
+
+    Scale shape: the d-row parameter table aggregates dimension-keyed
+    (map-side combinable) and broadcasts back onto one exploded scan;
+    the check is a second dimension-keyed aggregate. Zero-variance
+    dims yield NULL z (NULLIF guard) rather than infinities."""
+    emb = load_table(spark, d, "embeddings")
+    ev = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    st = ev.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum(F.col("x").cast(DEC)), 6).cast("double").alias("s"),
+        F.round(F.sum((F.col("x") * F.col("x")).cast(DEC)), 6)
+        .cast("double")
+        .alias("ssq"),
+    )
+    params = st.select(
+        "dim",
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("mu"),
+        F.round(
+            F.sqrt(
+                (F.col("ssq") - F.col("s") * F.col("s") / F.col("n"))
+                / F.col("n")
+            ),
+            6,
+        ).alias("sd"),
+    )
+    z = ev.join(F.broadcast(params), "dim").select(
+        "dim",
+        "n",
+        F.round(
+            (F.col("x") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0)), 6
+        ).alias("z"),
+    )
+    return z.groupBy("dim").agg(
+        # + 0.0 canonicalizes IEEE negative zero (see oracle note)
+        (
+            F.round(
+                F.round(F.sum(F.col("z").cast(DEC)), 6).cast("double")
+                / F.max("n"),
+                6,
+            )
+            + 0.0
+        ).alias("mean_z"),
+        F.round(
+            F.sqrt(
+                F.round(
+                    F.sum(F.round(F.col("z") * F.col("z"), 9).cast(DEC)), 6
+                ).cast("double")
+                / F.max("n")
+            ),
+            6,
+        ).alias("sd_z"),
+    ).select(F.col("dim").cast("bigint").alias("dim"), "mean_z", "sd_z")

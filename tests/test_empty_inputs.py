@@ -180,6 +180,14 @@ _REPRESENTATIVE = [
     "q_robust_scale",     # quartile table over zero groups
     "q_power_law_alpha",  # tail filter drops every row
     "q_entropy_hour",     # mix entropy over an empty grid
+    "q_mrr",              # probe set empty, rank windows over empty
+    "q_tfidf_cosine",     # inverted index over zero terms
+    "q_naive_bayes",      # vocabulary and priors from zero docs
+    "q_readability",      # regex censuses over no rows
+    "q_dataset_card",     # per-source card over zero sources
+    "q_date_gaps",        # generated spine from NULL bounds
+    "q_pareto_share",     # running shares over zero customers
+    "q_whiten_embed",     # per-dim moments over zero vectors
 ]
 
 
@@ -326,6 +334,11 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         # NULL means and statistics (0-count division)
         assert [(r.n_a, r.n_b, r.mean_a, r.mean_b, r.t, r.df)
                 for r in rows] == [(0, 0, None, None, None, None)]
+    elif name == "q_mrr":
+        # zero probes: one zero-count row, undefined metrics
+        assert [(r.n_probes, r.mrr, r.precision_at_k) for r in rows] == [
+            (0, None, None)
+        ]
     elif name == "q_anova":
         # ungrouped rollup over zero groups: one all-NULL row (ANSI)
         assert [tuple(r) for r in rows] == [(None,) * 5]

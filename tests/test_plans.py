@@ -539,3 +539,62 @@ def test_link_predict_topk_avoids_global_sort(spark):
     plan = inspect.physical_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kendall_reduces_to_grid_before_pairs(spark):
+    """The tau-b pair mass must come from the bounded cell grid: the
+    detail scan aggregates (HashAggregate) BEFORE the nested-loop pair
+    join, and no unbounded cartesian appears."""
+    df = QUERIES["q_kendall_grid"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # cells^2, broadcast side
+    # the pair join's build side is the broadcast GRID (an aggregate),
+    # never a raw lineitem scan: the qa < qb condition appears as the
+    # join predicate, proving cells join cells
+    assert "(qa" in plan and "qb" in plan
+
+
+def test_tfidf_cosine_pairs_via_term_join(spark):
+    """Candidate pairs must come from the word-keyed equi join of the
+    df-banded inverted index — never a document cross join."""
+    df = QUERIES["q_tfidf_cosine"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # the pair join itself is a word-keyed hash/merge join; the only
+    # nested-loop joins are 1-row broadcast crosses (the N scalar)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin Inner" not in plan
+
+
+def test_gini_binned_has_no_single_partition(spark):
+    """The binned-Lorenz scale variant exists to kill the global
+    ordering: every window and aggregate must stay nation-keyed."""
+    df = QUERIES["q_gini_binned"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(n_name" in plan
+
+
+def test_cusum_windows_are_keyed(spark):
+    """The prefix windows over the days-bounded series must carry the
+    non-foldable bounded key (no unpartitioned WindowExec)."""
+    df = QUERIES["q_cusum"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    # the bounded key is projected to a _wN column; both window specs
+    # must partition by it (spec starts with _w, not with the order
+    # column alone)
+    assert "windowspecdefinition(_w" in plan
+    assert "windowspecdefinition(day#" not in plan
+
+
+def test_naive_bayes_weight_grid_broadcasts(spark):
+    """The lang x vocab weight grid and the class priors must reach
+    the per-doc scoring as broadcasts — a shuffle join there would
+    repartition the corpus by word."""
+    df = QUERIES["q_naive_bayes"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 3

@@ -188,6 +188,15 @@ _REPRESENTATIVE = [
     "q_date_gaps",        # generated spine from NULL bounds
     "q_pareto_share",     # running shares over zero customers
     "q_whiten_embed",     # per-dim moments over zero vectors
+    "q_levene",           # group medians over zero groups
+    "q_cohens_d",         # two-sample moments both empty
+    "q_cramers_v",        # contingency marginals over zero cells
+    "q_ctfidf_terms",     # class term grid over zero classes
+    "q_hapax",            # vocabulary census over zero tokens
+    "q_heaps_law",        # growth checkpoints over zero buckets
+    "q_burstiness",       # daily counts over zero days
+    "q_rake_keywords",    # phrase split over no rows
+    "q_logistic_step",    # Newton step with zero moments
 ]
 
 
@@ -334,6 +343,16 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         # NULL means and statistics (0-count division)
         assert [(r.n_a, r.n_b, r.mean_a, r.mean_b, r.t, r.df)
                 for r in rows] == [(0, 0, None, None, None, None)]
+    elif name == "q_levene":
+        assert [tuple(r) for r in rows] == [(None,) * 3]
+    elif name == "q_cohens_d":
+        assert [tuple(r) for r in rows] == [(None,) * 4]
+    elif name == "q_cramers_v":
+        assert [tuple(r) for r in rows] == [(None,) * 5]
+    elif name == "q_heaps_law":
+        assert [(r.n_points, r.beta, r.ln_k) for r in rows] == [(0, None, None)]
+    elif name == "q_logistic_step":
+        assert [(r.n, r.b0, r.b1) for r in rows] == [(0, None, None)]
     elif name == "q_mrr":
         # zero probes: one zero-count row, undefined metrics
         assert [(r.n_probes, r.mrr, r.precision_at_k) for r in rows] == [

@@ -215,7 +215,12 @@ def q_tfidf_cosine(spark: SparkSession, d: str):
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df").between(_TC_DF_MIN, _TC_DF_MAX))
     )
-    w = (
+    from direct_kafka_stream_spark.operators.llm import _materialized
+
+    # persisted: the banded weighted index feeds the norm aggregate AND
+    # both sides of the pair join — without it Spark re-derives the
+    # corpus explode + tf aggregation once per reference
+    w = _materialized(
         tf.join(df, "word")
         .crossJoin(F.broadcast(n))
         .select(
@@ -373,13 +378,24 @@ def q_naive_bayes(spark: SparkSession, d: str):
         .limit(_NB_V)
         .select("word")
     )
+    from direct_kafka_stream_spark.operators.llm import _materialized
+
     vt = toks.join(F.broadcast(vocab), "word")
     cls = docs.groupBy(F.col("lang").alias("clang")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
     tot = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    cnt = vt.groupBy(F.col("lang").alias("clang"), "word").agg(
-        F.count(F.lit(1)).alias("c")
+    # persisted: ONE corpus explode builds the per-doc tf table; the
+    # training counts are then a re-aggregation of it (Σ tf), so the
+    # corpus is never exploded twice and the cached table is the
+    # compressed per-doc census, not the raw token stream
+    dtf = _materialized(
+        vt.groupBy("doc_id", "lang", "word").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+    )
+    cnt = dtf.groupBy(F.col("lang").alias("clang"), "word").agg(
+        F.sum("tf").alias("c")
     )
     tl = cnt.groupBy("clang").agg(F.sum("c").alias("t"))
     wt = (
@@ -396,9 +412,6 @@ def q_naive_bayes(spark: SparkSession, d: str):
                 9,
             ).alias("lw"),
         )
-    )
-    dtf = vt.groupBy("doc_id", "lang", "word").agg(
-        F.count(F.lit(1)).alias("tf")
     )
     contrib = (
         dtf.join(F.broadcast(wt), "word")

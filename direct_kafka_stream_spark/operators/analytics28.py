@@ -360,7 +360,13 @@ def q_ctfidf_terms(spark: SparkSession, d: str):
             F.filter(F.split(F.col("text"), " "), lambda w: w != "")
         ).alias("word"),
     )
-    cw = toks.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    from direct_kafka_stream_spark.operators.llm import _materialized
+
+    # persisted: cw feeds the frequency filter, the class masses, and
+    # the scoring join — one corpus explode instead of three
+    cw = _materialized(
+        toks.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    )
     fw = (
         cw.groupBy("word")
         .agg(F.sum("c").alias("f"))

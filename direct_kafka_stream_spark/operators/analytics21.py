@@ -209,9 +209,14 @@ def q_mann_whitney(spark: SparkSession, d: str):
     integer arithmetic (r2a = Σ n_a·(2·less + t + 1) = 2·R_a). All
     doubles are derived from the same integers on both engines, so z
     is bit-identical before its 6 dp rounding."""
-    ev = load_table(spark, d, "events").filter(
-        F.col("event_type").isin(_MW_A, _MW_B)
-    )
+    return mann_whitney_stat(load_table(spark, d, "events"))
+
+
+def mann_whitney_stat(events):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    ev = events.filter(F.col("event_type").isin(_MW_A, _MW_B))
     vals = (
         ev.select(
             F.col("value").alias("v"),

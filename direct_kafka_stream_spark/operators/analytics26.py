@@ -682,7 +682,13 @@ def q_robust_scale(spark: SparkSession, d: str):
     broadcast back onto a single fact scan; both sides of the fence
     comparison are rounded 6 dp first (round-before-compare,
     ALIGNMENT) so a last-ulp difference can never flip a count."""
-    e = load_table(spark, d, "events")
+    return robust_scale_report(load_table(spark, d, "events"))
+
+
+def robust_scale_report(e):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     pct = e.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.25)).alias("q1"),
         F.percentile("value", F.lit(0.50)).alias("med"),
@@ -788,8 +794,15 @@ def q_entropy_hour(spark: SparkSession, d: str):
     the bounded grid with the share window partitioned per hour. The
     p·ln p terms are rounded 9 dp before the exact decimal sum (q_psi
     discipline); p is a ratio of exact counts."""
+    return entropy_hour_grid(load_table(spark, d, "events"))
+
+
+def entropy_hour_grid(ev):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     cells = (
-        load_table(spark, d, "events")
+        ev
         .groupBy(
             F.hour("ts").cast("bigint").alias("hour_of_day"), "event_type"
         )

@@ -615,8 +615,15 @@ def q_burstiness(spark: SparkSession, d: str):
     map-side-combined aggregation; moments are exact integer sums cast
     once, and every derived expression shares operation order with the
     oracle."""
+    return burstiness_report(load_table(spark, d, "events"))
+
+
+def burstiness_report(ev):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     daily = (
-        load_table(spark, d, "events")
+        ev
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -156,3 +156,62 @@ def debounce_stateful(events: DataFrame, gap_s: int = 300) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    (applyInPandasWithState): per user, a session CLOSES when the next
+    event arrives more than ``gap_s`` seconds after the previous one;
+    closed sessions are emitted as (user_id, session_seq, n_events,
+    duration_s) — the same record shape as q_sessionize's batch rollup
+    (operators/retrieval.py), whose flag + running-sum form recomputes
+    over everything staged; this form carries ONE open session per user
+    across micro-batches and emits each session exactly once, which is
+    what an always-on ingest needs (state is 4 longs per active user,
+    evictable with a timeout in production).
+
+    Within-batch AND cross-batch gap semantics are identical to the
+    batch analog PROVIDED each user's events arrive in event-time
+    order across batches (the replay/backfill contract); the open
+    session at stream end is intentionally unemitted (it has not
+    closed)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def roll(key, pdfs, state: GroupState):
+        if state.exists:
+            seq, start, last, n = state.get
+        else:
+            seq, start, last, n = 0, None, None, 0
+        out = []
+        allpdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts in allpdf["ts"]:
+            es = int(ts.timestamp())
+            if last is None:
+                seq, start, n = 1, es, 1
+            elif es - last > gap_s:
+                out.append((seq, n, last - start))
+                seq, start, n = seq + 1, es, 1
+            else:
+                n += 1
+            last = es
+        state.update((seq, start if start is not None else 0, last or 0, n))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "session_seq": [s for s, _, _ in out],
+                    "n_events": [c for _, c, _ in out],
+                    "duration_s": [d for _, _, d in out],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        roll,
+        outputStructType=(
+            "user_id long, session_seq long, n_events long, duration_s long"
+        ),
+        stateStructType="seq long, start_s long, last_s long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

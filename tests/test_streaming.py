@@ -817,6 +817,10 @@ def test_rate_source_generated_stream(spark, tmp_path):
         ("q_sessionize", "sessionize_report"),
         ("q_lag_features", "lag_features_table"),
         ("q_median_ci", "median_ci_report"),
+        ("q_entropy_hour", "entropy_hour_grid"),
+        ("q_robust_scale", "robust_scale_report"),
+        ("q_burstiness", "burstiness_report"),
+        ("q_mann_whitney", "mann_whitney_stat"),
     ],
 )
 def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, transform_name):
@@ -837,6 +841,8 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
         analytics21,
         analytics22,
         analytics25,
+        analytics26,
+        analytics28,
         events_analytics,
         retrieval,
     )
@@ -845,7 +851,7 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
         t
         for m in (events_analytics, analytics4, analytics5, analytics7,
                   analytics8, analytics21, analytics22, analytics25,
-                  retrieval)
+                  analytics26, analytics28, retrieval)
         if (t := getattr(m, transform_name, None)) is not None
     )
     expected = sorted(
@@ -926,3 +932,70 @@ def test_debounce_stateful_chain_collapse(spark, tmp_path):
         for r in spark.table("t_debounce").collect()
     )
     assert got == [(1, "click", 0), (1, "click", 400), (1, "click", 800)]
+
+
+def test_sessionize_stateful_emits_closed_sessions(spark, tmp_path):
+    """The applyInPandasWithState sessionizer: sessions carry across
+    micro-batches (a batch-2 event within the gap of a user's open
+    batch-1 session extends it, not restarts it), closed sessions are
+    emitted exactly once, and the emitted set equals the batch analog
+    q_sessionize minus each user's final (still-open) session."""
+    import os
+    import time as _time
+
+    import duckdb
+
+    from direct_kafka_stream_spark.operators.retrieval import (
+        sessionize_report,
+    )
+    from direct_kafka_stream_spark.streaming.transforms import (
+        sessionize_stateful,
+    )
+
+    # split the events fixture at the median timestamp so each user's
+    # events arrive across the two micro-batches in event-time order
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    med = duckdb.sql(
+        f"SELECT quantile_disc(ts, 0.5) FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()[0]
+    duckdb.sql(
+        f"COPY (SELECT event_id, ts, user_id, event_type, value, props "
+        f"FROM '{SF_DIR}/events.parquet' WHERE ts <= TIMESTAMP '{med}') "
+        f"TO '{src}/b1.parquet' (FORMAT PARQUET)"
+    )
+    duckdb.sql(
+        f"COPY (SELECT event_id, ts, user_id, event_type, value, props "
+        f"FROM '{SF_DIR}/events.parquet' WHERE ts > TIMESTAMP '{med}') "
+        f"TO '{src}/b2.parquet' (FORMAT PARQUET)"
+    )
+    now = _time.time()
+    os.utime(src / "b1.parquet", (now - 120, now - 120))
+    os.utime(src / "b2.parquet", (now, now))
+
+    stream = file_stream(
+        spark, str(src), events_schema(), max_files_per_trigger=1
+    )
+    sessions = sessionize_stateful(stream, gap_s=1800)
+    q = pipeline.run_to_memory(
+        sessions, "t_sessions", str(tmp_path / "ckpt_sess"), output_mode="append"
+    )
+    _await(q)
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.duration_s)
+        for r in spark.table("t_sessions").collect()
+    }
+
+    batch = sessionize_report(
+        load_table(spark, SF_DIR, "events")
+    ).collect()
+    last_seq = {}
+    for r in batch:
+        last_seq[r.user_id] = max(last_seq.get(r.user_id, 0), r.session_seq)
+    want = {
+        (r.user_id, r.session_seq): (r.n_events, r.duration_s)
+        for r in batch
+        if r.session_seq != last_seq[r.user_id]
+    }
+    assert got == want
+    assert want, "fixture should close at least one session"

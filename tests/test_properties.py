@@ -225,3 +225,39 @@ def test_bloom_has_no_false_negatives(spark, keys):
                      ).to_parquet(pathlib.Path(td) / "customer.parquet")
         r = QUERIES["q_bloom_manual"].spark(spark, td).collect()[0]
     assert r.n_bloom_positive - r.n_false_positive == r.n_true_members
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            st.integers(min_value=-(10**6), max_value=10**6),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_pca_hilo_reconstruction_is_exact(pairs):
+    """q_pca_power's hi/lo split + arbitrary-precision reconstruction:
+    for any set of quantized products, splitting each term at 2^30,
+    summing the partials separately, and reconstructing must give the
+    exact integer total; the half-away-from-zero rounding to scale 4
+    must equal the Decimal reference."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    terms = [qa * qb for qa, qb in pairs]
+    sh = sum(t >> 30 for t in terms)
+    sl = sum(t - ((t >> 30) << 30) for t in terms)
+    total = sh * (1 << 30) + sl
+    assert total == sum(terms)
+    # replicate analytics12._g_val
+    q8, rem = divmod(abs(total), 10**8)
+    r = q8 + (1 if rem >= 5 * 10**7 else 0)
+    g = (-r if total < 0 else r) / 10000.0
+    ref = float(
+        (Decimal(total) / Decimal(10**12)).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP
+        )
+    )
+    assert g == ref

@@ -147,8 +147,8 @@ _CD_B = "purchase"
            CAST(nb AS BIGINT) AS n_b,
            round(sa / na - sb / nb, 6) AS mean_diff,
            round((sa / na - sb / nb)
-                 / sqrt(((ssa - sa * sa / na) + (ssb - sb * sb / nb))
-                        / (na + nb - 2)), 6) AS cohens_d
+                 / NULLIF(sqrt(((ssa - sa * sa / na) + (ssb - sb * sb / nb))
+                        / (na + nb - 2)), 0.0), 6) AS cohens_d
     FROM ab
     """,
     tags=("stats", "effect-size"),
@@ -189,7 +189,10 @@ def q_cohens_d(spark: SparkSession, d: str):
         na.cast("bigint").alias("n_a"),
         nb.cast("bigint").alias("n_b"),
         F.round(diff, 6).alias("mean_diff"),
-        F.round(diff / pooled, 6).alias("cohens_d"),
+        # NULLIF: zero pooled sd (two degenerate samples) must yield
+        # NULL identically on both engines, not an engine-specific
+        # division-by-zero artifact
+        F.round(diff / F.nullif(pooled, F.lit(0.0)), 6).alias("cohens_d"),
     )
 
 
@@ -235,8 +238,8 @@ _CV_BIN = 50.0
                        + (MAX(n)
                           - CAST(ROUND(SUM(CAST(e AS DECIMAL(38,10))), 6)
                                  AS DOUBLE)))
-                      / (MAX(n) * LEAST(MAX(r) - 1, MAX(c) - 1))), 6)
-               AS cramers_v
+                      / NULLIF(MAX(n) * LEAST(MAX(r) - 1, MAX(c) - 1), 0.0)),
+                 6) AS cramers_v
     FROM terms
     """,
     tags=("stats", "association"),
@@ -293,10 +296,15 @@ def q_cramers_v(spark: SparkSession, d: str):
         F.max("r").cast("bigint").alias("r"),
         F.max("c").cast("bigint").alias("c"),
         F.round(chi2, 6).alias("chi2"),
+        # NULLIF: a 1xc or rx1 grid has zero degrees of freedom — V is
+        # undefined (NULL on both engines), not a div-by-zero artifact
         F.round(
             F.sqrt(
                 chi2
-                / (F.max("n") * F.least(F.max("r") - 1, F.max("c") - 1))
+                / F.nullif(
+                    F.max("n") * F.least(F.max("r") - 1, F.max("c") - 1),
+                    F.lit(0.0),
+                )
             ),
             6,
         ).alias("cramers_v"),

@@ -259,3 +259,25 @@ def test_logistic_step_matches_numpy_irls(spark, con):
     assert got.n == len(rows)
     assert got.b0 == pytest.approx(beta[0], abs=1e-4)
     assert got.b1 == pytest.approx(beta[1], abs=1e-4)
+
+
+def test_cohens_d_degenerate_samples_yield_null(spark, tmp_path):
+    """Two constant samples: pooled sd = 0, d undefined — both the
+    Spark side and the oracle must return NULL (NULLIF guard), never an
+    engine-specific division-by-zero artifact."""
+    d = tmp_path / "const_events"
+    d.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT event_id, ts, user_id, "
+        f"CASE WHEN event_id % 2 = 0 THEN 'click' ELSE 'purchase' END "
+        f"AS event_type, 5.0 AS value, props "
+        f"FROM '{SF_DIR}/events.parquet' LIMIT 100) "
+        f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    srow = QUERIES["q_cohens_d"].spark(spark, str(d)).collect()[0]
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    orow = con2.execute(QUERIES["q_cohens_d"].oracle).fetchone()
+    con2.close()
+    assert srow.mean_diff == orow[2] == 0.0
+    assert srow.cohens_d is None and orow[3] is None

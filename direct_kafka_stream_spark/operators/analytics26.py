@@ -141,8 +141,8 @@ def q_anova(spark: SparkSession, d: str):
            cd.conc AS concordant,
            cd.disc AS discordant,
            round(CAST(cd.conc - cd.disc AS DOUBLE)
-                 / sqrt(CAST(tot.n0 - t1.n1 AS DOUBLE)
-                        * CAST(tot.n0 - t2.n2 AS DOUBLE)), 6) AS tau_b
+                 / NULLIF(sqrt(CAST(tot.n0 - t1.n1 AS DOUBLE)
+                        * CAST(tot.n0 - t2.n2 AS DOUBLE)), 0.0), 6) AS tau_b
     FROM tot, t1, t2, cd
     """,
     tags=("stats", "correlation", "scale"),
@@ -221,11 +221,16 @@ def q_kendall_grid(spark: SparkSession, d: str):
             "n",
             F.col("conc").alias("concordant"),
             F.col("disc").alias("discordant"),
+            # NULLIF: a single-valued column has zero untied pairs —
+            # tau is undefined (NULL both engines), not a div-by-zero
             F.round(
                 (F.col("conc") - F.col("disc")).cast("double")
-                / F.sqrt(
-                    (F.col("n0") - F.col("n1")).cast("double")
-                    * (F.col("n0") - F.col("n2")).cast("double")
+                / F.nullif(
+                    F.sqrt(
+                        (F.col("n0") - F.col("n1")).cast("double")
+                        * (F.col("n0") - F.col("n2")).cast("double")
+                    ),
+                    F.lit(0.0),
                 ),
                 6,
             ).alias("tau_b"),
@@ -269,7 +274,7 @@ _CUSUM_H = 2.0
     )
     SELECT strftime(day, '%Y-%m-%d') AS day, cusum,
            CASE WHEN cusum > round({_CUSUM_H!r}
-                    * sqrt((ssq - gs * gs / nd) / (nd - 1)), 6)
+                    * sqrt((ssq - gs * gs / nd) / NULLIF(nd - 1, 0.0)), 6)
                 THEN 1 ELSE 0 END AS flag
     FROM cs
     """,
@@ -325,11 +330,13 @@ def q_cusum(spark: SparkSession, d: str):
             F.col("p") - F.least(F.min("p").over(wp), F.lit(0.0)), 6
         ).alias("cusum"),
     )
+    # NULLIF: a one-day series has no sample sd — the comparison is
+    # NULL (flag 0) identically on both engines
     thresh = F.round(
         _CUSUM_H
         * F.sqrt(
             (F.col("ssq") - F.col("gs") * F.col("gs") / F.col("nd"))
-            / (F.col("nd") - 1)
+            / F.nullif(F.col("nd") - 1, F.lit(0.0))
         ),
         6,
     )
@@ -366,7 +373,8 @@ def q_cusum(spark: SparkSession, d: str):
     SELECT CAST(nd AS BIGINT) AS n_days,
            strftime(day, '%Y-%m-%d') AS peak_day,
            s AS peak_value,
-           round(adev / sqrt((ssq - gs * gs / nd) / (nd - 1)), 6) AS g_stat
+           round(adev / NULLIF(sqrt((ssq - gs * gs / nd)
+                                    / NULLIF(nd - 1, 0.0)), 0.0), 6) AS g_stat
     FROM pick
     """,
     tags=("stats", "outlier"),
@@ -413,15 +421,20 @@ def q_grubbs(spark: SparkSession, d: str):
             )
         ).alias("p")
     )
+    # NULLIF twice: a one-day series has no sample sd, a constant
+    # series has sd 0 — G is undefined (NULL) identically on both
+    # engines (Spark runs ANSI: an unguarded /0 would THROW)
     sd = F.sqrt(
         (F.col("p.ssq") - F.col("p.gs") * F.col("p.gs") / F.col("p.nd"))
-        / (F.col("p.nd") - 1)
+        / F.nullif(F.col("p.nd") - 1, F.lit(0.0))
     )
     return picked.select(
         F.col("p.nd").cast("bigint").alias("n_days"),
         F.date_format("p.day", "yyyy-MM-dd").alias("peak_day"),
         F.col("p.s").alias("peak_value"),
-        F.round(F.col("p.adev") / sd, 6).alias("g_stat"),
+        F.round(
+            F.col("p.adev") / F.nullif(sd, F.lit(0.0)), 6
+        ).alias("g_stat"),
     )
 
 
@@ -726,7 +739,8 @@ _PL_XMIN = 100.0
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
            round(1.0 + CAST(COUNT(*) AS DOUBLE)
-                 / CAST(ROUND(SUM(CAST(lt AS DECIMAL(38,10))), 6) AS DOUBLE),
+                 / NULLIF(CAST(ROUND(SUM(CAST(lt AS DECIMAL(38,10))), 6)
+                               AS DOUBLE), 0.0),
                  6) AS alpha
     FROM tail
     """,
@@ -747,10 +761,15 @@ def q_power_law_alpha(spark: SparkSession, d: str):
     lt = F.round(F.log(F.col("value") / _PL_XMIN), 9)
     return e.select(lt.alias("lt")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        # NULLIF: ANSI Spark throws on /0 — a tail sitting entirely at
+        # x_min (rounded-ln sum 0) must yield NULL, not a crash
         F.round(
             1.0
             + F.count(F.lit(1)).cast("double")
-            / F.round(F.sum(F.col("lt").cast(DEC)), 6).cast("double"),
+            / F.nullif(
+                F.round(F.sum(F.col("lt").cast(DEC)), 6).cast("double"),
+                F.lit(0.0),
+            ),
             6,
         ).alias("alpha"),
     )

@@ -506,8 +506,10 @@ def _heaps_oracle() -> str:
         FROM pts
     )
     SELECT CAST(n AS BIGINT) AS n_points,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+           round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0), 6)
+               AS beta,
+           round((sy - (n * sxy - sx * sy)
+                       / NULLIF(n * sxx - sx * sx, 0.0) * sx) / n,
                  6) AS ln_k
     FROM m
     """
@@ -577,7 +579,9 @@ def q_heaps_law(spark: SparkSession, d: str):
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy = F.col("sxx"), F.col("sxy")
-    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # NULLIF: a single checkpoint (tiny corpus) has no slope — the
+    # fit is undefined (NULL) identically on both engines
+    beta = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
     return m.select(
         n.cast("bigint").alias("n_points"),
         F.round(beta, 6).alias("beta"),
@@ -762,9 +766,9 @@ def q_rake_keywords(spark: SparkSession, d: str):
     )
     SELECT CAST(n AS BIGINT) AS n,
            round((0.25 * sxx * g0 - 0.25 * sx * g1)
-                 / (0.0625 * (n * sxx - sx * sx)), 6) AS b0,
+                 / NULLIF(0.0625 * (n * sxx - sx * sx), 0.0), 6) AS b0,
            round((0.25 * n * g1 - 0.25 * sx * g0)
-                 / (0.0625 * (n * sxx - sx * sx)), 6) AS b1
+                 / NULLIF(0.0625 * (n * sxx - sx * sx), 0.0), 6) AS b1
     FROM m
     """,
     tags=("ml", "training"),
@@ -794,7 +798,9 @@ def q_logistic_step(spark: SparkSession, d: str):
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     g0, g1 = F.col("g0"), F.col("g1")
-    det = 0.0625 * (n * sxx - sx * sx)
+    # NULLIF: a constant feature makes the Hessian singular — the
+    # step is undefined (NULL) identically on both engines
+    det = F.nullif(0.0625 * (n * sxx - sx * sx), F.lit(0.0))
     return m.select(
         n.cast("bigint").alias("n"),
         F.round((0.25 * sxx * g0 - 0.25 * sx * g1) / det, 6).alias("b0"),

@@ -209,3 +209,57 @@ def test_robust_scale_matches_numpy_quantiles(spark, con):
         assert r.iqr == pytest.approx(q3 - q1, abs=1e-5)
         n_out = sum(1 for v in vals if abs(v - med) > 1.5 * (q3 - q1) + 1e-9)
         assert r.n_outliers == pytest.approx(n_out, abs=1)
+
+
+def _run_both(spark, d, name, views=("events", "orders", "lineitem")):
+    srows = [tuple(r) for r in QUERIES[name].spark(spark, str(d)).collect()]
+    con2 = duckdb.connect()
+    for t in views:
+        con2.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
+        )
+    orows = con2.execute(QUERIES[name].oracle).fetchall()
+    con2.close()
+    return srows, orows
+
+
+def test_degenerate_inputs_yield_null_on_both_engines(spark, tmp_path):
+    """Reachable zero denominators must produce NULL identically on
+    both engines (Spark double/0 is NULL, DuckDB is inf — the NULLIF
+    guards are the contract): single-valued Kendall column, one-day
+    CUSUM/Grubbs series, constant logistic feature."""
+    d = tmp_path / "degen"
+    d.mkdir()
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{SF_DIR}/events.parquet' LIMIT 50) "
+        f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    duckdb.sql(
+        f"COPY (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+        f"MIN(o_orderdate) OVER () AS o_orderdate, o_orderpriority "
+        f"FROM '{SF_DIR}/orders.parquet' LIMIT 40) "
+        f"TO '{d}/orders.parquet' (FORMAT PARQUET)"
+    )
+    duckdb.sql(
+        f"COPY (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+        f"7.0 AS l_quantity, l_extendedprice, l_discount, l_tax, "
+        f"l_returnflag, l_linestatus, l_shipdate "
+        f"FROM '{SF_DIR}/lineitem.parquet' LIMIT 60) "
+        f"TO '{d}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    # constant quantity: every pair tied in x -> tau undefined
+    s, o = _run_both(spark, d, "q_kendall_grid")
+    assert s[0][3] is None and o[0][3] is None
+    # one-day series: no sample sd -> no flags, NULL G
+    s, o = _run_both(spark, d, "q_cusum")
+    assert all(r[2] == 0 for r in s) and all(r[2] == 0 for r in o)
+    s, o = _run_both(spark, d, "q_grubbs")
+    assert s[0][3] is None and o[0][3] is None
+    # constant feature: singular Hessian -> NULL step
+    from direct_kafka_stream_spark.operators.analytics28 import (  # noqa: F401
+        q_logistic_step,
+    )
+
+    s, o = _run_both(spark, d, "q_logistic_step")
+    assert s[0][1] is None and s[0][2] is None
+    assert o[0][1] is None and o[0][2] is None

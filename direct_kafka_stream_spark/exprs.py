@@ -77,3 +77,19 @@ def bounded_window_key(col) -> Column:
     stay visible in plan audits."""
     c = F.col(col) if isinstance(col, str) else col
     return F.coalesce(c * F.lit(0), F.lit(0))
+
+
+def safe_corr(x, y) -> Column:
+    """Pearson correlation that degrades to NULL on zero variance.
+    Spark 4 runs ANSI mode, and the built-in ``corr`` aggregate's final
+    division THROWS on a constant column instead of returning NULL
+    (DuckDB's corr returns NULL) — a degenerate-but-valid input would
+    abort a 1000-executor job. covar_pop / nullif(σx·σy, 0) is the
+    same mathematical quantity with the divide under our control; the
+    float path differs from the built-in only in intermediate scaling
+    (callers round at 6 dp)."""
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    return F.covar_pop(cx, cy) / F.nullif(
+        F.stddev_pop(cx) * F.stddev_pop(cy), F.lit(0.0)
+    )

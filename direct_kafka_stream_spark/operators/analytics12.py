@@ -49,9 +49,9 @@ from direct_kafka_stream_spark.registry import query
         FROM m
     )
     SELECT CAST(n AS BIGINT) AS n,
-           round(det0 / det, 6) AS b0,
-           round(det1 / det, 6) AS b1,
-           round(det2 / det, 6) AS b2
+           round(det0 / NULLIF(det, 0.0), 6) AS b0,
+           round(det1 / NULLIF(det, 0.0), 6) AS b1,
+           round(det2 / NULLIF(det, 0.0), 6) AS b2
     FROM solved
     """,
     tags=("ml", "regression"),
@@ -107,11 +107,14 @@ def q_ols_multi(spark: SparkSession, d: str):
         - s1 * (s1 * s2y - s1y * s2)
         + sy * (s1 * s12 - s11 * s2)
     )
+    # NULLIF: constant features make the normal equations singular —
+    # coefficients are undefined (NULL), not an ANSI abort
+    detg = F.nullif(det, F.lit(0.0))
     return m.select(
-        F.col("n").cast("bigint").alias("n"),
-        F.round(det0 / det, 6).alias("b0"),
-        F.round(det1 / det, 6).alias("b1"),
-        F.round(det2 / det, 6).alias("b2"),
+        n.cast("bigint").alias("n"),
+        F.round(det0 / detg, 6).alias("b0"),
+        F.round(det1 / detg, 6).alias("b1"),
+        F.round(det2 / detg, 6).alias("b2"),
     )
 
 

@@ -171,8 +171,8 @@ def q_decision_stump(spark: SparkSession, d: str):
     SELECT segment, n0, n1,
            round(s1 / n1 - s0 / n0, 6) AS uplift,
            round((s1 / n1 - s0 / n0)
-                 / sqrt((ss0 / n0 - (s0 / n0) * (s0 / n0)) / n0
-                        + (ss1 / n1 - (s1 / n1) * (s1 / n1)) / n1), 6)
+                 / NULLIF(sqrt((ss0 / n0 - (s0 / n0) * (s0 / n0)) / n0
+                        + (ss1 / n1 - (s1 / n1) * (s1 / n1)) / n1), 0.0), 6)
                AS z_score
     FROM wide
     ORDER BY segment
@@ -220,7 +220,12 @@ def q_uplift_segments(spark: SparkSession, d: str):
         F.col("n0").cast("bigint").alias("n0"),
         F.col("n1").cast("bigint").alias("n1"),
         F.round(m1 - m0, 6).alias("uplift"),
+        # NULLIF: two zero-variance arms -> NULL z, not an ANSI abort
         F.round(
-            (m1 - m0) / F.sqrt(v0 / F.col("n0") + v1 / F.col("n1")), 6
+            (m1 - m0)
+            / F.nullif(
+                F.sqrt(v0 / F.col("n0") + v1 / F.col("n1")), F.lit(0.0)
+            ),
+            6,
         ).alias("z_score"),
     ).orderBy("segment")

@@ -198,12 +198,12 @@ _LOF_TOPN = 10
         FROM knn k JOIN kdist kb ON kb.va = k.vb
     ),
     lrd AS (
-        SELECT va, CAST(1 AS DOUBLE) / round(AVG(r), 9) AS lrd,
+        SELECT va, CAST(1 AS DOUBLE) / NULLIF(round(AVG(r), 9), 0.0) AS lrd,
                COUNT(*) AS n_nb
         FROM reach GROUP BY va
     ),
     lof AS (
-        SELECT k.va, round(AVG(lb.lrd), 9) / la.lrd AS lof, la.n_nb
+        SELECT k.va, round(AVG(lb.lrd), 9) / NULLIF(la.lrd, 0.0) AS lof, la.n_nb
         FROM knn k
         JOIN lrd lb ON lb.va = k.vb
         JOIN lrd la ON la.va = k.va
@@ -271,8 +271,13 @@ def q_lof_bucketed(spark: SparkSession, d: str):
     ).select(
         "va", "vb", F.greatest(F.col("d"), F.col("kd")).alias("r")
     )
+    # NULLIF: coincident points give zero reach distance — lrd (and
+    # the LOF built on it) is undefined, NULL on both engines rather
+    # than an ANSI divide-by-zero abort / a DuckDB inf
     lrd = reach.groupBy("va").agg(
-        (F.lit(1.0) / F.round(F.avg("r"), 9)).alias("lrd"),
+        (F.lit(1.0) / F.nullif(F.round(F.avg("r"), 9), F.lit(0.0))).alias(
+            "lrd"
+        ),
         F.count(F.lit(1)).alias("n_nb"),
     )
     lb = lrd.select(F.col("va").alias("vb"), F.col("lrd").alias("lrd_b"))
@@ -281,7 +286,12 @@ def q_lof_bucketed(spark: SparkSession, d: str):
         knn.join(lb, "vb")
         .join(la, "va")
         .groupBy("va", "lrd_a", "n_nb")
-        .agg((F.round(F.avg("lrd_b"), 9) / F.col("lrd_a")).alias("lof"))
+        .agg(
+            (
+                F.round(F.avg("lrd_b"), 9)
+                / F.nullif(F.col("lrd_a"), F.lit(0.0))
+            ).alias("lof")
+        )
     )
     return (
         lof.select(

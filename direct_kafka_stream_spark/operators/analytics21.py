@@ -184,11 +184,12 @@ _MW_B = "purchase"
            CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2,
            round((CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
                   - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-                 / (2.0 * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                 / NULLIF(2.0 * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
                      * (CAST(n_a + n_b + 1 AS DOUBLE)
                         - CAST(tiesum AS DOUBLE)
-                          / (CAST(n_a + n_b AS DOUBLE)
-                             * CAST(n_a + n_b - 1 AS DOUBLE))))), 6) AS z
+                          / NULLIF(CAST(n_a + n_b AS DOUBLE)
+                             * CAST(n_a + n_b - 1 AS DOUBLE), 0.0))), 0.0),
+                 6) AS z
     FROM agg
     """,
     tags=("stats", "hypothesis-test", "scale"),
@@ -262,15 +263,23 @@ def mann_whitney_stat(events):
     nad, nbd = n_a.cast("double"), n_b.cast("double")
     nn = (n_a + n_b).cast("double")
     u2 = F.col("r2a") - n_a * (n_a + 1)
+    # NULLIF twice: all-tied samples give zero rank variance, and a
+    # pooled n <= 1 makes the tie correction undefined — z is NULL on
+    # both engines, never an ANSI divide-by-zero abort
     var = (nad * nbd / 12.0) * (
         (n_a + n_b + 1).cast("double")
-        - F.col("tiesum").cast("double") / (nn * (n_a + n_b - 1).cast("double"))
+        - F.col("tiesum").cast("double")
+        / F.nullif(nn * (n_a + n_b - 1).cast("double"), F.lit(0.0))
     )
     return agg.select(
         n_a.cast("bigint").alias("n_a"),
         n_b.cast("bigint").alias("n_b"),
         u2.cast("bigint").alias("u2"),
-        F.round((u2.cast("double") - nad * nbd) / (2.0 * F.sqrt(var)), 6).alias("z"),
+        F.round(
+            (u2.cast("double") - nad * nbd)
+            / F.nullif(2.0 * F.sqrt(var), F.lit(0.0)),
+            6,
+        ).alias("z"),
     )
 
 

@@ -274,15 +274,21 @@ def _welch_moments_sql(tag: str, etype: str) -> str:
            round(ga.s1 / ga.n, 6) AS mean_a,
            round(gb.s1 / gb.n, 6) AS mean_b,
            round((ga.s1 / ga.n - gb.s1 / gb.n)
-                 / sqrt(((ga.s2 - ga.s1 * ga.s1 / ga.n) / (ga.n - 1)) / ga.n
-                        + ((gb.s2 - gb.s1 * gb.s1 / gb.n) / (gb.n - 1)) / gb.n),
+                 / NULLIF(sqrt(((ga.s2 - ga.s1 * ga.s1 / ga.n)
+                                / NULLIF(ga.n - 1, 0.0)) / ga.n
+                        + ((gb.s2 - gb.s1 * gb.s1 / gb.n)
+                           / NULLIF(gb.n - 1, 0.0)) / gb.n), 0.0),
                  6) AS t,
-           round(pow(((ga.s2 - ga.s1 * ga.s1 / ga.n) / (ga.n - 1)) / ga.n
-                     + ((gb.s2 - gb.s1 * gb.s1 / gb.n) / (gb.n - 1)) / gb.n, 2)
-                 / (pow(((ga.s2 - ga.s1 * ga.s1 / ga.n) / (ga.n - 1)) / ga.n, 2)
-                        / (ga.n - 1)
-                    + pow(((gb.s2 - gb.s1 * gb.s1 / gb.n) / (gb.n - 1)) / gb.n, 2)
-                        / (gb.n - 1)),
+           round(pow(((ga.s2 - ga.s1 * ga.s1 / ga.n)
+                      / NULLIF(ga.n - 1, 0.0)) / ga.n
+                     + ((gb.s2 - gb.s1 * gb.s1 / gb.n)
+                        / NULLIF(gb.n - 1, 0.0)) / gb.n, 2)
+                 / NULLIF(pow(((ga.s2 - ga.s1 * ga.s1 / ga.n)
+                               / NULLIF(ga.n - 1, 0.0)) / ga.n, 2)
+                        / NULLIF(ga.n - 1, 0.0)
+                    + pow(((gb.s2 - gb.s1 * gb.s1 / gb.n)
+                           / NULLIF(gb.n - 1, 0.0)) / gb.n, 2)
+                        / NULLIF(gb.n - 1, 0.0), 0.0),
                  6) AS df
     FROM ga, gb
     """,
@@ -319,19 +325,33 @@ def q_welch_ttest(spark: SparkSession, d: str):
     ga, gb = moments(_TT_A, "a"), moments(_TT_B, "b")
     j = ga.crossJoin(gb)
     na, nb = F.col("n_a"), F.col("n_b")
-    va = ((F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / na) / (na - 1)) / na
-    vb = ((F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / nb) / (nb - 1)) / nb
+    # NULLIF: one-row samples (n−1 = 0) and two zero-variance samples
+    # yield undefined t/df — NULL on both engines, never an ANSI abort
+    va = (
+        (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / na)
+        / F.nullif(na - 1, F.lit(0.0))
+    ) / na
+    vb = (
+        (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / nb)
+        / F.nullif(nb - 1, F.lit(0.0))
+    ) / nb
     return j.select(
         na.cast("bigint").alias("n_a"),
         nb.cast("bigint").alias("n_b"),
         F.round(F.col("s1_a") / na, 6).alias("mean_a"),
         F.round(F.col("s1_b") / nb, 6).alias("mean_b"),
         F.round(
-            (F.col("s1_a") / na - F.col("s1_b") / nb) / F.sqrt(va + vb), 6
+            (F.col("s1_a") / na - F.col("s1_b") / nb)
+            / F.nullif(F.sqrt(va + vb), F.lit(0.0)),
+            6,
         ).alias("t"),
         F.round(
             F.pow(va + vb, 2)
-            / (F.pow(va, 2) / (na - 1) + F.pow(vb, 2) / (nb - 1)),
+            / F.nullif(
+                F.pow(va, 2) / F.nullif(na - 1, F.lit(0.0))
+                + F.pow(vb, 2) / F.nullif(nb - 1, F.lit(0.0)),
+                F.lit(0.0),
+            ),
             6,
         ).alias("df"),
     )

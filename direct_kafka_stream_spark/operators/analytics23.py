@@ -179,11 +179,11 @@ def _rank_sql(col: str, bin_w: float, tag: str) -> str:
     SELECT CAST(n AS BIGINT) AS n,
            round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
                   - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
-                 / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                 / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
                          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
                         * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
-                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
-               AS rho
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 0.0),
+                 6) AS rho
     FROM m
     """,
     tags=("stats", "correlation", "scale"),
@@ -258,8 +258,14 @@ def q_spearman(spark: SparkSession, d: str):
     saa, sbb = F.col("saa").cast("double"), F.col("sbb").cast("double")
     return m.select(
         F.col("n").cast("bigint").alias("n"),
+        # NULLIF: a single-valued column has zero rank variance — rho
+        # is undefined (NULL both engines), never an ANSI abort
         F.round(
-            (nd * sab - sa * sb) / F.sqrt((nd * saa - sa * sa) * (nd * sbb - sb * sb)),
+            (nd * sab - sa * sb)
+            / F.nullif(
+                F.sqrt((nd * saa - sa * sa) * (nd * sbb - sb * sb)),
+                F.lit(0.0),
+            ),
             6,
         ).alias("rho"),
     )

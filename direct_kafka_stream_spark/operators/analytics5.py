@@ -21,6 +21,7 @@ from direct_kafka_stream_spark.exprs import (
     epoch_s,
     epoch_s_sql,
 )
+from direct_kafka_stream_spark.exprs import safe_corr
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -153,7 +154,7 @@ def q_acf(spark: SparkSession, d: str):
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.corr(F.col("a.x"), F.col("b.x")), 6).alias("acf"),
+            F.round(safe_corr(F.col("a.x"), F.col("b.x")), 6).alias("acf"),
         )
         .select(F.col("k").alias("lag_days"), "n_pairs", "acf")
         .orderBy("lag_days")
@@ -207,7 +208,7 @@ def q_cross_corr(spark: SparkSession, d: str):
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.corr(F.col("a.p"), F.col("b.err")), 6).alias("xcorr"),
+            F.round(safe_corr(F.col("a.p"), F.col("b.err")), 6).alias("xcorr"),
         )
         .select(F.col("k").alias("lag_days"), "n_pairs", "xcorr")
         .orderBy("lag_days")
@@ -258,7 +259,7 @@ def q_corr_matrix(spark: SparkSession, d: str):
     li = load_table(spark, d, "lineitem")
     one = li.agg(
         *[
-            F.corr(x, y).alias(f"r{i}")
+            safe_corr(x, y).alias(f"r{i}")
             for i, (x, y) in enumerate(_CORR_PAIRS)
         ]
     )

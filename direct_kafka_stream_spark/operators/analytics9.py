@@ -31,8 +31,9 @@ _PSI_EPS = 1e-6
     ),
     binned AS (
         SELECT grp,
-               LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / {_PSI_BINS})) AS INT),
-                     {_PSI_BINS - 1}) AS bin
+               COALESCE(LEAST(CAST(FLOOR((value - lo)
+                          / NULLIF((hi - lo) / {_PSI_BINS}, 0.0)) AS INT),
+                     {_PSI_BINS - 1}), 0) AS bin
         FROM split CROSS JOIN rng
     ),
     counts AS (
@@ -77,12 +78,17 @@ def q_psi(spark: SparkSession, d: str):
         (F.col("event_id") % 2).cast("int").alias("grp"), "value"
     )
     rng = split.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    width = (F.col("hi") - F.col("lo")) / _PSI_BINS
+    # NULLIF + COALESCE: a constant column has zero bin width — every
+    # row lands in bin 0 instead of an ANSI divide-by-zero abort
+    width = F.nullif((F.col("hi") - F.col("lo")) / _PSI_BINS, F.lit(0.0))
     binned = split.crossJoin(F.broadcast(rng)).select(
         "grp",
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
-            F.lit(_PSI_BINS - 1),
+        F.coalesce(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+                F.lit(_PSI_BINS - 1),
+            ),
+            F.lit(0),
         ).alias("bin"),
     )
     counts = binned.groupBy("bin").agg(

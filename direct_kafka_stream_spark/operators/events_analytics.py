@@ -493,7 +493,8 @@ def q_changepoint(spark: SparkSession, d: str):
     SELECT n0, n1,
            round(m0, 6) AS mean0,
            round(m1, 6) AS mean1,
-           round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 6) AS z_score
+           round((m1 - m0) / NULLIF(sqrt(v0 / n0 + v1 / n1), 0.0), 6)
+               AS z_score
     FROM wide
     """,
     tags=("events", "experiment"),
@@ -535,8 +536,11 @@ def q_ab_test(spark: SparkSession, d: str):
         F.max(F.when(F.col("arm") == 1, F.col("m"))).alias("m1"),
         F.max(F.when(F.col("arm") == 1, F.col("v"))).alias("v1"),
     )
-    z = (F.col("m1") - F.col("m0")) / F.sqrt(
-        F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    # NULLIF: two zero-variance arms have an undefined z (NULL on
+    # both engines) — ANSI Spark would otherwise abort the job
+    z = (F.col("m1") - F.col("m0")) / F.nullif(
+        F.sqrt(F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")),
+        F.lit(0.0),
     )
     return wide.select(
         "n0",

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
 
-from direct_kafka_stream_spark.exprs import dsum, dsum_sql
+from direct_kafka_stream_spark.exprs import dsum, dsum_sql, safe_corr
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -40,7 +40,7 @@ def q_agg_stats(spark: SparkSession, d: str):
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
         F.round(F.stddev_pop("l_quantity"), 6).alias("sdp_qty"),
-        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(safe_corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
         F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("cov_pq"),
         F.round(F.covar_pop("l_extendedprice", "l_quantity"), 4).alias("covp_pq"),
     )

@@ -50,8 +50,11 @@ def _ewma_oracle() -> str:
     w(lag_d, wt) AS (VALUES {vals})
     SELECT strftime(a.day, '%Y-%m-%d') AS day,
            round(a.x, 4) AS daily_rev,
-           round({dsum_sql('b.x * w.wt')}
-                 / {dsum_sql('w.wt')}, 6) AS ewma
+           -- truncate, not round: the ewma is a RAW DIVISION, and
+           -- round() at a 6dp half boundary is engine-divergent
+           -- (ALIGNMENT "round() itself disagrees at half-way points")
+           FLOOR({dsum_sql('b.x * w.wt')}
+                 / {dsum_sql('w.wt')} * 1000000) / 1000000 AS ewma
     FROM daily a
     JOIN daily b ON date_diff('day', b.day, a.day) BETWEEN 0 AND {_EWMA_WINDOW}
     JOIN w ON w.lag_d = date_diff('day', b.day, a.day)
@@ -100,7 +103,9 @@ def q_ewma(spark: SparkSession, d: str):
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.round("x", 4).alias("daily_rev"),
-            F.round("ewma_raw", 6).alias("ewma"),
+            # truncate, not round: raw-division output (ALIGNMENT rule;
+            # an sf0.1 row landed exactly on a 6dp half boundary)
+            (F.floor(F.col("ewma_raw") * 1000000) / 1000000).alias("ewma"),
         )
         .orderBy("day")
     )

@@ -79,6 +79,35 @@ def bounded_window_key(col) -> Column:
     return F.coalesce(c * F.lit(0), F.lit(0))
 
 
+# 2^60 as double: the md5 60-bit prefix maps any key to u ∈ [0,1) with
+# identical bits on every engine (same scheme as q_mix_sample /
+# analytics10's split draws — hoisted here so new modules stop
+# re-deriving it inline).
+U_DENOM = 1152921504606846976.0
+
+
+def u01(col) -> Column:
+    """Deterministic md5-uniform draw in [0,1) from a key column.
+
+    Portable across engines and cluster sizes: no RNG state, no
+    partition dependence — the same key always draws the same u, which
+    is what makes sampling/splitting/noise reproducible at 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+        / U_DENOM
+    )
+
+
+def u01_sql(expr: str) -> str:
+    return (
+        f"CAST(CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 15))"
+        f" AS BIGINT) AS DOUBLE) / {U_DENOM!r}"
+    )
+
+
 def safe_corr(x, y) -> Column:
     """Pearson correlation that degrades to NULL on zero variance.
     Spark 4 runs ANSI mode, and the built-in ``corr`` aggregate's final

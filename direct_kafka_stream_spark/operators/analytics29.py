@@ -84,7 +84,8 @@ _BH_ALPHA = 0.10
         SELECT seg, n,
                round(COALESCE(
                    (round(s / n, 9) - round(gs / gn, 9))
-                   / NULLIF(round(sqrt(gss / gn - (gs / gn) * (gs / gn)), 9)
+                   / NULLIF(round(sqrt(GREATEST(
+                                gss / gn - (gs / gn) * (gs / gn), 0.0)), 9)
                             / sqrt(CAST(n AS DOUBLE)), 0.0),
                    0.0), 6) AS z
         FROM g, tot
@@ -94,19 +95,20 @@ _BH_ALPHA = 0.10
                round(2.0 / (1.0 + exp(1.702 * abs(z))), 6) AS p_raw,
                CAST(COUNT(*) OVER () AS DOUBLE) AS m,
                ROW_NUMBER() OVER (ORDER BY
-                   round(2.0 / (1.0 + exp(1.702 * abs(z))), 6), seg) AS i
+                   round(2.0 / (1.0 + exp(1.702 * abs(z))), 6),
+                   seg NULLS LAST) AS i
         FROM z
     ),
     adj AS (
         SELECT seg, n, z, p_raw,
                round(LEAST(1.0,
                    MIN(m * p_raw / i) OVER (
-                       ORDER BY p_raw DESC, seg DESC
+                       ORDER BY p_raw DESC, seg DESC NULLS LAST
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
                    6) AS p_bh
         FROM p
     )
-    SELECT seg, n, z, p_raw, p_bh, p_bh < {_BH_ALPHA!r} AS rejected
+    SELECT seg, n, z, p_raw, p_bh, p_bh <= {_BH_ALPHA!r} AS rejected
     FROM adj ORDER BY seg
     """,
     tags=("stats", "multiple-testing"),
@@ -143,8 +145,11 @@ def q_bh_fdr(spark: SparkSession, d: str):
     gmean = F.round(F.col("gs") / F.col("gn"), 9)
     gsd = F.round(
         F.sqrt(
-            F.col("gss") / F.col("gn")
-            - (F.col("gs") / F.col("gn")) * (F.col("gs") / F.col("gn"))
+            F.greatest(
+                F.col("gss") / F.col("gn")
+                - (F.col("gs") / F.col("gn")) * (F.col("gs") / F.col("gn")),
+                F.lit(0.0),
+            )
         ),
         9,
     )
@@ -173,11 +178,11 @@ def q_bh_fdr(spark: SparkSession, d: str):
         p_raw.alias("p_raw"),
         F.count(F.lit(1)).over(wpart).cast("double").alias("m"),
         F.row_number()
-        .over(wpart.orderBy(p_raw.asc(), F.col("seg").asc()))
+        .over(wpart.orderBy(p_raw.asc(), F.col("seg").asc_nulls_last()))
         .alias("i"),
     )
     wrev = wpart.orderBy(
-        F.col("p_raw").desc(), F.col("seg").desc()
+        F.col("p_raw").desc(), F.col("seg").desc_nulls_last()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     adj = p.select(
         "seg",
@@ -198,7 +203,7 @@ def q_bh_fdr(spark: SparkSession, d: str):
         "z",
         "p_raw",
         "p_bh",
-        (F.col("p_bh") < F.lit(_BH_ALPHA)).alias("rejected"),
+        (F.col("p_bh") <= F.lit(_BH_ALPHA)).alias("rejected"),
     ).orderBy("seg")
 
 
@@ -235,7 +240,8 @@ _P_FLOOR = 1e-09
         SELECT g.event_type,
                round(COALESCE(
                    (round(s / n, 9) - round(gs / gn, 9))
-                   / NULLIF(round(sqrt(gss / gn - (gs / gn) * (gs / gn)), 9)
+                   / NULLIF(round(sqrt(GREATEST(
+                                gss / gn - (gs / gn) * (gs / gn), 0.0)), 9)
                             / sqrt(CAST(n AS DOUBLE)), 0.0),
                    0.0), 6) AS z
         FROM g JOIN tot ON tot.event_type = g.event_type
@@ -286,8 +292,11 @@ def q_fisher_method(spark: SparkSession, d: str):
     gmean = F.round(F.col("gs") / F.col("gn"), 9)
     gsd = F.round(
         F.sqrt(
-            F.col("gss") / F.col("gn")
-            - (F.col("gs") / F.col("gn")) * (F.col("gs") / F.col("gn"))
+            F.greatest(
+                F.col("gss") / F.col("gn")
+                - (F.col("gs") / F.col("gn")) * (F.col("gs") / F.col("gn")),
+                F.lit(0.0),
+            )
         ),
         9,
     )
@@ -354,14 +363,15 @@ _DP_EPS = 1.0
     tags=("privacy", "aggregation"),
 )
 def q_dp_laplace(spark: SparkSession, d: str):
-    """ε-differentially-private event-type histogram: true counts plus
-    Laplace(Δf/ε) noise (Δf=1 for a count histogram, ε=1). The noise is
-    drawn by inverse-CDF from the engine's md5-uniform — fully
-    deterministic and engine-portable, which is exactly what a governed
-    data-release pipeline wants: the SAME release every rerun, no RNG
-    state to audit, while still being a faithful Laplace mechanism with
-    respect to the (public, keyed) randomness. True counts never appear
-    in the output.
+    """Deterministic SIMULATION of the Laplace mechanism for an
+    event-type count histogram: true counts plus a Laplace(Δf/ε)-shaped
+    perturbation (Δf=1, ε=1) drawn by inverse-CDF from the engine's
+    md5-uniform keyed on the event type. Because the noise is
+    recomputable from the output row's own key, this provides NO actual
+    differential privacy — anyone can subtract the noise. It exists to
+    exercise the noise-injection plan shape (and its cross-engine
+    byte-exactness) for benchmark/parity purposes; a real deployment
+    would key the draw with a secret salt held outside the release.
 
     Scale shape: the DP mechanism is a scalar post-map on the
     |types|-row aggregate — the distributed work is the one map-side-

@@ -89,3 +89,26 @@ def test_degenerate_data_degrades_to_null(spark, degen_dir, name, null_cols):
         assert r.mean_a == 5.0 and r.mean_b == 5.0
     if name == "q_ols_multi":
         assert rows[0].n > 0
+
+
+# On constant data the population-variance expression gss/gn - (gs/gn)²
+# evaluates to a tiny NEGATIVE float (≈ -1.7e-18), so an unclamped sqrt
+# throws OutOfRangeException in DuckDB while Spark silently yields NaN —
+# a both-engine divergence. Both queries clamp with GREATEST(·, 0.0) on
+# BOTH sides; this pins the clamp by running Spark AND the oracle on
+# the constant-value fixture.
+@pytest.mark.parametrize("name", ["q_bh_fdr", "q_fisher_method"])
+def test_variance_clamp_survives_constant_data(spark, degen_dir, name):
+    q = QUERIES[name]
+    rows = q.spark(spark, degen_dir).collect()  # must not raise
+    assert rows
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{degen_dir}/{t}.parquet'"
+        )
+    orows = con.sql(q.oracle).fetchall()  # must not raise either
+    assert len(orows) == len(rows)
+    if name == "q_bh_fdr":
+        # zero variance ⇒ z coalesced to 0 ⇒ p_raw = 1 ⇒ nothing rejected
+        assert all(r.z == 0.0 and not r.rejected for r in rows)

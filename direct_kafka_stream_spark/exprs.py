@@ -74,9 +74,17 @@ def bounded_window_key(col) -> Column:
     literal it survives constant folding, so the WindowExec
     "No Partition Defined" warning is not emitted. Keeping the logger
     loud matters: a REAL unpartitioned window over detail rows must
-    stay visible in plan audits."""
+    stay visible in plan audits.
+
+    Works for ANY input type (DATE/STRING included) and ANY
+    nullability: the key is pmod(xxhash64(c), 1) — xxhash64 hashes
+    every type (NULL included) to a non-null BIGINT, and pmod-by-1 is
+    identically 0 yet has no Catalyst simplification rule, so the key
+    is never folded even when c is non-nullable. (The previous
+    `length(cast(c)) * 0` form WAS folded for non-nullable inputs —
+    integer x*0 → 0 — silently dropping the partitionSpec.)"""
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(c * F.lit(0), F.lit(0))
+    return F.pmod(F.xxhash64(c), F.lit(1))
 
 
 # 2^60 as double: the md5 60-bit prefix maps any key to u ∈ [0,1) with

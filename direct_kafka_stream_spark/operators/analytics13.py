@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.exprs import dsum, dsum_sql
+from direct_kafka_stream_spark.exprs import bounded_window_key, dsum, dsum_sql
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -237,7 +237,7 @@ def q_runs_test(spark: SparkSession, d: str):
     daily = e.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(dsum("value").alias("x"))
-    w_day = Window.orderBy("day")
+    w_day = Window.partitionBy(bounded_window_key("day")).orderBy("day")
     diffs = daily.select(
         "day",
         F.when(F.col("x") > F.lag("x").over(w_day), 1)

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.exprs import epoch_s, epoch_s_sql
+from direct_kafka_stream_spark.exprs import bounded_window_key, epoch_s, epoch_s_sql
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -87,7 +87,7 @@ def q_lateness_watermark(spark: SparkSession, d: str):
     )
     local = arr.withColumn("local_high", F.max("es").over(w_local))
     blk_max = arr.groupBy("blk").agg(F.max("es").alias("bmax"))
-    w_blocks = Window.orderBy("blk").rowsBetween(
+    w_blocks = Window.partitionBy(bounded_window_key("blk")).orderBy("blk").rowsBetween(
         Window.unboundedPreceding, -1
     )
     prev_high = blk_max.select(

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.exprs import DEC
+from direct_kafka_stream_spark.exprs import DEC, bounded_window_key
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.operators.retrieval import BM25_SCORED_SQL
 from direct_kafka_stream_spark.registry import query
@@ -98,7 +98,11 @@ def q_rrf_fusion(spark: SparkSession, d: str):
     lex = lex_top.select(
         "doc_id",
         F.row_number()
-        .over(Window.orderBy(F.col("s").desc(), "doc_id"))
+        .over(
+            Window.partitionBy(bounded_window_key("doc_id")).orderBy(
+                F.col("s").desc(), "doc_id"
+            )
+        )
         .cast("long")
         .alias("r_lex"),
     )
@@ -118,7 +122,11 @@ def q_rrf_fusion(spark: SparkSession, d: str):
     sem = sem_top.select(
         "doc_id",
         F.row_number()
-        .over(Window.orderBy(F.col("sim").desc(), "doc_id"))
+        .over(
+            Window.partitionBy(bounded_window_key("doc_id")).orderBy(
+                F.col("sim").desc(), "doc_id"
+            )
+        )
         .cast("long")
         .alias("r_sem"),
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.exprs import DEC
+from direct_kafka_stream_spark.exprs import DEC, bounded_window_key
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -496,7 +496,11 @@ def q_mutual_info(spark: SparkSession, d: str):
         .agg(F.count(F.lit(1)).alias("df"))
         .withColumn(
             "rn",
-            F.row_number().over(Window.orderBy(F.col("df").desc(), "token")),
+            F.row_number().over(
+                Window.partitionBy(bounded_window_key("token")).orderBy(
+                    F.col("df").desc(), "token"
+                )
+            ),
         )
         .filter(F.col("rn") <= _MI_TOPK)
         .select("token", "df")

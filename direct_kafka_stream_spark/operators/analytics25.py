@@ -76,31 +76,45 @@ def q_containment_dedup(spark: SparkSession, d: str):
     dedup operator argues over identical sets. Blocking is
     recall-bounded by construction (a pair sharing only ubiquitous
     shingles is not generated) — the standard ER trade documented here
-    and in SURVEY.md §2.D."""
+    and in SURVEY.md §2.D.
+
+    The shingle STRING never leaves the first projection: each 3-gram
+    is collapsed to its xxhash64 id immediately, so the distinct, the
+    df census, and the candidate + verify joins all exchange 8-byte
+    keys instead of ~20-byte n-grams (the ids are internal-only — the
+    output carries doc ids and counts, so engine-native hashing needs
+    no oracle mirror; a 64-bit collision would merge two shingles,
+    ~d²/2⁶⁵ per doc — negligible against the blocking recall trade
+    already accepted above)."""
     from direct_kafka_stream_spark.operators.llm import _shingles_from_docs
 
     docs = load_table(spark, d, "documents")
-    sh = _shingles_from_docs(docs).distinct().persist()
+    sh = (
+        _shingles_from_docs(docs)
+        .select("doc_id", F.xxhash64("shingle").alias("sid"))
+        .distinct()
+        .persist()
+    )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = (
-        sh.groupBy("shingle")
+        sh.groupBy("sid")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= _CT_RARE_DF))
-        .select("shingle")
+        .select("sid")
     )
-    rsh = sh.join(rare, "shingle")
+    rsh = sh.join(rare, "sid")
     cand = (
-        rsh.select("shingle", F.col("doc_id").alias("da"))
-        .join(sh.select("shingle", F.col("doc_id").alias("db")), "shingle")
+        rsh.select("sid", F.col("doc_id").alias("da"))
+        .join(sh.select("sid", F.col("doc_id").alias("db")), "sid")
         .filter(F.col("da") != F.col("db"))
         .select("da", "db")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("da"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("db2"), F.col("shingle").alias("shb"))
+    sa = sh.select(F.col("doc_id").alias("da"), "sid")
+    sb = sh.select(F.col("doc_id").alias("db2"), F.col("sid").alias("sidb"))
     ix = (
         cand.join(sa, "da")
-        .join(sb, (F.col("db") == F.col("db2")) & (F.col("shingle") == F.col("shb")))
+        .join(sb, (F.col("db") == F.col("db2")) & (F.col("sid") == F.col("sidb")))
         .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("shared"))
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from direct_kafka_stream_spark.exprs import bounded_window_key
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -60,7 +61,9 @@ def q_skyline(spark: SparkSession, d: str):
     broadcast join."""
     part = load_table(spark, d, "part")
     per_size = part.groupBy("p_size").agg(F.min("p_retailprice").alias("minp"))
-    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+    w = Window.partitionBy(bounded_window_key("p_size")).orderBy(
+        F.col("p_size").desc()
+    ).rowsBetween(
         Window.unboundedPreceding, -1
     )
     pref = per_size.select(

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.exprs import dsum, dsum_sql
+from direct_kafka_stream_spark.exprs import bounded_window_key, dsum, dsum_sql
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -294,7 +294,9 @@ def q_sample_weighted(spark: SparkSession, d: str):
         "doc_id", "source", "n_chars", F.round(k, 9).alias("k9")
     )
     topk = keyed.orderBy(F.col("k9").desc(), "doc_id").limit(_WS_K)
-    w = Window.orderBy(F.col("k9").desc(), "doc_id")
+    w = Window.partitionBy(bounded_window_key("doc_id")).orderBy(
+        F.col("k9").desc(), "doc_id"
+    )
     return (
         topk.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "source", "n_chars", "rn")
@@ -411,7 +413,7 @@ def q_km_survival(spark: SparkSession, d: str):
         F.sum("converted").alias("d_events"),
         (F.count(F.lit(1)) - F.sum("converted")).alias("c_censored"),
     )
-    w_prev = Window.orderBy("t").rowsBetween(
+    w_prev = Window.partitionBy(bounded_window_key("t")).orderBy("t").rowsBetween(
         Window.unboundedPreceding, -1
     )
     risk = per_t.crossJoin(F.broadcast(n_total)).select(
@@ -426,7 +428,7 @@ def q_km_survival(spark: SparkSession, d: str):
             )
         ).alias("n_risk"),
     )
-    w_run = Window.orderBy("t").rowsBetween(
+    w_run = Window.partitionBy(bounded_window_key("t")).orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     surv = F.exp(

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.exprs import davg_sql, dsum, dsum_sql
+from direct_kafka_stream_spark.exprs import bounded_window_key, davg_sql, dsum, dsum_sql
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -104,7 +104,7 @@ def lifecycle_ledger(e):
             ),
         )
     )
-    w_weeks = Window.orderBy("week")
+    w_weeks = Window.partitionBy(bounded_window_key("week")).orderBy("week")
     return (
         weekly.select(
             "week",

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.exprs import dsum, dsum_sql
+from direct_kafka_stream_spark.exprs import bounded_window_key, dsum, dsum_sql
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -380,7 +380,7 @@ def q_compaction_plan(spark: SparkSession, d: str):
         dsum("n_chars").alias("bytes"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    w_prev = Window.orderBy("shard").rowsBetween(
+    w_prev = Window.partitionBy(bounded_window_key("shard")).orderBy("shard").rowsBetween(
         Window.unboundedPreceding, -1
     )
     planned = shards.select(

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.exprs import dsum, dsum_sql
+from direct_kafka_stream_spark.exprs import bounded_window_key, dsum, dsum_sql
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -150,9 +150,10 @@ def q_rfm(spark: SparkSession, d: str):
         F.count(F.lit(1)).alias("frequency"),
         dsum("o_totalprice").alias("monetary"),
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), "o_custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    wk = Window.partitionBy(bounded_window_key("o_custkey"))
+    wr = wk.orderBy(F.col("recency_days").asc(), "o_custkey")
+    wf = wk.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = wk.orderBy(F.col("monetary").desc(), "o_custkey")
     return per_cust.select(
         "o_custkey",
         "recency_days",

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from direct_kafka_stream_spark.exprs import bounded_window_key
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -366,7 +367,9 @@ def q_zipf_slope(spark: SparkSession, d: str):
         .orderBy(F.col("n").desc(), "word")
         .limit(100)
     )
-    w = Window.orderBy(F.col("n").desc(), "word")
+    w = Window.partitionBy(bounded_window_key("word")).orderBy(
+        F.col("n").desc(), "word"
+    )
     ranked = freq.select("n", F.row_number().over(w).alias("rank"))
     return ranked.agg(
         F.round(F.regr_slope(F.log("n"), F.log("rank")), 6).alias("zipf_slope"),

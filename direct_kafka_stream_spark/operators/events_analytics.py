@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.exprs import dsum, dsum_sql
+from direct_kafka_stream_spark.exprs import bounded_window_key, dsum, dsum_sql
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -442,7 +442,7 @@ def q_changepoint(spark: SparkSession, d: str):
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(dsum("value").alias("x"))
     mu = daily.agg(F.avg("x").alias("mu"))
-    w = Window.orderBy("day").rowsBetween(
+    w = Window.partitionBy(bounded_window_key("day")).orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cusum = (

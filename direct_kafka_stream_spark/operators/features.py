@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from direct_kafka_stream_spark.exprs import bounded_window_key
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -221,7 +222,7 @@ def q_drift_ks(spark: SparkSession, d: str):
         .groupBy("v")
         .agg(F.sum("in_a").alias("ca"), F.sum("in_b").alias("cb"))
     )
-    w = Window.orderBy("v").rowsBetween(
+    w = Window.partitionBy(bounded_window_key("v")).orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cdf = (

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from direct_kafka_stream_spark.exprs import bounded_window_key
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.operators.llm import (
     _BANDS_SELECT_SQL,
@@ -97,7 +98,9 @@ def q_text_pack(spark: SparkSession, d: str):
     independently — same operator, sharded key."""
     docs = load_table(spark, d, "documents")
     n = F.size(_tokens())
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(bounded_window_key("doc_id")).orderBy(
+        "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
     return (
         docs.select("doc_id", n.alias("n_tokens"))
         .withColumn("cum", F.sum("n_tokens").over(w))

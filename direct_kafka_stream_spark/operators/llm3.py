@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from direct_kafka_stream_spark.exprs import bounded_window_key
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -86,7 +87,9 @@ def q_bpe_merge_step(spark: SparkSession, d: str):
         .orderBy(F.col("pair_count").desc(), "pair")
         .limit(_BPE_TOPK)
     )
-    w = Window.orderBy(F.col("pair_count").desc(), "pair")
+    w = Window.partitionBy(bounded_window_key("pair")).orderBy(
+        F.col("pair_count").desc(), "pair"
+    )
     return (
         scored.select(
             F.row_number().over(w).cast("bigint").alias("rank"),

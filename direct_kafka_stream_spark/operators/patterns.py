@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from direct_kafka_stream_spark.exprs import bounded_window_key
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -50,7 +51,7 @@ def q_islands(spark: SparkSession, d: str):
     o = load_table(spark, d, "orders").select(
         F.col("o_orderkey").alias("k")
     ).distinct()
-    w = Window.orderBy("k")
+    w = Window.partitionBy(bounded_window_key("k")).orderBy("k")
     grp = o.select("k", (F.col("k") - F.row_number().over(w)).alias("island"))
     return (
         grp.groupBy("island")
@@ -99,7 +100,7 @@ def q_mom_growth(spark: SparkSession, d: str):
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
-    w = Window.orderBy("month")
+    w = Window.partitionBy(bounded_window_key("month")).orderBy("month")
     prev = F.lag("revenue").over(w)
     return monthly.select(
         F.date_format("month", "yyyy-MM").alias("month"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from direct_kafka_stream_spark.exprs import bounded_window_key
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.operators.llm import (
     _BANDS_SQL,
@@ -267,7 +268,9 @@ def q_quantile_bins(spark: SparkSession, d: str):
     operator is the exact-semantics anchor the approximate path is
     validated against."""
     o = load_table(spark, d, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    w = Window.partitionBy(bounded_window_key("o_orderkey")).orderBy(
+        "o_totalprice", "o_orderkey"
+    )
     return (
         o.select("o_totalprice", F.ntile(10).over(w).alias("bin"))
         .groupBy("bin")

@@ -199,7 +199,7 @@ def ranged_islands(keys, bucket_width: int = _ISL_BUCKET):
             F.count(F.lit(1)).alias("n"),
         )
     )
-    w_g = Window.orderBy("s")
+    w_g = Window.partitionBy(bounded_window_key("s")).orderBy("s")
     flagged = local.select(
         "s",
         "e",
@@ -208,7 +208,7 @@ def ranged_islands(keys, bucket_width: int = _ISL_BUCKET):
         .otherwise(1)
         .alias("new_grp"),
     )
-    w_cum = Window.orderBy("s").rowsBetween(
+    w_cum = Window.partitionBy(bounded_window_key("s")).orderBy("s").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     grouped = flagged.select(

@@ -6,6 +6,8 @@ whole-stage codegen covers the hot path. Used by tests/test_plans.py.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -60,6 +62,38 @@ def codegen_stage_count(df: DataFrame, execute: bool = True) -> int:
             # executedPlan.toString marks codegen spans as "*(n) Op"
             ids.update(re.findall(r"\*\((\d+)\)", line))
     return len(ids)
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Window node lines of an OPTIMIZED-plan string whose
+    partitionSpec is empty — each one executes single-partition and
+    logs WindowExec's "No Partition Defined" warning. Bounded
+    (bins-sized) frames must route through
+    ``exprs.bounded_window_key`` so the intended one-partition plan
+    keeps a non-foldable key and this detector stays silent; anything
+    it flags is either a real scale bug or a key that Catalyst folded
+    away.
+
+    Node format: ``Window [functions], [partitionSpec], [orderSpec]``,
+    with empty specs omitted — 3 top-level bracket groups when both
+    are present, 2 when exactly one is. The orderSpec is the group
+    whose entries carry ASC/DESC; a 2-group node whose last group has
+    no ordering marker is partition-only (no warning). Bracket groups
+    never nest ``], [`` internally, so a top-level split is exact."""
+    bad = []
+    for raw in plan.splitlines():
+        line = raw.strip()
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        groups = m.group(1).split("], [")
+        if len(groups) >= 3:
+            continue
+        last = groups[-1]
+        order_only = " ASC" in last or " DESC" in last
+        if len(groups) == 1 or order_only:
+            bad.append(line[:200])
+    return bad
 
 
 def exchange_count(df: DataFrame) -> int:

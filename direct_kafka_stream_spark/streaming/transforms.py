@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.exprs import dsum
+from direct_kafka_stream_spark.exprs import DEC, dsum
 
 
 def _win_bounds(win: Column) -> list[Column]:
@@ -215,3 +215,52 @@ def sessionize_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+IVM_VIEW_SCHEMA = "status string, n bigint, rev decimal(38,10)"
+
+
+def ivm_apply_delta(view: DataFrame, cdc: DataFrame) -> DataFrame:
+    """Apply one micro-batch of CDC rows to the per-status (n, rev)
+    materialized aggregate — q_ivm_delta's retraction algebra
+    (operators/analytics17.py) lifted to the foreachBatch sink, the
+    batch/stream-unification flagship: the SAME delta-merge the batch
+    operator proves exact against a from-scratch oracle keeps a live
+    aggregate fresh per micro-batch without recomputing it
+    (reference's store-then-process hook, KafkaDirectStream.scala:43-51).
+
+    ``view`` rows follow IVM_VIEW_SCHEMA with ``rev`` UNROUNDED —
+    round only on read: round(old) + round(delta) != round(new).
+    ``cdc`` rows carry (status string, price, op string), op ∈
+    {'insert','delete'}; an update is delete(old)+insert(new) in the
+    same batch. A status whose count retracts to 0 drops out, matching
+    a from-scratch recompute. Scale shape: the CDC batch collapses to
+    a statuses-sized delta aggregate (map-side combined) before the
+    tiny full-outer merge — per-batch cost is one pass over the batch,
+    never over the view's history."""
+    signed_n = F.when(F.col("op") == "insert", 1).otherwise(-1)
+    signed_rev = F.when(
+        F.col("op") == "insert", F.col("price")
+    ).otherwise(-F.col("price"))
+    delta = cdc.groupBy("status").agg(
+        F.sum(signed_n).cast("bigint").alias("dn"),
+        F.sum(signed_rev.cast(DEC)).cast(DEC).alias("drev"),
+    )
+    zero = F.lit(0).cast(DEC)
+    merged = (
+        view.alias("v")
+        .join(delta.alias("d"), F.col("v.status") == F.col("d.status"), "full_outer")
+        .select(
+            F.coalesce(F.col("v.status"), F.col("d.status")).alias("status"),
+            (
+                F.coalesce(F.col("v.n"), F.lit(0))
+                + F.coalesce(F.col("d.dn"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n"),
+            (F.coalesce(F.col("v.rev"), zero) + F.coalesce(F.col("d.drev"), zero))
+            .cast(DEC)
+            .alias("rev"),
+        )
+    )
+    return merged.filter(F.col("n") != 0)

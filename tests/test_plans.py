@@ -588,6 +588,27 @@ def test_cusum_windows_are_keyed(spark):
     assert "windowspecdefinition(day#" not in plan
 
 
+def test_no_unpartitioned_window_in_any_registered_query(spark):
+    """Registry-wide window hygiene: NO registered query may compile
+    to a Window node with an empty partitionSpec. Detail-row windows
+    must be data-keyed; bounded (bins-sized) frames must carry
+    exprs.bounded_window_key so WindowExec's "No Partition Defined"
+    warning stays a real alarm instead of ~250 lines of noise. This
+    is the pytest twin of scripts/window_hygiene.py — plan-only, so
+    the full registry checks in a couple of minutes."""
+    flagged = {}
+    for name, q in QUERIES.items():
+        df = q.spark(spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        bad = inspect.unpartitioned_windows(plan)
+        if bad:
+            flagged[name] = bad
+    assert not flagged, (
+        f"{len(flagged)} queries compile unpartitioned Window nodes: "
+        + "; ".join(f"{n} ({len(b)})" for n, b in sorted(flagged.items()))
+    )
+
+
 def test_naive_bayes_weight_grid_broadcasts(spark):
     """The lang x vocab weight grid and the class priors must reach
     the per-doc scoring as broadcasts — a shuffle join there would

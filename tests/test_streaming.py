@@ -999,3 +999,139 @@ def test_sessionize_stateful_emits_closed_sessions(spark, tmp_path):
     }
     assert got == want
     assert want, "fixture should close at least one session"
+
+
+def test_ivm_delta_maintains_live_aggregate(spark, tmp_path):
+    """q_ivm_delta's LIVE twin: ivm_apply_delta in a foreachBatch sink
+    maintains the per-status (n, revenue) aggregate across 3 CDC
+    micro-batches (base-snapshot inserts, then the old→new delta as
+    deletes/updates/inserts split over two batches), the view after
+    EVERY batch equals a from-scratch recompute over the net rows
+    applied so far, and the final view equals the batch analog
+    q_ivm_delta hash-exactly — the retraction algebra is the same
+    code path in both engines of the claim."""
+    import os
+    import time as _time
+
+    from direct_kafka_stream_spark import QUERIES
+    from direct_kafka_stream_spark.operators.analytics17 import (
+        _NEW_PRED,
+        _OLD_PRED,
+        _OLD_PRICE,
+    )
+    from direct_kafka_stream_spark.streaming.transforms import (
+        IVM_VIEW_SCHEMA,
+        ivm_apply_delta,
+    )
+
+    o = load_table(spark, SF_DIR, "orders")
+    old = o.filter(F.expr(_OLD_PRED)).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr(_OLD_PRICE).cast("double").alias("price"),
+    )
+    new = o.filter(F.expr(_NEW_PRED)).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    j = old.alias("o").join(new.alias("nw"), F.col("o.k") == F.col("nw.k"), "full_outer")
+    ins = j.filter(F.col("o.k").isNull()).select(
+        F.col("nw.k").alias("k"), F.col("nw.status").alias("status"),
+        F.col("nw.price").alias("price"), F.lit("insert").alias("op"),
+    )
+    dels = j.filter(F.col("nw.k").isNull()).select(
+        F.col("o.k").alias("k"), F.col("o.status").alias("status"),
+        F.col("o.price").alias("price"), F.lit("delete").alias("op"),
+    )
+    upd = j.filter(
+        F.col("o.k").isNotNull() & F.col("nw.k").isNotNull()
+        & (F.col("o.price") != F.col("nw.price"))
+    )
+    upd_cdc = upd.select(
+        F.col("o.k").alias("k"), F.col("o.status").alias("status"),
+        F.col("o.price").alias("price"), F.lit("delete").alias("op"),
+    ).unionAll(
+        upd.select(
+            F.col("nw.k").alias("k"), F.col("nw.status").alias("status"),
+            F.col("nw.price").alias("price"), F.lit("insert").alias("op"),
+        )
+    )
+    delta_cdc = ins.unionAll(dels).unionAll(upd_cdc)
+    b1 = old.select("k", "status", "price", F.lit("insert").alias("op")).toPandas()
+    b2 = delta_cdc.filter(F.col("k") % 2 == 0).toPandas()
+    b3 = delta_cdc.filter(F.col("k") % 2 == 1).toPandas()
+    assert len(b2) > 0 and len(b3) > 0  # every CDC op kind exercised
+
+    src = tmp_path / "ivm_cdc_src"
+    src.mkdir()
+    now = _time.time()
+    for i, b in enumerate((b1, b2, b3), start=1):
+        p = src / f"b{i}.parquet"
+        b.to_parquet(p)
+        os.utime(p, (now - (4 - i) * 60, now - (4 - i) * 60))
+
+    view_dir = str(tmp_path / "ivm_view")
+    stage = str(tmp_path / "ivm_stage")
+    history: list[tuple[int, list[tuple]]] = []
+
+    def process(batch_df, batch_id):
+        try:
+            view = spark.read.parquet(view_dir)
+        except Exception:
+            view = spark.createDataFrame([], IVM_VIEW_SCHEMA)
+        merged = ivm_apply_delta(view, batch_df)
+        rows = merged.collect()  # statuses-sized; realized so the
+        # overwrite below never reads its own output
+        spark.createDataFrame(rows, IVM_VIEW_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(view_dir)
+        batch_df.write.mode("append").parquet(stage)
+        history.append(
+            (batch_id, sorted((r.status, r.n, r.rev) for r in rows))
+        )
+
+    cdc_stream = (
+        spark.readStream.schema("k long, status string, price double, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        cdc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    assert len(history) == 3
+
+    # after EVERY batch the maintained view == from-scratch recompute
+    # over the net CDC rows applied so far (pandas recompute sums
+    # doubles while the view carries exact decimals, so counts and
+    # statuses compare exactly and revenue to 1e-6)
+    assert spark.read.parquet(stage).count() == len(b1) + len(b2) + len(b3)
+    for batch_id, got in sorted(history):
+        frames = [b1, b2, b3][: batch_id + 1]
+        allpdf = pd.concat(frames)
+        sign = allpdf["op"].map({"insert": 1, "delete": -1})
+        net = (
+            allpdf.assign(sn=sign, sp=sign * allpdf["price"])
+            .groupby("status", as_index=False)
+            .agg(n=("sn", "sum"), rev=("sp", "sum"))
+        )
+        net = net[net["n"] != 0].sort_values("status")
+        expected = [(r.status, int(r.n), float(r.rev)) for r in net.itertuples()]
+        assert [(s, n) for s, n, _ in got] == [(s, n) for s, n, _ in expected], (
+            f"batch {batch_id} keys/counts diverged"
+        )
+        for (_, _, rev_got), (_, _, rev_exp) in zip(got, expected):
+            assert abs(float(rev_got) - rev_exp) < 1e-6, f"batch {batch_id} revenue"
+
+    # final view == the batch analog q_ivm_delta, hash-exactly
+    batch_expected = sorted(
+        map(tuple, QUERIES["q_ivm_delta"].spark(spark, SF_DIR).collect())
+    )
+    final = spark.read.parquet(view_dir).select(
+        "status", "n", F.round("rev", 4).cast("double").alias("revenue")
+    )
+    assert sorted(map(tuple, final.collect())) == batch_expected

@@ -146,11 +146,16 @@ def q_acf(spark: SparkSession, d: str):
     first aggregate is calendar-bounded. corr is scale-invariant so
     the n/(n-1) convention cancels; rounded to 6dp (float
     accumulation order differs across engines)."""
-    e = load_table(spark, d, "events")
+    return acf_profile(load_table(spark, d, "events"))
+
+
+def acf_profile(e):
+    """q_acf's transform on an events frame — shared by the batch
+    query and its streaming foreachBatch twin."""
     daily = e.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(dsum("value").alias("x"))
-    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    lags = e.sparkSession.range(1, 8).select(F.col("id").cast("int").alias("k"))
     a, b = daily.alias("a"), daily.alias("b")
     return (
         F.broadcast(lags)

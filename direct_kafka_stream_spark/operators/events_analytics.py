@@ -261,7 +261,12 @@ def q_cohort_ltv(spark: SparkSession, d: str):
     cheap. Revenue sums go through exact DECIMAL(38,10) (the engine's
     determinism contract — order-independent and reproducible at any
     scale)."""
-    e = load_table(spark, d, "events")
+    return cohort_ltv_curve(load_table(spark, d, "events"))
+
+
+def cohort_ltv_curve(e):
+    """q_cohort_ltv's transform on an events frame — shared by the
+    batch query and its streaming foreachBatch twin."""
     first_touch = e.groupBy("user_id").agg(
         F.date_trunc("month", F.min("ts")).alias("cohort")
     )
@@ -317,7 +322,12 @@ def q_seasonality(spark: SparkSession, d: str):
 
     Dialect note (ALIGNMENT.md): Spark dayofweek and DuckDB dayofweek
     differ by one (Sunday=1 vs Sunday=0) — Spark side subtracts 1."""
-    e = load_table(spark, d, "events")
+    return seasonality_profile(load_table(spark, d, "events"))
+
+
+def seasonality_profile(e):
+    """q_seasonality's transform on an events frame — shared by the
+    batch query and its streaming foreachBatch twin."""
     return (
         e.groupBy(
             (F.dayofweek("ts") - 1).cast("int").alias("dow"),
@@ -365,7 +375,12 @@ def q_audience_overlap(spark: SparkSession, d: str):
     ≤|types| rows per user, so join output is ≤|types|²/2 per user —
     never quadratic in users. Pair counts and the |types|-row size
     table then join broadcast-side."""
-    e = load_table(spark, d, "events")
+    return audience_overlap_report(load_table(spark, d, "events"))
+
+
+def audience_overlap_report(e):
+    """q_audience_overlap's transform on an events frame — shared by
+    the batch query and its streaming foreachBatch twin."""
     ut = e.select("user_id", "event_type").distinct()
     sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = ut.select("user_id", F.col("event_type").alias("type_a"))
@@ -437,7 +452,12 @@ def q_changepoint(spark: SparkSession, d: str):
     combined aggregation (exact-decimal sums); the mean is a 1-row
     broadcast and the running CUSUM window runs over days, not events.
     Top-5 via TakeOrderedAndProject."""
-    e = load_table(spark, d, "events")
+    return changepoint_report(load_table(spark, d, "events"))
+
+
+def changepoint_report(e):
+    """q_changepoint's transform on an events frame — shared by the
+    batch query and its streaming foreachBatch twin."""
     daily = e.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(dsum("value").alias("x"))
@@ -512,7 +532,12 @@ def q_ab_test(spark: SparkSession, d: str):
     One map-side-combined aggregation to a 2-row arm table, then pure
     scalar arithmetic; the statistic rounds at 6 dp (ALIGNMENT.md
     transcendental rule for AVG/VAR_POP)."""
-    e = load_table(spark, d, "events")
+    return ab_test_report(load_table(spark, d, "events"))
+
+
+def ab_test_report(e):
+    """q_ab_test's transform on an events frame — shared by the batch
+    query and its streaming foreachBatch twin."""
     arm = (
         F.conv(
             F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10

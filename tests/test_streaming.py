@@ -821,6 +821,12 @@ def test_rate_source_generated_stream(spark, tmp_path):
         ("q_robust_scale", "robust_scale_report"),
         ("q_burstiness", "burstiness_report"),
         ("q_mann_whitney", "mann_whitney_stat"),
+        ("q_changepoint", "changepoint_report"),
+        ("q_seasonality", "seasonality_profile"),
+        ("q_cohort_ltv", "cohort_ltv_curve"),
+        ("q_ab_test", "ab_test_report"),
+        ("q_audience_overlap", "audience_overlap_report"),
+        ("q_acf", "acf_profile"),
     ],
 )
 def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, transform_name):

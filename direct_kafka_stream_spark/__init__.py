@@ -72,6 +72,8 @@ from direct_kafka_stream_spark.operators import analytics26  # noqa: F401
 from direct_kafka_stream_spark.operators import analytics27  # noqa: F401
 from direct_kafka_stream_spark.operators import analytics28  # noqa: F401
 from direct_kafka_stream_spark.operators import analytics29  # noqa: F401
+from direct_kafka_stream_spark.operators import analytics30  # noqa: F401
+from direct_kafka_stream_spark.operators import analytics31  # noqa: F401
 
 __all__ = [
     "get_session",

@@ -148,7 +148,12 @@ def q_cuped(spark: SparkSession, d: str):
     rounded broadcasts, X/Y exact 4 dp sums), then a 2-row arm rollup.
     Float aggregates (avg/var_pop/covar_pop) follow q_ab_test's 6 dp
     rounding contract."""
-    e = load_table(spark, d, "events")
+    return cuped_report(load_table(spark, d, "events"))
+
+
+def cuped_report(e):
+    """q_cuped's transform on an events frame — shared by the batch
+    query and its streaming foreachBatch twin."""
     day_par = F.dayofmonth("ts") % 2
     per_user = e.groupBy("user_id").agg(
         dsum(F.when(day_par == 0, F.col("value")).otherwise(0.0)).alias("x"),
@@ -270,7 +275,12 @@ def q_sprt(spark: SparkSession, d: str):
     boundaries are Python-computed literals shared with the oracle, so
     the LLR arithmetic (int×literal products summed left-to-right) is
     bit-exact on both engines."""
-    e = load_table(spark, d, "events")
+    return sprt_table(load_table(spark, d, "events"))
+
+
+def sprt_table(e):
+    """q_sprt's transform on an events frame — shared by the batch
+    query and its streaming foreachBatch twin."""
     daily = e.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
@@ -336,7 +346,12 @@ def q_mde_power(spark: SparkSession, d: str):
     One map-side-combined aggregation to a |types|-row table; the
     normal quantiles are shared literals, and all arithmetic past the
     6 dp-rounded moments is deterministic scalar math."""
-    e = load_table(spark, d, "events")
+    return mde_power_table(load_table(spark, d, "events"))
+
+
+def mde_power_table(e):
+    """q_mde_power's transform on an events frame — shared by the
+    batch query and its streaming foreachBatch twin."""
     t = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("value"), 6).alias("m"),
@@ -711,8 +726,15 @@ def q_qq_plot(spark: SparkSession, d: str):
     each quantile is a min over the qualifying tail. Φ⁻¹ values are
     shared 6 dp literals; μ/σ follow the 6 dp float-aggregate
     contract."""
-    e = load_table(spark, d, "events")
-    spark_df = spark.createDataFrame(list(_QQ_POINTS), "p double, z double")
+    return qq_table(load_table(spark, d, "events"))
+
+
+def qq_table(e):
+    """q_qq_plot's transform on an events frame — shared by the batch
+    query and its streaming foreachBatch twin."""
+    spark_df = e.sparkSession.createDataFrame(
+        list(_QQ_POINTS), "p double, z double"
+    )
     vc = e.groupBy(F.col("value").alias("v")).agg(F.count(F.lit(1)).alias("c"))
     wc = (
         Window.partitionBy(bounded_window_key("v"))

@@ -619,3 +619,50 @@ def test_naive_bayes_weight_grid_broadcasts(spark):
     assert plan.count("BroadcastHashJoin") + plan.count(
         "BroadcastNestedLoopJoin"
     ) >= 3
+
+
+def test_auc_pr_aggregates_scores_before_sweep(spark):
+    """The AUC sweep must run over the DISTINCT-score table (a
+    HashAggregate precedes every Window) — ranking raw per-doc rows
+    would make the cumulative windows corpus-sized."""
+    df = QUERIES["q_auc_pr"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert plan.index("HashAggregate") < plan.index("Window")
+    assert "CartesianProduct" not in plan
+
+
+def test_mix_token_budget_windows_by_source(spark):
+    """The budget-fill cumulative window must partition by source —
+    the only exchange of doc-sized rows is source-keyed."""
+    df = QUERIES["q_mix_token_budget"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "hashpartitioning(source" in plan
+
+
+def test_embed_diversity_never_joins_pairs(spark):
+    """The closed-form identity must keep the plan pair-free: no
+    self-join of the embeddings table (the only join is the
+    labels-sized rollup merge)."""
+    df = QUERIES["q_embed_diversity"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_silhouette_centroids_broadcast(spark):
+    """The labels x d centroid grid must reach the per-vector scoring
+    as a broadcast (10-row table), never a shuffle join of the
+    embedding corpus."""
+    df = QUERIES["q_silhouette_approx"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_permutation_test_explodes_then_combines(spark):
+    """The replicate fan-out must be an in-row explode (Generate) with
+    a map-side-combinable aggregate — never a shuffle of the ×64
+    expanded rows keyed on anything data-sized."""
+    df = QUERIES["q_permutation_test"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan

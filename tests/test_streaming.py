@@ -827,6 +827,14 @@ def test_rate_source_generated_stream(spark, tmp_path):
         ("q_ab_test", "ab_test_report"),
         ("q_audience_overlap", "audience_overlap_report"),
         ("q_acf", "acf_profile"),
+        ("q_cuped", "cuped_report"),
+        ("q_sprt", "sprt_table"),
+        ("q_mde_power", "mde_power_table"),
+        ("q_qq_plot", "qq_table"),
+        ("q_wilson_ci", "wilson_ci_table"),
+        ("q_cochran_armitage", "cochran_armitage_stat"),
+        ("q_mcnemar", "mcnemar_cells"),
+        ("q_nelson_aalen", "nelson_aalen_curve"),
     ],
 )
 def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, transform_name):
@@ -849,6 +857,8 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
         analytics25,
         analytics26,
         analytics28,
+        analytics30,
+        analytics32,
         events_analytics,
         retrieval,
     )
@@ -857,7 +867,8 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
         t
         for m in (events_analytics, analytics4, analytics5, analytics7,
                   analytics8, analytics21, analytics22, analytics25,
-                  analytics26, analytics28, retrieval)
+                  analytics26, analytics28, analytics30, analytics32,
+                  retrieval)
         if (t := getattr(m, transform_name, None)) is not None
     )
     expected = sorted(
@@ -869,7 +880,7 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
 
     def process(batch_df, batch_id):
         batch_df.select(
-            "user_id", "event_id", "event_type", "ts", "value"
+            "user_id", "event_id", "event_type", "ts", "value", "props"
         ).write.mode("append").parquet(stage)
         transform(spark.read.parquet(stage)).write.mode(
             "overwrite"

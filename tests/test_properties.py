@@ -261,3 +261,88 @@ def test_pca_hilo_reconstruction_is_exact(pairs):
         )
     )
     assert g == ref
+
+
+@given(
+    data=st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-(10**6), max_value=10**6),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_settings
+def test_bounded_window_key_never_folds(spark, data):
+    """exprs.bounded_window_key must survive optimization for ANY
+    input type and nullability — the partitionSpec stays non-empty in
+    the OPTIMIZED plan (the round-6 regression class: integer x*0 was
+    constant-folded for non-nullable inputs, silently dropping the
+    spec). Exercised over nullable ints plus casts to string/double/
+    date, and over the provably-non-nullable coalesce form."""
+    from direct_kafka_stream_spark.exprs import bounded_window_key
+    from direct_kafka_stream_spark.plans.inspect import unpartitioned_windows
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame([(v,) for v in data], "v long")
+    variants = [
+        F.col("v"),
+        F.col("v").cast("string"),
+        F.col("v").cast("double"),
+        F.coalesce(F.col("v"), F.lit(0)),  # non-nullable int
+        F.date_add(F.to_date(F.lit("2024-01-01")), F.pmod("v", F.lit(1000)).cast("int")),  # DATE
+    ]
+    for expr in variants:
+        w = Window.partitionBy(bounded_window_key(expr)).orderBy("v")
+        plan = (
+            df.select("v", F.row_number().over(w).alias("rn"))
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert not unpartitioned_windows(plan), plan
+        # and the key really is the constant 0 on every row, so the
+        # intended one-partition plan is preserved
+        got = (
+            df.select(bounded_window_key(expr).alias("k"))
+            .distinct()
+            .collect()
+        )
+        assert [r.k for r in got] == [0]
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@_settings
+def test_grid_sum_matches_duckdb_exactly(spark, vals):
+    """The 1e-9 floor-grid decimal sum (analytics30._grid_sum) must be
+    bit-identical between Spark and DuckDB for any double inputs in
+    the cast-safe range — the order-free sum contract the round-6
+    statistics rely on (docs/ALIGNMENT.md DOUBLE→DECIMAL rule)."""
+    import duckdb
+
+    from direct_kafka_stream_spark.operators.analytics30 import (
+        _grid_sum,
+        _grid_sum_sql,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.agg(_grid_sum(F.col("v")).cast("double").alias("s")).collect()[0].s
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    exp = con.execute(
+        f"SELECT CAST({_grid_sum_sql('v')} AS DOUBLE) FROM t"
+    ).fetchone()[0]
+    assert got == exp, (got, exp, vals)

@@ -328,9 +328,9 @@ def sprt_table(e):
         FROM events GROUP BY event_type
     )
     SELECT event_type, n, CAST(n // 2 AS BIGINT) AS n_per_arm, m AS mean_value,
-           round(({_Z_ALPHA} + {_Z_BETA}) * sqrt(2 * v / (n // 2)), 6)
+           round(({_Z_ALPHA} + {_Z_BETA}) * sqrt(2 * v / NULLIF(n // 2, 0)), 6)
                AS mde_abs,
-           round(({_Z_ALPHA} + {_Z_BETA}) * sqrt(2 * v / (n // 2))
+           round(({_Z_ALPHA} + {_Z_BETA}) * sqrt(2 * v / NULLIF(n // 2, 0))
                  / NULLIF(m, 0.0), 6) AS mde_rel
     FROM t ORDER BY event_type
     """,
@@ -357,8 +357,12 @@ def mde_power_table(e):
         F.round(F.avg("value"), 6).alias("m"),
         F.round(F.var_pop("value"), 6).alias("v"),
     )
+    # NULLIF: a 1-event type has an empty arm — the MDE is undefined
+    # (NULL) identically on both engines, never an ANSI 0/0 abort
     n_arm = F.floor(F.col("n") / 2)
-    mde = (_Z_ALPHA + _Z_BETA) * F.sqrt(2 * F.col("v") / n_arm)
+    mde = (_Z_ALPHA + _Z_BETA) * F.sqrt(
+        2 * F.col("v") / F.nullif(n_arm, F.lit(0))
+    )
     return t.select(
         "event_type",
         "n",
@@ -387,7 +391,7 @@ _PERM_B = "purchase"
     ),
     sizes AS (
         SELECT CAST(COUNT(*) FILTER (WHERE event_type = '{_PERM_B}')
-                    AS DOUBLE) / COUNT(*) AS pb,
+                    AS DOUBLE) / NULLIF(COUNT(*), 0) AS pb,
                {dsum_sql(f"CASE WHEN event_type = '{_PERM_B}'"
                          " THEN value ELSE 0 END")} AS sb,
                {dsum_sql(f"CASE WHEN event_type = '{_PERM_A}'"
@@ -396,7 +400,8 @@ _PERM_B = "purchase"
                COUNT(*) FILTER (WHERE event_type = '{_PERM_A}') AS na
         FROM rows_
     ),
-    obs AS (SELECT sb / nb - sa / na AS diff_obs FROM sizes),
+    obs AS (SELECT sb / NULLIF(nb, 0) - sa / NULLIF(na, 0) AS diff_obs
+            FROM sizes),
     reps AS (
         SELECT r.r, rw.value,
                CASE WHEN {u01_sql("concat(CAST(rw.event_id AS VARCHAR), ':', CAST(r.r AS VARCHAR))")}
@@ -446,10 +451,12 @@ def q_permutation_test(spark: SparkSession, d: str):
     e = load_table(spark, d, "events").filter(
         F.col("event_type").isin(_PERM_A, _PERM_B)
     ).select("event_id", "event_type", "value")
+    # NULLIF guards: an empty or one-sided slice yields NULL stats on
+    # both engines, never an ANSI 0/0 abort
     sizes = e.agg(
         (
             F.count(F.when(F.col("event_type") == _PERM_B, 1)).cast("double")
-            / F.count(F.lit(1))
+            / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0))
         ).alias("pb"),
         dsum(
             F.when(F.col("event_type") == _PERM_B, F.col("value")).otherwise(0.0)
@@ -488,9 +495,10 @@ def q_permutation_test(spark: SparkSession, d: str):
             )
             .otherwise(0)
             .alias("grp"),
-            (F.col("sb") / F.col("nb") - F.col("sa") / F.col("na")).alias(
-                "diff_obs"
-            ),
+            (
+                F.col("sb") / F.nullif(F.col("nb").cast("double"), F.lit(0.0))
+                - F.col("sa") / F.nullif(F.col("na").cast("double"), F.lit(0.0))
+            ).alias("diff_obs"),
         )
     )
     rep_stats = (

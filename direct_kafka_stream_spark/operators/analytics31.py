@@ -204,7 +204,7 @@ def q_kcenter_coreset(spark: SparkSession, d: str):
             ),
             6,
         )
-        best = (
+        best_rows = (
             e.filter(~F.col("vec_id").isin(ids))
             .crossJoin(F.broadcast(cent))
             .select("vec_id", d2.alias("d2"))
@@ -212,8 +212,12 @@ def q_kcenter_coreset(spark: SparkSession, d: str):
             .agg(F.min("d2").alias("mind"))
             .orderBy(F.col("mind").desc(), "vec_id")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not best_rows:  # fewer points than k (or empty table):
+            break  # the selection is complete — matches the oracle's
+            # empty m{s} CTE, whose pick{s} contributes no row
+        best = best_rows[0]
         centers.append((step, best.vec_id, float(best.mind)))
     return spark.createDataFrame(
         centers, "step int, vec_id bigint, sel_d2 double"

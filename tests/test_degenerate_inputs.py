@@ -33,6 +33,23 @@ _FORMERLY_CRASHING = [
     ("q_mann_whitney", ("z",)),
     ("q_welch_ttest", ("t", "df")),
     ("q_spearman", ("rho",)),
+    # round-6 additions: all divisions NULLIF-guarded at birth (never
+    # crashed) — listed here so the constant fixture keeps pinning them
+    ("q_cuped", ()),
+    ("q_mde_power", ()),
+    ("q_permutation_test", ()),
+    ("q_durbin_watson", ()),
+    ("q_qq_plot", ()),
+    ("q_auc_pr", ()),
+    ("q_ece", ()),
+    ("q_lift_gain", ()),
+    ("q_wilson_ci", ()),
+    ("q_cochran_armitage", ()),
+    ("q_mcnemar", ()),
+    ("q_nelson_aalen", ()),
+    ("q_silhouette_approx", ()),
+    ("q_embed_diversity", ()),
+    ("q_kcenter_coreset", ()),
 ]
 
 

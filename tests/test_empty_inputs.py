@@ -197,6 +197,27 @@ _REPRESENTATIVE = [
     "q_burstiness",       # daily counts over zero days
     "q_rake_keywords",    # phrase split over no rows
     "q_logistic_step",    # Newton step with zero moments
+    # round-6 additions
+    "q_cuped",            # pooled theta over zero users
+    "q_sprt",             # LLR prefix over zero days
+    "q_mde_power",        # per-type moments over zero types
+    "q_permutation_test", # replicate explode over zero rows
+    "q_durbin_watson",    # OLS fit from zero days
+    "q_qq_plot",          # quantile ranks against n = 0
+    "q_auc_pr",           # score sweep over zero thresholds
+    "q_ece",              # calibration bins over zero docs
+    "q_mix_token_budget", # budget from a NULL corpus total
+    "q_kcenter_coreset",  # selection loop over zero vectors
+    "q_embed_diversity",  # per-label moments over zero vectors
+    "q_silhouette_approx",# centroid grid over zero labels
+    "q_domain_stats",     # scorecard over zero sources
+    "q_cv_folds",         # folds over zero docs
+    "q_lift_gain",        # deciles over zero scores
+    "q_wilson_ci",        # intervals over zero groups
+    "q_cochran_armitage", # trend over zero dose groups
+    "q_mcnemar",          # paired cells over zero users
+    "q_k_anonymity",      # census over zero classes
+    "q_nelson_aalen",     # hazard over zero durations
 ]
 
 
@@ -378,5 +399,30 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
     elif name == "q_mann_whitney":
         # ungrouped rank rollup over empty: one row, all NULL (ANSI)
         assert [(r.n_a, r.n_b, r.u2, r.z) for r in rows] == [(None,) * 4]
+    elif name == "q_cuped":
+        # pooled theta and both arms undefined: one all-NULL row
+        assert [tuple(r) for r in rows] == [(None,) * 7]
+    elif name == "q_permutation_test":
+        # zero replicates survive the non-empty-group filter; the
+        # add-one p-value is exactly 1 (1+0)/(0+1)
+        assert [(r.obs_diff, r.n_reps, r.n_extreme, r.p_value)
+                for r in rows] == [(None, 0, 0, 1.0)]
+    elif name == "q_durbin_watson":
+        assert [tuple(r) for r in rows] == [(None,) * 4]
+    elif name in ("q_auc_pr", "q_ece"):
+        # zero thresholds / bins: zero count, undefined metrics
+        assert [tuple(r) for r in rows] == [(0, None, None)]
+    elif name == "q_kcenter_coreset":
+        # the synthetic seed row survives (matching the oracle's
+        # VALUES CTE); no further center can be selected
+        assert [(r.step, r.vec_id, r.sel_d2) for r in rows] == [(0, 0, None)]
+    elif name == "q_cochran_armitage":
+        assert [tuple(r) for r in rows] == [(None,) * 3]
+    elif name == "q_mcnemar":
+        # all four cells zero; chi2 on zero discordant pairs undefined
+        assert [tuple(r) for r in rows] == [(0, 0, 0, 0, None)]
+    elif name == "q_k_anonymity":
+        # zero classes: k and the violation fraction undefined
+        assert [tuple(r) for r in rows] == [(0, None, None, 0, None)]
     else:
         assert rows == []

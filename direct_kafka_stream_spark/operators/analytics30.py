@@ -913,8 +913,8 @@ def _ece_oracle() -> str:
     tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM sl)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
            round(CAST({_grid_sum_sql(
-               "abs(ssum / n - pos / n) * n", 6)} AS DOUBLE)
-                 / MAX(t.nn), 6) AS ece,
+               "abs(ssum / n - pos / n) * (n / t.nn)", 9)} AS DOUBLE),
+               6) AS ece,
            round(MAX(abs(ssum / n - pos / n)), 6) AS max_gap
     FROM bins CROSS JOIN tot t
     """
@@ -930,8 +930,10 @@ def q_ece(spark: SparkSession, d: str):
 
     One scoring pass, a 2-value range broadcast, a 10-row rollup.
     Per-bin confidence is an exact decimal sum of 6 dp scores over an
-    exact count, so every per-bin term is bit-identical across engines;
-    the weighted sum runs on the 1e-6 floor grid."""
+    exact count, so every per-bin term is bit-identical across
+    engines; the weighted terms are gap·(n/N) ≤ 1 — inside the
+    floor-grid contract's proven |term| ≤ 1e4 domain at ANY corpus
+    size (ALIGNMENT.md) — summed on the 1e-9 grid."""
     from direct_kafka_stream_spark.operators.analytics11 import _scored_labeled
 
     sl = _scored_labeled(spark, d)
@@ -955,7 +957,7 @@ def q_ece(spark: SparkSession, d: str):
     return bins.crossJoin(F.broadcast(tot)).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bins"),
         F.round(
-            _grid_sum(gap * F.col("n"), 6).cast("double") / F.max("nn"), 6
+            _grid_sum(gap * (F.col("n") / F.col("nn")), 9).cast("double"), 6
         ).alias("ece"),
         F.round(F.max(gap), 6).alias("max_gap"),
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
 
-from direct_kafka_stream_spark.exprs import dsum, dsum_sql
+from direct_kafka_stream_spark.exprs import davg_sql, dsum, dsum_sql
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -719,3 +719,38 @@ def q_tpch_q22(spark: SparkSession, d: str):
     load_table(spark, d, "customer").createOrReplaceTempView("customer")
     load_table(spark, d, "orders").createOrReplaceTempView("orders")
     return spark.sql(_Q22_SQL)
+
+
+_Q1_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
+               AS sum_charge,
+           ROUND({davg_sql('l_quantity')}, 6) AS avg_qty,
+           ROUND({davg_sql('l_extendedprice')}, 6) AS avg_price,
+           ROUND({davg_sql('l_discount')}, 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q_tpch_q1", oracle=_Q1_SQL, tags=("tpch", "agg"))
+def q_tpch_q1(spark: SparkSession, d: str):
+    """TPC-H Q1 (pricing summary report) — completes the 22-query
+    suite. The canonical scan→partial-agg→final-agg: the shipdate
+    predicate pushes into the parquet scan (row-group min/max pruning
+    at scale), the map-side combine collapses each input partition to
+    at most 6 (returnflag, linestatus) rows, so the exchange carries
+    ~6 rows per partition regardless of fact size — the textbook
+    aggregate that survives 100 TB untouched. Money sums are
+    decimal-exact (``dsum``); averages divide the exact decimal sum by
+    the group count and round to 6 dp with identical expression
+    structure on both engines. Same SQL string runs on Spark and the
+    DuckDB oracle. Reference anchor: the aggregate-over-stream hook at
+    KDS:43-51."""
+    load_table(spark, d, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q1_SQL)

@@ -264,3 +264,62 @@ def ivm_apply_delta(view: DataFrame, cdc: DataFrame) -> DataFrame:
         )
     )
     return merged.filter(F.col("n") != 0)
+
+
+IVM_JOIN_VIEW_SCHEMA = "segment string, n bigint, rev decimal(38,10)"
+
+
+def ivm_join_apply_delta(
+    view: DataFrame,
+    r_acc: DataFrame,
+    s_acc: DataFrame,
+    d_r: DataFrame,
+    d_s: DataFrame,
+) -> DataFrame:
+    """Apply one micro-batch of inserts to BOTH sides of a maintained
+    join view — q_ivm_join's bilinear rule (operators/analytics33.py)
+    lifted to the foreachBatch sink: with R_acc/S_acc the accumulated
+    sides BEFORE this batch and ΔR/ΔS the batch's new rows,
+
+        ΔV = ΔR⋈S_acc ∪ R_acc⋈ΔS ∪ ΔR⋈ΔS
+
+    is aggregated per segment and merged into the per-segment
+    (n, rev) view — the refresh touches the delta joins only, never
+    R_acc⋈S_acc. ``view`` follows IVM_JOIN_VIEW_SCHEMA with ``rev``
+    UNROUNDED (round only on read); ``d_r``/``r_acc`` carry
+    (custkey, price), ``d_s``/``s_acc`` carry (custkey, segment).
+    Scale shape: every join in ΔV is delta-sized on at least one side
+    (broadcast it); the merge is a segments-sized full-outer join."""
+
+    def seg_rows(r: DataFrame, s: DataFrame) -> DataFrame:
+        return r.join(s, "custkey").select("segment", "price")
+
+    dv = (
+        seg_rows(d_r, s_acc)
+        .unionAll(seg_rows(r_acc, d_s))
+        .unionAll(seg_rows(d_r, d_s))
+    )
+    delta = dv.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dn"),
+        F.sum(F.col("price").cast(DEC)).cast(DEC).alias("drev"),
+    )
+    zero = F.lit(0).cast(DEC)
+    merged = (
+        view.alias("v")
+        .join(
+            delta.alias("d"), F.col("v.segment") == F.col("d.segment"), "full_outer"
+        )
+        .select(
+            F.coalesce(F.col("v.segment"), F.col("d.segment")).alias("segment"),
+            (
+                F.coalesce(F.col("v.n"), F.lit(0))
+                + F.coalesce(F.col("d.dn"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n"),
+            (F.coalesce(F.col("v.rev"), zero) + F.coalesce(F.col("d.drev"), zero))
+            .cast(DEC)
+            .alias("rev"),
+        )
+    )
+    return merged.filter(F.col("n") != 0)

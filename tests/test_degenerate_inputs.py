@@ -50,6 +50,13 @@ _FORMERLY_CRASHING = [
     ("q_silhouette_approx", ()),
     ("q_embed_diversity", ()),
     ("q_kcenter_coreset", ()),
+    # all-tied values: the tie-correction denominator 1 - Σ(t³-t)/(N³-N)
+    # is exactly 0, so the corrected statistic must degrade to NULL
+    ("q_kruskal_wallis", ("h_corrected",)),
+    ("q_brier", ()),
+    ("q_join_bloom", ()),
+    ("q_ivm_join", ()),
+    ("q_l_diversity", ()),
 ]
 
 

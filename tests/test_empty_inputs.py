@@ -218,6 +218,12 @@ _REPRESENTATIVE = [
     "q_mcnemar",          # paired cells over zero users
     "q_k_anonymity",      # census over zero classes
     "q_nelson_aalen",     # hazard over zero durations
+    "q_join_bloom",       # bloom built from an empty dim (empty map)
+    "q_ivm_join",         # bilinear delta over four empty sides
+    "q_kruskal_wallis",   # rank stitch + N(N+1) ratios over zero rows
+    "q_brier",            # decomposition with NULL global means
+    "q_l_diversity",      # census over zero QI classes
+    "q_tpch_q1",          # grouped decimal aggregate over zero lines
 ]
 
 
@@ -424,5 +430,15 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
     elif name == "q_k_anonymity":
         # zero classes: k and the violation fraction undefined
         assert [tuple(r) for r in rows] == [(0, None, None, 0, None)]
+    elif name == "q_l_diversity":
+        # same contract as q_k_anonymity's census rollup
+        assert [tuple(r) for r in rows] == [(0, None, None, 0, None)]
+    elif name == "q_kruskal_wallis":
+        # zero groups: df = k-1 = -1 (consistent on both engines),
+        # every rank statistic undefined
+        assert [tuple(r) for r in rows] == [(-1, None, None, None)]
+    elif name == "q_brier":
+        # zero bins: zero count, every decomposition term undefined
+        assert [tuple(r) for r in rows] == [(0, None, None, None, None, None)]
     else:
         assert rows == []

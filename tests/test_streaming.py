@@ -1152,3 +1152,148 @@ def test_ivm_delta_maintains_live_aggregate(spark, tmp_path):
         "status", "n", F.round("rev", 4).cast("double").alias("revenue")
     )
     assert sorted(map(tuple, final.collect())) == batch_expected
+
+
+def test_ivm_join_maintains_live_join_view(spark, tmp_path):
+    """q_ivm_join's LIVE twin: ivm_join_apply_delta in a foreachBatch
+    sink maintains the per-segment (n, revenue) JOIN view across 3
+    micro-batches of two-sided inserts (base snapshots, then the R/S
+    deltas split over two batches — so every batch exercises ΔR⋈S_acc,
+    R_acc⋈ΔS and ΔR⋈ΔS), the view after EVERY batch equals a
+    from-scratch join recompute over the rows applied so far, and the
+    final view equals the batch analog q_ivm_join hash-exactly."""
+    import os
+    import time as _time
+
+    from direct_kafka_stream_spark import QUERIES
+    from direct_kafka_stream_spark.operators.analytics33 import (
+        _IVM_R_OLD,
+        _IVM_S_OLD,
+    )
+    from direct_kafka_stream_spark.streaming.transforms import (
+        IVM_JOIN_VIEW_SCHEMA,
+        ivm_join_apply_delta,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.expr(_IVM_R_OLD).alias("is_old"),
+        (F.col("o_orderkey") % 2 == 0).alias("even"),
+    )
+    c = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(_IVM_S_OLD).alias("is_old"),
+        (F.col("c_custkey") % 2 == 0).alias("even"),
+    )
+
+    def pack(df, side):
+        return df.select(
+            F.lit(side).alias("side"),
+            "custkey",
+            (F.col("price") if side == "R" else F.lit(None).cast("double")).alias(
+                "price"
+            ),
+            (F.col("segment") if side == "S" else F.lit(None).cast("string")).alias(
+                "segment"
+            ),
+        ).toPandas()
+
+    b1 = pd.concat([pack(o.filter("is_old"), "R"), pack(c.filter("is_old"), "S")])
+    b2 = pd.concat(
+        [
+            pack(o.filter(~F.col("is_old") & F.col("even")), "R"),
+            pack(c.filter(~F.col("is_old") & F.col("even")), "S"),
+        ]
+    )
+    b3 = pd.concat(
+        [
+            pack(o.filter(~F.col("is_old") & ~F.col("even")), "R"),
+            pack(c.filter(~F.col("is_old") & ~F.col("even")), "S"),
+        ]
+    )
+    # every batch after the base carries BOTH sides so all three
+    # bilinear terms fire
+    assert (b2["side"] == "R").any() and (b2["side"] == "S").any()
+    assert (b3["side"] == "R").any() and (b3["side"] == "S").any()
+
+    src = tmp_path / "ivmj_src"
+    src.mkdir()
+    now = _time.time()
+    for i, b in enumerate((b1, b2, b3), start=1):
+        p = src / f"b{i}.parquet"
+        b.to_parquet(p)
+        os.utime(p, (now - (4 - i) * 60, now - (4 - i) * 60))
+
+    view_dir = str(tmp_path / "ivmj_view")
+    r_dir = str(tmp_path / "ivmj_r")
+    s_dir = str(tmp_path / "ivmj_s")
+    history: list[tuple[int, list[tuple]]] = []
+
+    def read_or_empty(path, schema):
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return spark.createDataFrame([], schema)
+
+    def process(batch_df, batch_id):
+        d_r = batch_df.filter(F.col("side") == "R").select("custkey", "price")
+        d_s = batch_df.filter(F.col("side") == "S").select("custkey", "segment")
+        view = read_or_empty(view_dir, IVM_JOIN_VIEW_SCHEMA)
+        r_acc = read_or_empty(r_dir, "custkey long, price double")
+        s_acc = read_or_empty(s_dir, "custkey long, segment string")
+        merged = ivm_join_apply_delta(view, r_acc, s_acc, d_r, d_s)
+        rows = merged.collect()  # segments-sized
+        spark.createDataFrame(rows, IVM_JOIN_VIEW_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(view_dir)
+        d_r.write.mode("append").parquet(r_dir)
+        d_s.write.mode("append").parquet(s_dir)
+        history.append(
+            (batch_id, sorted((r.segment, r.n, r.rev) for r in rows))
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "side string, custkey long, price double, segment string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivmj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    assert len(history) == 3
+
+    # after EVERY batch: view == from-scratch join recompute over the
+    # rows applied so far
+    for batch_id, got in sorted(history):
+        frames = pd.concat([b1, b2, b3][: batch_id + 1])
+        r_pd = frames[frames["side"] == "R"][["custkey", "price"]]
+        s_pd = frames[frames["side"] == "S"][["custkey", "segment"]]
+        joined = r_pd.merge(s_pd, on="custkey")
+        net = (
+            joined.groupby("segment", as_index=False)
+            .agg(n=("price", "size"), rev=("price", "sum"))
+            .sort_values("segment")
+        )
+        expected = [(r.segment, int(r.n), float(r.rev)) for r in net.itertuples()]
+        assert [(s, n) for s, n, _ in got] == [(s, n) for s, n, _ in expected], (
+            f"batch {batch_id} keys/counts diverged"
+        )
+        for (_, _, rev_got), (_, _, rev_exp) in zip(got, expected):
+            assert abs(float(rev_got) - rev_exp) < 1e-6, f"batch {batch_id} revenue"
+
+    # final view == the batch analog q_ivm_join, hash-exactly
+    batch_expected = sorted(
+        map(tuple, QUERIES["q_ivm_join"].spark(spark, SF_DIR).collect())
+    )
+    final = spark.read.parquet(view_dir).select(
+        "segment", "n", F.round("rev", 4).cast("double").alias("revenue")
+    )
+    assert sorted(map(tuple, final.collect())) == batch_expected

@@ -233,7 +233,13 @@ def q_runs_test(spark: SparkSession, d: str):
     fixed closed-form expression written in the same operation order
     on both engines (sqrt is IEEE-exact), rounded 6dp. Zero-change
     days drop (the standard treatment)."""
-    e = load_table(spark, d, "events")
+    return runs_test_stat(load_table(spark, d, "events"))
+
+
+def runs_test_stat(e):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     daily = e.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(dsum("value").alias("x"))

@@ -59,7 +59,13 @@ def q_ab_proportions(spark: SparkSession, d: str):
     (one exchange); the arm rollup is 2 rows; the z arithmetic is a
     fixed closed form on exact integer counts written in the same
     operation order on both engines."""
-    e = load_table(spark, d, "events")
+    return ab_proportions_stat(load_table(spark, d, "events"))
+
+
+def ab_proportions_stat(e):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     arm = (
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
         .cast("long")

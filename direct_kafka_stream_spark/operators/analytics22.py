@@ -306,7 +306,13 @@ def q_welch_ttest(spark: SparkSession, d: str):
     engines hold bit-identical doubles before the shared t/df formula
     and its 6 dp rounding. Scale shape: two scans' worth of scalar
     aggregation, no shuffle of detail rows at all."""
-    ev = load_table(spark, d, "events")
+    return welch_ttest_stat(load_table(spark, d, "events"))
+
+
+def welch_ttest_stat(ev):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
 
     def moments(etype: str, tag: str):
         return (

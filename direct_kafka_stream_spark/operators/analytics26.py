@@ -74,8 +74,15 @@ def q_anova(spark: SparkSession, d: str):
     contract, the per-group SSB/SSW terms are computed with identical
     operation order on both engines and rounded 9 dp before an exact
     decimal sum, F rounded 6 dp."""
+    return anova_stat(load_table(spark, d, "events"))
+
+
+def anova_stat(events):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     g = (
-        load_table(spark, d, "events")
+        events
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("double").alias("cnt"),

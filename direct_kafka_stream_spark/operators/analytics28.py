@@ -76,7 +76,13 @@ def q_levene(spark: SparkSession, d: str):
     machinery takes over (one map-side-combined aggregation to |types|
     sufficient-statistic rows). Same 9 dp-rounded-term + decimal-sum
     exactness discipline as q_anova."""
-    e = load_table(spark, d, "events")
+    return levene_stat(load_table(spark, d, "events"))
+
+
+def levene_stat(e):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     med = e.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
     )
@@ -163,7 +169,14 @@ def q_cohens_d(spark: SparkSession, d: str):
     One filtered map-side-combined aggregation to two moment rows,
     pivoted to a single row; everything after is scalar arithmetic
     written in identical operation order on both engines."""
-    e = load_table(spark, d, "events").filter(
+    return cohens_d_stat(load_table(spark, d, "events"))
+
+
+def cohens_d_stat(events):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    e = events.filter(
         F.col("event_type").isin(_CD_A, _CD_B)
     )
     g = e.groupBy("event_type").agg(
@@ -256,7 +269,13 @@ def q_cramers_v(spark: SparkSession, d: str):
     sum plus a closed-form correction, never a grid rebuild. One
     grid-keyed aggregate, marginals joined back on the bounded cell
     table, 9 dp-rounded terms, exact decimal sums."""
-    e = load_table(spark, d, "events")
+    return cramers_v_stat(load_table(spark, d, "events"))
+
+
+def cramers_v_stat(e):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     cells = e.groupBy(
         F.col("event_type").alias("t"),
         F.floor(F.col("value") / _CV_BIN).cast("bigint").alias("b"),

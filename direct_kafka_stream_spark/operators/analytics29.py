@@ -129,7 +129,13 @@ def q_bh_fdr(spark: SparkSession, d: str):
     The p-value source is the logistic normal-tail approximation (see
     module doc); the BH step-up itself — p(i)·m/i, reverse cumulative
     min, clamp at 1 — is textbook-exact."""
-    e = load_table(spark, d, "events")
+    return bh_fdr_table(load_table(spark, d, "events"))
+
+
+def bh_fdr_table(e):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     seg = e.select(
         F.get_json_object("props", "$.k").cast("int").alias("seg"), "value"
     )
@@ -274,7 +280,13 @@ def q_fisher_method(spark: SparkSession, d: str):
     second aggregation down to |types| rows. No windows, no shuffles
     beyond the two group-bys. ln terms are 9 dp-rounded and decimal-
     summed (|term| ≤ 20.7, bounded — scale-6 sum stays exact)."""
-    e = load_table(spark, d, "events")
+    return fisher_method_stat(load_table(spark, d, "events"))
+
+
+def fisher_method_stat(e):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     seg = e.select(
         "event_type",
         F.get_json_object("props", "$.k").cast("int").alias("seg"),

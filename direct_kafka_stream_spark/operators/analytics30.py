@@ -448,7 +448,14 @@ def q_permutation_test(spark: SparkSession, d: str):
     2R rows. Means are exact 4 dp decimal sums over exact counts, so
     every replicate diff is bit-identical across engines and the
     extreme-count comparison can never diverge."""
-    e = load_table(spark, d, "events").filter(
+    return permutation_test_stat(load_table(spark, d, "events"))
+
+
+def permutation_test_stat(events):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    e = events.filter(
         F.col("event_type").isin(_PERM_A, _PERM_B)
     ).select("event_id", "event_type", "value")
     # NULLIF guards: an empty or one-sided slice yields NULL stats on

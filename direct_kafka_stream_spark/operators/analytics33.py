@@ -289,7 +289,13 @@ def q_kruskal_wallis(spark: SparkSession, d: str):
     structure), so the statistic is bit-identical before its 6 dp
     rounding. The only windows run over bins-sized frames with
     non-foldable keys."""
-    ev = load_table(spark, d, "events")
+    return kruskal_wallis_stat(load_table(spark, d, "events"))
+
+
+def kruskal_wallis_stat(ev):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     vals = (
         ev.select(
             F.col("value").alias("v"),
@@ -499,7 +505,13 @@ def q_l_diversity(spark: SparkSession, d: str):
     One QI-keyed aggregate with an exact COUNT(DISTINCT) per class
     (Spark plans the standard two-phase expand-distinct — partials
     combine map-side), then a bounded rollup of class sizes."""
-    ev = load_table(spark, d, "events")
+    return l_diversity_census(load_table(spark, d, "events"))
+
+
+def l_diversity_census(ev):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     qi = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(

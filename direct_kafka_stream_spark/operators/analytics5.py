@@ -332,7 +332,13 @@ def q_chi2(spark: SparkSession, d: str):
     the statistic. Everything after the first aggregate operates on
     broadcast-sized tables; the chi2 sum uses the exact-decimal
     contract, rounded to 6dp."""
-    e = load_table(spark, d, "events")
+    return chi2_stat(load_table(spark, d, "events"))
+
+
+def chi2_stat(e):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     bucketed = e.select(
         "event_type",
         F.least(

@@ -835,6 +835,19 @@ def test_rate_source_generated_stream(spark, tmp_path):
         ("q_cochran_armitage", "cochran_armitage_stat"),
         ("q_mcnemar", "mcnemar_cells"),
         ("q_nelson_aalen", "nelson_aalen_curve"),
+        ("q_welch_ttest", "welch_ttest_stat"),
+        ("q_chi2", "chi2_stat"),
+        ("q_anova", "anova_stat"),
+        ("q_levene", "levene_stat"),
+        ("q_cohens_d", "cohens_d_stat"),
+        ("q_cramers_v", "cramers_v_stat"),
+        ("q_runs_test", "runs_test_stat"),
+        ("q_ab_proportions", "ab_proportions_stat"),
+        ("q_bh_fdr", "bh_fdr_table"),
+        ("q_fisher_method", "fisher_method_stat"),
+        ("q_permutation_test", "permutation_test_stat"),
+        ("q_kruskal_wallis", "kruskal_wallis_stat"),
+        ("q_l_diversity", "l_diversity_census"),
     ],
 )
 def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, transform_name):
@@ -852,13 +865,17 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
         analytics5,
         analytics7,
         analytics8,
+        analytics13,
+        analytics16,
         analytics21,
         analytics22,
         analytics25,
         analytics26,
         analytics28,
+        analytics29,
         analytics30,
         analytics32,
+        analytics33,
         events_analytics,
         retrieval,
     )
@@ -866,8 +883,9 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
     transform = next(
         t
         for m in (events_analytics, analytics4, analytics5, analytics7,
-                  analytics8, analytics21, analytics22, analytics25,
-                  analytics26, analytics28, analytics30, analytics32,
+                  analytics8, analytics13, analytics16, analytics21,
+                  analytics22, analytics25, analytics26, analytics28,
+                  analytics29, analytics30, analytics32, analytics33,
                   retrieval)
         if (t := getattr(m, transform_name, None)) is not None
     )

@@ -57,6 +57,10 @@ _FORMERLY_CRASHING = [
     ("q_join_bloom", ()),
     ("q_ivm_join", ()),
     ("q_l_diversity", ()),
+    ("q_shapley_attribution", ()),
+    # constant values: every stratum's sd is 0, the Neyman normalizer
+    # Σ N_h σ_h is 0, so every share must degrade to NULL
+    ("q_neyman_alloc", ("alloc_share", "alloc_n")),
 ]
 
 

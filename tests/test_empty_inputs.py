@@ -224,6 +224,8 @@ _REPRESENTATIVE = [
     "q_brier",            # decomposition with NULL global means
     "q_l_diversity",      # census over zero QI classes
     "q_tpch_q1",          # grouped decimal aggregate over zero lines
+    "q_shapley_attribution",  # coalition algebra over zero users
+    "q_neyman_alloc",     # allocation with a NULL normalizer
 ]
 
 

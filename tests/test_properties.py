@@ -353,3 +353,64 @@ def test_grid_sum_matches_duckdb_exactly(spark, vals):
         f"SELECT CAST({_grid_sum_sql('v')} AS DOUBLE) FROM t"
     ).fetchone()[0]
     assert got == exp, (got, exp, vals)
+
+
+@given(
+    users=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),      # user id
+            st.integers(min_value=0, max_value=15),     # touch mask
+            st.booleans(),                               # converted
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+@_settings
+def test_shapley_efficiency_axiom(spark, users):
+    """Σ_i shapley_i == v(full) − v(∅) (the efficiency axiom) for ANY
+    touch-set/conversion configuration — the identity that makes the
+    bounded coalition algebra in q_shapley_attribution a real Shapley
+    value and not just a weighted diff."""
+    from direct_kafka_stream_spark.operators.analytics34 import (
+        _SH_CHANNELS,
+        shapley_attribution,
+    )
+
+    rows = []
+    for uid, mask, conv in users:
+        touched = False
+        for i, (name, bit) in enumerate(_SH_CHANNELS):
+            if mask & bit:
+                touched = True
+                rows.append((f"e{uid}_{i}", uid, name, 1.0))
+        if conv:
+            rows.append((f"e{uid}_p", uid, "purchase", 1.0))
+        if not touched and not conv:
+            rows.append((f"e{uid}_x", uid, "other", 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id string, user_id long, event_type string, value double"
+    )
+    got = {r.channel: r.shapley for r in shapley_attribution(ev).collect()}
+    # brute-force v(S): conversions whose touch mask fits inside S
+    by_user: dict[int, tuple[int, bool]] = {
+        uid: (mask, conv) for uid, mask, conv in users
+    }
+    def v(s):
+        return sum(
+            1 for mask, conv in by_user.values() if conv and (mask & s) == mask
+        )
+    assert abs(sum(got.values()) - (v(15) - v(0))) < 1e-6
+    # and each credit equals the brute-force Shapley sum
+    import math
+    n = 4
+    for i, (name, bit) in enumerate(_SH_CHANNELS):
+        phi = 0.0
+        for s in range(16):
+            if s & bit:
+                continue
+            pc = bin(s).count("1")
+            w = math.factorial(pc) * math.factorial(n - pc - 1) / math.factorial(n)
+            phi += w * (v(s | bit) - v(s))
+        assert abs(got[name] - phi) < 1e-5, name

@@ -848,6 +848,8 @@ def test_rate_source_generated_stream(spark, tmp_path):
         ("q_permutation_test", "permutation_test_stat"),
         ("q_kruskal_wallis", "kruskal_wallis_stat"),
         ("q_l_diversity", "l_diversity_census"),
+        ("q_shapley_attribution", "shapley_attribution"),
+        ("q_neyman_alloc", "neyman_alloc"),
     ],
 )
 def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, transform_name):
@@ -876,6 +878,7 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
         analytics30,
         analytics32,
         analytics33,
+        analytics34,
         events_analytics,
         retrieval,
     )
@@ -886,7 +889,7 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
                   analytics8, analytics13, analytics16, analytics21,
                   analytics22, analytics25, analytics26, analytics28,
                   analytics29, analytics30, analytics32, analytics33,
-                  retrieval)
+                  analytics34, retrieval)
         if (t := getattr(m, transform_name, None)) is not None
     )
     expected = sorted(

@@ -155,7 +155,13 @@ def q_seasonal_anomaly(spark: SparkSession, d: str):
     means broadcast back; 1-row median/MAD broadcasts). Residuals are
     rounded per-element before the median/MAD (ALIGNMENT: identical
     inputs to the interpolating percentile on both engines)."""
-    e = load_table(spark, d, "events")
+    return seasonal_anomaly_report(load_table(spark, d, "events"))
+
+
+def seasonal_anomaly_report(e):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     daily = e.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(dsum("value").alias("x"))

@@ -391,7 +391,13 @@ def q_dp_laplace(spark: SparkSession, d: str):
     X = −b·sgn(u−½)·ln(1−2|u−½|) is clamped at 1e-12 before the ln so a
     pathological u≈0 draw degrades to a large-but-finite noise instead
     of ±inf (and ln(0) NULL-vs-inf engine divergence)."""
-    e = load_table(spark, d, "events")
+    return dp_laplace_histogram(load_table(spark, d, "events"))
+
+
+def dp_laplace_histogram(e):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     g = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
     c = (u01(F.concat(F.lit("dp:"), F.col("event_type"))) - F.lit(0.5)).alias(
         "c"
@@ -505,7 +511,14 @@ def q_bootstrap_poisson(spark: SparkSession, d: str):
     most replicates draw weight 0 and are dropped) at se=0 on both
     engines rather than relying on engine-specific NULL handling in
     GREATEST."""
-    e = load_table(spark, d, "events").select(
+    return bootstrap_poisson_table(load_table(spark, d, "events"))
+
+
+def bootstrap_poisson_table(events):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    e = events.select(
         "event_type", "event_id", "value"
     )
     rep = e.withColumn(

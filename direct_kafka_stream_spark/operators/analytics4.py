@@ -318,7 +318,13 @@ def q_funnel_latency(spark: SparkSession, d: str):
     fact). Latency is integer seconds on both engines; percentiles
     are exact interpolated (both engines linear-interpolate), rounded
     to 6dp."""
-    e = load_table(spark, d, "events")
+    return funnel_latency_report(load_table(spark, d, "events"))
+
+
+def funnel_latency_report(e):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     s = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")

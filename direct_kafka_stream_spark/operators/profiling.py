@@ -384,7 +384,14 @@ def q_anomaly_mad(spark: SparkSession, d: str):
     fact rows both times so the fact table itself shuffles only for the
     final count. Exact MEDIAN (interpolating) matches DuckDB
     bit-for-bit on doubles."""
-    e = load_table(spark, d, "events").select("event_type", "value")
+    return anomaly_mad_report(load_table(spark, d, "events"))
+
+
+def anomaly_mad_report(events):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    e = events.select("event_type", "value")
     med = e.groupBy("event_type").agg(F.median("value").alias("med"))
     dev = e.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))

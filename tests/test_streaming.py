@@ -850,6 +850,11 @@ def test_rate_source_generated_stream(spark, tmp_path):
         ("q_l_diversity", "l_diversity_census"),
         ("q_shapley_attribution", "shapley_attribution"),
         ("q_neyman_alloc", "neyman_alloc"),
+        ("q_dp_laplace", "dp_laplace_histogram"),
+        ("q_bootstrap_poisson", "bootstrap_poisson_table"),
+        ("q_funnel_latency", "funnel_latency_report"),
+        ("q_seasonal_anomaly", "seasonal_anomaly_report"),
+        ("q_anomaly_mad", "anomaly_mad_report"),
     ],
 )
 def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, transform_name):
@@ -880,6 +885,7 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
         analytics33,
         analytics34,
         events_analytics,
+        profiling,
         retrieval,
     )
 
@@ -889,7 +895,7 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
                   analytics8, analytics13, analytics16, analytics21,
                   analytics22, analytics25, analytics26, analytics28,
                   analytics29, analytics30, analytics32, analytics33,
-                  analytics34, retrieval)
+                  analytics34, profiling, retrieval)
         if (t := getattr(m, transform_name, None)) is not None
     )
     expected = sorted(

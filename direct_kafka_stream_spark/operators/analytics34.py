@@ -1,7 +1,8 @@
 """Round-6 batch 5: Shapley-value channel attribution (the
-cooperative-game credit split over touchpoint coalitions) and Neyman
-optimal stratified-sample allocation — the attribution-modeling and
-survey-design analyses on top of the events surface.
+cooperative-game credit split over touchpoint coalitions), Neyman
+optimal stratified-sample allocation, and TextRank extractive
+summarization (per-document sentence-graph PageRank) — attribution
+modeling, survey design, and unsupervised summarization.
 
 Reference anchor: EXT operators per SURVEY.md §2 (the reference's
 processing hook is KafkaDirectStream.scala:43-51).
@@ -183,3 +184,219 @@ def neyman_alloc(events):
     (tests/test_streaming.py)."""
     events.createOrReplaceTempView("neyman_events_staged")
     return events.sparkSession.sql(_neyman_sql("neyman_events_staged"))
+
+
+# ---------------------------------------------------------------------------
+# q_textrank — per-document extractive summarization (TextRank)
+# ---------------------------------------------------------------------------
+
+_TR_CHUNK = 8  # words per pseudo-sentence
+_TR_ITERS = 5
+_TR_DAMP = "CAST(0.85 AS DOUBLE)"
+_TR_BASE = "CAST(0.15 AS DOUBLE)"
+
+
+def _textrank_oracle() -> str:
+    iters = []
+    prev = "s0"
+    for t in range(1, _TR_ITERS + 1):
+        iters.append(f"""
+    s{t} AS (
+        SELECT z.doc_id, z.c AS node,
+               {_TR_BASE} + {_TR_DAMP} * COALESCE(i.inb, CAST(0 AS DOUBLE))
+                   AS s
+        FROM sz z LEFT JOIN (
+            SELECT n.doc_id, n.dst,
+                   CAST(ROUND(SUM(CAST(n.nw * p.s AS DECIMAL(38,10))), 9)
+                        AS DOUBLE) AS inb
+            FROM nw n JOIN {prev} p
+              ON p.doc_id = n.doc_id AND p.node = n.src
+            GROUP BY n.doc_id, n.dst
+        ) i ON i.doc_id = z.doc_id AND i.dst = z.c
+    )""")
+        prev = f"s{t}"
+    chain = ",".join(iters)
+    return f"""
+    WITH words AS (
+        SELECT doc_id,
+               generate_subscripts(t, 1) - 1 AS pos,
+               unnest(t) AS w
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS t
+              FROM documents)
+    ),
+    cw AS (
+        SELECT DISTINCT doc_id,
+               CAST(floor(pos / {_TR_CHUNK}) AS BIGINT) AS c, w
+        FROM words
+    ),
+    sz AS (SELECT doc_id, c, COUNT(*) AS n FROM cw GROUP BY 1, 2),
+    pr AS (
+        SELECT a.doc_id, a.c AS ca, b.c AS cb, COUNT(*) AS ov
+        FROM cw a JOIN cw b
+          ON a.doc_id = b.doc_id AND a.w = b.w AND a.c < b.c
+        GROUP BY 1, 2, 3
+    ),
+    ew AS (
+        SELECT p.doc_id, p.ca, p.cb,
+               CAST(p.ov AS DOUBLE) / (sa.n + sb.n) AS w
+        FROM pr p
+        JOIN sz sa ON sa.doc_id = p.doc_id AND sa.c = p.ca
+        JOIN sz sb ON sb.doc_id = p.doc_id AND sb.c = p.cb
+    ),
+    ed AS (
+        SELECT doc_id, ca AS src, cb AS dst, w FROM ew
+        UNION ALL
+        SELECT doc_id, cb AS src, ca AS dst, w FROM ew
+    ),
+    wsum AS (
+        SELECT doc_id, src,
+               CAST(ROUND(SUM(CAST(w AS DECIMAL(38,10))), 9) AS DOUBLE) AS ws
+        FROM ed GROUP BY 1, 2
+    ),
+    nw AS (
+        SELECT e.doc_id, e.src, e.dst, e.w / s.ws AS nw
+        FROM ed e JOIN wsum s ON s.doc_id = e.doc_id AND s.src = e.src
+    ),
+    s0 AS (SELECT doc_id, c AS node, CAST(1.0 AS DOUBLE) AS s FROM sz),
+    {chain},
+    ranked AS (
+        SELECT doc_id, node, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY s DESC, node) AS rk
+        FROM s{_TR_ITERS}
+    )
+    SELECT doc_id, CAST(node AS BIGINT) AS chunk, round(s, 6) AS score
+    FROM ranked WHERE rk = 1
+    """
+
+
+@query(
+    "q_textrank",
+    oracle=_textrank_oracle(),
+    tags=("text", "graph", "summarization"),
+)
+def q_textrank(spark: SparkSession, d: str):
+    """TextRank extractive summarization, one top pseudo-sentence per
+    document: each doc's 8-word chunks form a similarity graph (edge
+    weight = shared-distinct-word count / combined vocab size), and
+    five damped power-iteration supersteps (d = 0.85) rank the chunks
+    — PageRank on the sentence graph, the classic unsupervised
+    summarizer, run for EVERY document simultaneously.
+
+    Scale design: all joins and aggregates are doc-keyed, so the graph
+    work partitions by document and the per-doc cost is bounded by
+    (words/8)² with ≤40-chunk docs — no cross-document edges ever
+    exist. Parity through the iterations: every per-node inbound sum
+    (and each node's out-weight normalizer) is an exact-decimal sum
+    rounded at 9 dp, so the float state after each superstep is
+    bit-identical on both engines and the final ranking (score DESC,
+    chunk ASC) can never diverge. The per-doc top-1 window partitions
+    by doc_id — data-parallel, never single-partition."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from direct_kafka_stream_spark.exprs import DEC
+
+    docs = load_table(spark, d, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("pos", "w"),
+    )
+    cw = (
+        words.select(
+            "doc_id",
+            F.floor(F.col("pos") / _TR_CHUNK).cast("bigint").alias("c"),
+            "w",
+        )
+        .distinct()
+        .persist()
+    )
+    sz = cw.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n")).persist()
+    a, b = cw.alias("a"), cw.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.c") < F.col("b.c")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.c").alias("ca"),
+            F.col("b.c").alias("cb"),
+        )
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    sa = sz.select(
+        F.col("doc_id").alias("doc_id"), F.col("c").alias("ca"),
+        F.col("n").alias("na"),
+    )
+    sb = sz.select(
+        F.col("doc_id").alias("doc_id"), F.col("c").alias("cb"),
+        F.col("n").alias("nb"),
+    )
+    ew = (
+        pr.join(sa, ["doc_id", "ca"])
+        .join(sb, ["doc_id", "cb"])
+        .select(
+            "doc_id", "ca", "cb",
+            (F.col("ov").cast("double") / (F.col("na") + F.col("nb"))).alias(
+                "w"
+            ),
+        )
+    )
+    ed = ew.select(
+        "doc_id", F.col("ca").alias("src"), F.col("cb").alias("dst"), "w"
+    ).unionAll(
+        ew.select(
+            "doc_id", F.col("cb").alias("src"), F.col("ca").alias("dst"), "w"
+        )
+    )
+    wsum = ed.groupBy("doc_id", "src").agg(
+        F.round(F.sum(F.col("w").cast(DEC)), 9).cast("double").alias("ws")
+    )
+    nw = (
+        ed.join(wsum, ["doc_id", "src"])
+        .select("doc_id", "src", "dst", (F.col("w") / F.col("ws")).alias("nw"))
+        .persist()
+    )
+    scores = sz.select("doc_id", F.col("c").alias("node"), F.lit(1.0).alias("s"))
+    for _ in range(_TR_ITERS):
+        inb = (
+            nw.join(
+                scores,
+                (nw.doc_id == scores.doc_id) & (nw.src == scores.node),
+            )
+            .groupBy(nw.doc_id, nw.dst)
+            .agg(
+                F.round(F.sum((F.col("nw") * F.col("s")).cast(DEC)), 9)
+                .cast("double")
+                .alias("inb")
+            )
+            .select(
+                nw.doc_id.alias("doc_id"), F.col("dst").alias("node"), "inb"
+            )
+        )
+        scores = (
+            sz.select("doc_id", F.col("c").alias("node"))
+            .join(inb, ["doc_id", "node"], "left")
+            .select(
+                "doc_id",
+                "node",
+                (
+                    F.lit(0.15)
+                    + F.lit(0.85) * F.coalesce(F.col("inb"), F.lit(0.0))
+                ).alias("s"),
+            )
+        )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("s").desc(), F.col("node").asc()
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("node").alias("chunk"), F.round("s", 6).alias("score"))
+    )

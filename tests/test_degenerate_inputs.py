@@ -61,6 +61,7 @@ _FORMERLY_CRASHING = [
     # constant values: every stratum's sd is 0, the Neyman normalizer
     # Σ N_h σ_h is 0, so every share must degrade to NULL
     ("q_neyman_alloc", ("alloc_share", "alloc_n")),
+    ("q_textrank", ()),
 ]
 
 

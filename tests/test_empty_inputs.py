@@ -226,6 +226,7 @@ _REPRESENTATIVE = [
     "q_tpch_q1",          # grouped decimal aggregate over zero lines
     "q_shapley_attribution",  # coalition algebra over zero users
     "q_neyman_alloc",     # allocation with a NULL normalizer
+    "q_textrank",         # graph supersteps over zero documents
 ]
 
 

@@ -400,3 +400,105 @@ def q_textrank(spark: SparkSession, d: str):
         .filter(F.col("rk") == 1)
         .select("doc_id", F.col("node").alias("chunk"), F.round("s", 6).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_holt_linear — Holt's linear-trend smoothing of the purchase series
+# ---------------------------------------------------------------------------
+
+# alpha = beta = 0.5: halving is exact in binary, so the recursion's
+# float state is trivially bit-identical between the pandas UDF and
+# the oracle's recursive CTE (the ops would match for any literal, but
+# 0.5 removes even representation doubt).
+_HOLT_SQL = """
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE)
+                   AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, y,
+               ROW_NUMBER() OVER (ORDER BY day) AS i,
+               COALESCE(LEAD(y) OVER (ORDER BY day) - y,
+                        CAST(0 AS DOUBLE)) AS b1
+        FROM daily
+    ),
+    holt AS (
+        SELECT i, day, y, y AS l, b1 AS b FROM idx WHERE i = 1
+        UNION ALL
+        SELECT x.i, x.day, x.y,
+               0.5 * x.y + 0.5 * (h.l + h.b) AS l,
+               0.5 * ((0.5 * x.y + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b AS b
+        FROM holt h JOIN idx x ON x.i = h.i + 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, y,
+           round(l, 6) AS level, round(b, 6) AS trend
+    FROM holt
+"""
+
+
+@query(
+    "q_holt_linear",
+    oracle=_HOLT_SQL,
+    tags=("timeseries", "forecast", "udf"),
+)
+def q_holt_linear(spark: SparkSession, d: str):
+    """Holt's linear-trend (double exponential) smoothing of the daily
+    purchase-revenue series, α = β = 0.5: level and trend per observed
+    day, initialized the textbook way (l₁ = y₁, b₁ = y₂ − y₁) — the
+    forecasting-side complement of q_ewma's single smoothing.
+
+    A genuinely SEQUENTIAL recursion — each state depends on the
+    previous — so it cannot be a window/prefix expression. The scale
+    design is the reduction order: the 100 TB fact first collapses to
+    the calendar-bounded daily series (one map-side-combined,
+    decimal-exact aggregate — the only data-sized pass), then ONE
+    Arrow batch of ≤ a-few-thousand rows runs the recursion in a
+    grouped-map pandas UDF (SURVEY.md §2.E's stateful exhibit). The
+    oracle replays the identical recurrence as a DuckDB recursive CTE;
+    α = 0.5 keeps every step an exact binary halving, so the float
+    states match bit-for-bit."""
+    return holt_linear(load_table(spark, d, "events"))
+
+
+def holt_linear(events):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from direct_kafka_stream_spark.exprs import dsum
+
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("y"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        if len(pdf) == 0:
+            return pd.DataFrame({"day": [], "y": [], "l": [], "b": []})
+        y = pdf["y"].tolist()
+        l = [y[0]]
+        b = [y[1] - y[0] if len(y) > 1 else 0.0]
+        for t in range(1, len(y)):
+            l_new = 0.5 * y[t] + 0.5 * (l[-1] + b[-1])
+            b_new = 0.5 * (l_new - l[-1]) + 0.5 * b[-1]
+            l.append(l_new)
+            b.append(b_new)
+        return pd.DataFrame({"day": pdf["day"], "y": y, "l": l, "b": b})
+
+    # one constant group: the recursion runs over the CALENDAR-bounded
+    # series (≤ a few thousand rows for any fact size), never the fact
+    out = daily.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        holt, "day date, y double, l double, b double"
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "y",
+        F.round("l", 6).alias("level"),
+        F.round("b", 6).alias("trend"),
+    )

@@ -62,6 +62,7 @@ _FORMERLY_CRASHING = [
     # Σ N_h σ_h is 0, so every share must degrade to NULL
     ("q_neyman_alloc", ("alloc_share", "alloc_n")),
     ("q_textrank", ()),
+    ("q_holt_linear", ()),
 ]
 
 

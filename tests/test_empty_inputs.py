@@ -227,6 +227,7 @@ _REPRESENTATIVE = [
     "q_shapley_attribution",  # coalition algebra over zero users
     "q_neyman_alloc",     # allocation with a NULL normalizer
     "q_textrank",         # graph supersteps over zero documents
+    "q_holt_linear",      # grouped-map recursion over zero days
 ]
 
 

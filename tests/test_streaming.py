@@ -855,6 +855,7 @@ def test_rate_source_generated_stream(spark, tmp_path):
         ("q_funnel_latency", "funnel_latency_report"),
         ("q_seasonal_anomaly", "seasonal_anomaly_report"),
         ("q_anomaly_mad", "anomaly_mad_report"),
+        ("q_holt_linear", "holt_linear"),
     ],
 )
 def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, transform_name):

@@ -118,3 +118,123 @@ def frame_sample(df: DataFrame, every_nth: int = 2) -> DataFrame:
         (F.col("frame_idx") * 16).alias("byte_start"),
         (F.col("frame_idx") * 16 + 16).alias("byte_end"),
     )
+
+
+RESIZED_SCHEMA = "doc_id long, out_h int, out_w int, mean_lum double"
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int = 4,
+    out_w: int = 4,
+    decoder: Callable | None = None,
+) -> DataFrame:
+    """mapInPandas resize stage: decode each payload, area-average down
+    to a fixed (out_h, out_w) grid, emit the resized luminance summary
+    — the standardize-before-embed step of an image training pipeline.
+    Same architecture contract as image_features: Arrow-batched, zero
+    shuffle (partition-parallel), only fixed-width outputs flow
+    downstream; the codec itself is injected (stubbed in this
+    environment)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                img = decode_image(bytes(payload), decoder).astype(np.float64)
+                h, w = img.shape
+                # area-average pooling onto the target grid: exact
+                # nearest-boundary buckets, deterministic for any h, w
+                ys = np.linspace(0, h, out_h + 1).astype(int)
+                xs = np.linspace(0, w, out_w + 1).astype(int)
+                small = np.array(
+                    [
+                        [
+                            img[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+                            for j in range(out_w)
+                        ]
+                        for i in range(out_h)
+                    ]
+                )
+                rows.append(
+                    (int(doc_id), out_h, out_w, float(small.mean()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_h", "out_w", "mean_lum"]
+            )
+
+    return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id long, win_idx int, byte_start long, byte_end long, rms double"
+)
+
+
+def audio_windows(
+    df: DataFrame,
+    win_bytes: int = 32,
+    hop_bytes: int = 16,
+) -> DataFrame:
+    """Audio-style sliding-window segmentation: treat the binary payload
+    as a PCM-like sample stream and emit overlapping (win, hop) windows
+    with their byte bounds JVM-side (pure DataFrame algebra — the
+    sequence/explode plan frame_sample uses, generalized to overlap),
+    then one Arrow pass computes per-window RMS over the byte slice —
+    the feature-extraction shape of a speech pipeline (filterbanks
+    would replace RMS; the windowing plan is identical). Window bounds
+    never leave the JVM; only (doc, window) rows reach Python."""
+    n = F.length("media").alias("n_bytes")
+    wins = (
+        df.select("doc_id", "media", n)
+        .filter(F.col("n_bytes") >= win_bytes)
+        .select(
+            "doc_id",
+            "media",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.floor((F.col("n_bytes") - win_bytes) / hop_bytes).cast(
+                        "long"
+                    ),
+                    F.lit(1).cast("long"),
+                )
+            ).alias("win_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("win_idx").cast("int").alias("win_idx"),
+            (F.col("win_idx") * hop_bytes).cast("long").alias("byte_start"),
+            (F.col("win_idx") * hop_bytes + win_bytes)
+            .cast("long")
+            .alias("byte_end"),
+            F.substring(
+                F.col("media"), (F.col("win_idx") * hop_bytes + 1).cast("int"),
+                win_bytes,
+            ).alias("chunk"),
+        )
+    )
+
+    def rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, win_idx, b0, b1, chunk in zip(
+                pdf["doc_id"], pdf["win_idx"], pdf["byte_start"],
+                pdf["byte_end"], pdf["chunk"],
+            ):
+                arr = np.frombuffer(bytes(chunk), dtype=np.uint8).astype(
+                    np.float64
+                )
+                rows.append(
+                    (
+                        int(doc_id), int(win_idx), int(b0), int(b1),
+                        float(np.sqrt((arr * arr).mean())) if len(arr) else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "win_idx", "byte_start", "byte_end", "rms"],
+            )
+
+    return wins.mapInPandas(rms, schema=AUDIO_WINDOW_SCHEMA)

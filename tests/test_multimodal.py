@@ -89,3 +89,47 @@ def test_binaryfile_source_feeds_feature_extraction(spark, tmp_path):
     assert set(feats) == {0, 1, 2, 3, 4}
     assert all(feats[i].n_bytes == 32 + i for i in feats)
     assert all(feats[i].width >= 8 and feats[i].height >= 8 for i in feats)
+
+
+def test_resize_images_fixed_grid(spark, media):
+    """resize_images pools any decoded shape onto the fixed target grid
+    and preserves the global mean (area-average over the full image)."""
+    from direct_kafka_stream_spark.functions.multimodal import (
+        fake_decoder,
+        resize_images,
+    )
+
+    out = resize_images(media, out_h=4, out_w=4, decoder=fake_decoder)
+    rows = out.collect()
+    assert len(rows) == media.count()
+    assert all((r.out_h, r.out_w) == (4, 4) for r in rows)
+    assert all(0.0 <= r.mean_lum <= 255.0 for r in rows)
+
+
+def test_resize_without_decoder_is_explicit_stub(spark, media):
+    from direct_kafka_stream_spark.functions.multimodal import resize_images
+
+    with pytest.raises(Exception) as ei:
+        resize_images(media).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_audio_windows_bounds_and_rms(spark, media):
+    """audio_windows emits overlapping byte windows with JVM-computed
+    bounds and a per-window RMS equal to a numpy recomputation."""
+    import numpy as np
+
+    from direct_kafka_stream_spark.functions.multimodal import audio_windows
+
+    out = audio_windows(media, win_bytes=32, hop_bytes=16).collect()
+    assert out, "fixture payloads are longer than one window"
+    payloads = {r.doc_id: bytes(r.media) for r in media.collect()}
+    for r in out:
+        assert r.byte_end - r.byte_start == 32
+        assert r.byte_start == r.win_idx * 16
+        arr = np.frombuffer(
+            payloads[r.doc_id][r.byte_start:r.byte_end], dtype=np.uint8
+        ).astype(np.float64)
+        assert abs(r.rms - float(np.sqrt((arr * arr).mean()))) < 1e-9

@@ -401,7 +401,9 @@ def test_shapley_efficiency_axiom(spark, users):
         return sum(
             1 for mask, conv in by_user.values() if conv and (mask & s) == mask
         )
-    assert abs(sum(got.values()) - (v(15) - v(0))) < 1e-6
+    # each channel's credit is rounded to 6 dp independently, so the
+    # efficiency sum can be off by up to 4 × 0.5e-6
+    assert abs(sum(got.values()) - (v(15) - v(0))) <= 2.0e-6 + 1e-12
     # and each credit equals the brute-force Shapley sum
     import math
     n = 4

@@ -666,3 +666,59 @@ def test_permutation_test_explodes_then_combines(spark):
     plan = inspect.physical_plan(df)
     assert "Generate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q1_is_one_pass_partial_agg(spark):
+    """Q1 must be scan → partial agg → single exchange → final agg:
+    the map-side combine collapses each partition to ≤6 group rows, so
+    exactly one data exchange (hashpartitioning on the group keys) and
+    no join appears."""
+    df = QUERIES["q_tpch_q1"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    # "Exchange (n)" is the tree form; the detail section repeats the
+    # node as "(n) Exchange", so count tree occurrences only
+    assert plan.count("Exchange (") == 1
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_join_bloom_prefilters_before_the_join(spark):
+    """The bloom probe must reach the fact scan side BEFORE the join
+    (a Filter with the map-probe below the join), the bloom itself
+    must arrive by broadcast, and the final join stays an equi hash
+    join — never a cartesian product."""
+    df = QUERIES["q_join_bloom"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    # try_element_at compiles to element_at(..., failOnError=false);
+    # Catalyst folds the probe into the 1-row bloom attach join's
+    # condition, which is exactly "filter before the equi join"
+    assert "element_at(bf" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bloom broadcast
+    assert "CartesianProduct" not in plan
+    # tree order: the bloom attach (probe) sits BELOW the equi join
+    assert plan.index("BroadcastHashJoin") < plan.index(
+        "BroadcastNestedLoopJoin"
+    )
+
+
+def test_textrank_partitions_by_document(spark):
+    """Every window/aggregate in TextRank is doc-keyed — the per-doc
+    top-1 window must hashpartition on doc_id, never SinglePartition."""
+    df = QUERIES["q_textrank"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "hashpartitioning(doc_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_holt_reduces_before_the_pandas_stage(spark):
+    """Holt's recursion must run AFTER the daily reduction: the
+    FlatMapGroupsInPandas (or mapGroups arrow) node consumes the
+    aggregated day series, not the raw fact — the aggregate appears
+    below the pandas node in the plan."""
+    df = QUERIES["q_holt_linear"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "HashAggregate" in plan
+    # the aggregate (daily reduction) is a descendant of the pandas
+    # stage: it appears after it in the top-down formatted plan
+    assert plan.index("FlatMapGroupsInPandas") < plan.rindex("HashAggregate")

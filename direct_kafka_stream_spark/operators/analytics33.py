@@ -91,6 +91,16 @@ def q_join_bloom(spark: SparkSession, d: str):
     dim = o.filter(F.col("o_orderdate") >= _BLOOM_CUTOFF).select(
         F.col("o_orderkey").alias("k"), "o_orderpriority"
     )
+    li = load_table(spark, d, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return bloom_reduce_join(li, dim)
+
+
+def bloom_reduce_join(li, dim):
+    """Composable form: bloom-prefilter ``li`` on l_orderkey against
+    ``dim``'s k column, then the exact equi join + priority rollup.
+    Also driven at 10×-inflated scale by scripts/scale_probe.py."""
     words = (
         dim.select(F.explode(F.array(*_bloom_positions(F.col("k")))).alias("pos"))
         .distinct()
@@ -103,9 +113,6 @@ def q_join_bloom(spark: SparkSession, d: str):
     )
     bloom = words.agg(
         F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bf")
-    )
-    li = load_table(spark, d, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
     )
     probe = li.crossJoin(F.broadcast(bloom))
     # SQL expression form: the DataFrame shiftleft() helper only takes a

@@ -293,12 +293,17 @@ def q_textrank(spark: SparkSession, d: str):
     bit-identical on both engines and the final ranking (score DESC,
     chunk ASC) can never diverge. The per-doc top-1 window partitions
     by doc_id — data-parallel, never single-partition."""
+    return textrank_on(load_table(spark, d, "documents"))
+
+
+def textrank_on(docs):
+    """Composable form over any documents-shaped frame — also driven
+    at 10×-inflated corpus size by scripts/scale_probe.py."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     from direct_kafka_stream_spark.exprs import DEC
 
-    docs = load_table(spark, d, "documents")
     words = docs.select(
         "doc_id",
         F.posexplode(

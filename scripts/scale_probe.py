@@ -155,6 +155,30 @@ def main() -> None:
         .agg(F.countDistinct("user_id").alias("mau")),
     )
 
+    # Bloom semi-join reduction at inflated fact size — the probe
+    # predicate must keep the post-filter shuffle ~selectivity-sized
+    # while the bloom build/broadcast stays fixed-size
+    from direct_kafka_stream_spark.operators.analytics33 import (
+        _BLOOM_CUTOFF,
+        bloom_reduce_join,
+    )
+
+    dim = o.filter(F.col("o_orderdate") >= _BLOOM_CUTOFF).select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    run(
+        "join_bloom",
+        bloom_reduce_join(
+            li.select("l_orderkey", "l_extendedprice", "l_discount"), dim
+        ),
+    )
+
+    # TextRank at inflated corpus size — doc-keyed supersteps must
+    # scale with documents, never build cross-document edges
+    from direct_kafka_stream_spark.operators.analytics34 import textrank_on
+
+    run("textrank_docs", textrank_on(docs))
+
     print(json.dumps({"inflate": n, "rows": rows, "seconds": secs}))
 
 

@@ -302,8 +302,15 @@ def q_cusum(spark: SparkSession, d: str):
     summed (order-independent), the prefix min is exact double, and
     the flag compares two 6 dp-rounded values (round-before-compare,
     ALIGNMENT)."""
+    return cusum_report(load_table(spark, d, "orders"))
+
+
+def cusum_report(orders):
+    """Composable form over any orders-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     daily = (
-        load_table(spark, d, "orders")
+        orders
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(dsum("o_totalprice").alias("s"))
     )
@@ -397,8 +404,15 @@ def q_grubbs(spark: SparkSession, d: str):
     argmax is a min-of-struct with (−|dev|, day) ordering — exactly
     the oracle's ORDER BY adev DESC, day ASC). |dev| is rounded 6 dp
     BEFORE the comparison so float noise cannot flip the chosen day."""
+    return grubbs_report(load_table(spark, d, "orders"))
+
+
+def grubbs_report(orders):
+    """Composable form over any orders-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     daily = (
-        load_table(spark, d, "orders")
+        orders
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(dsum("o_totalprice").alias("s"))
     )

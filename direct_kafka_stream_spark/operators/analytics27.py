@@ -679,7 +679,13 @@ def q_date_gaps(spark: SparkSession, d: str):
     side reduces the fact to distinct days first, and the anti join
     runs spine × days-bounded. Output is the day string (engine-
     identical strftime)."""
-    orders = load_table(spark, d, "orders")
+    return date_gaps_report(load_table(spark, d, "orders"))
+
+
+def date_gaps_report(orders):
+    """Composable form over any orders-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     bounds = orders.agg(
         F.min(F.to_date("o_orderdate")).alias("lo"),
         F.max(F.to_date("o_orderdate")).alias("hi"),

@@ -81,11 +81,17 @@ def q_ewma(spark: SparkSession, d: str):
     denominator use the order-independent decimal-sum contract, so
     the ratio is bit-stable. Calendar-bounded: even at 100 TB the
     join is |days| x 21 rows."""
-    orders = load_table(spark, d, "orders")
+    return ewma_series(load_table(spark, d, "orders"))
+
+
+def ewma_series(orders):
+    """Composable form over any orders-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     daily = orders.groupBy(
         F.date_trunc("day", "o_orderdate").cast("date").alias("day")
     ).agg(dsum("o_totalprice").alias("x"))
-    wdf = spark.createDataFrame(
+    wdf = orders.sparkSession.createDataFrame(
         [(k, float(w)) for k, w in enumerate(_EWMA_WEIGHTS)],
         "lag_d INT, wt DOUBLE",
     )

@@ -92,7 +92,13 @@ def q_scd2(spark: SparkSession, d: str):
     next change's date (open-ended sentinel for the latest). One LEAD
     window per customer partition, a single shuffle on o_custkey;
     o_orderkey breaks same-day ties so intervals are deterministic."""
-    o = load_table(spark, d, "orders")
+    return scd2_table(load_table(spark, d, "orders"))
+
+
+def scd2_table(o):
+    """Composable form over any orders-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     nxt = F.lead("o_orderdate").over(w)
     return o.select(
@@ -142,7 +148,13 @@ def q_rfm(spark: SparkSession, d: str):
     at 100 TB you'd cut on approx_percentile thresholds instead of a
     global sort, trading exact quartile boundaries for a single
     pass."""
-    o = load_table(spark, d, "orders")
+    return rfm_report(load_table(spark, d, "orders"))
+
+
+def rfm_report(o):
+    """Composable form over any orders-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     per_cust = o.groupBy("o_custkey").agg(
         F.datediff(
             F.lit("2002-01-01").cast("date"), F.max("o_orderdate").cast("date")

@@ -48,7 +48,14 @@ def q_islands(spark: SparkSession, d: str):
     — REGISTERED as q_islands_ranged (operators/scale_variants.py),
     oracle-checked against this exact global-window form; this
     operator is the exact-semantics anchor for that."""
-    o = load_table(spark, d, "orders").select(
+    return islands_report(load_table(spark, d, "orders"))
+
+
+def islands_report(orders):
+    """Composable form over any orders-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    o = orders.select(
         F.col("o_orderkey").alias("k")
     ).distinct()
     w = Window.partitionBy(bounded_window_key("k")).orderBy("k")
@@ -92,7 +99,13 @@ def q_mom_growth(spark: SparkSession, d: str):
     The expensive part (fact aggregation) is one map-side-combined
     groupBy to ~months rows; the window then runs on that tiny table
     (its single-partition sort is months-sized, irrelevant)."""
-    o = load_table(spark, d, "orders")
+    return mom_growth_report(load_table(spark, d, "orders"))
+
+
+def mom_growth_report(o):
+    """Composable form over any orders-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     monthly = (
         o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(

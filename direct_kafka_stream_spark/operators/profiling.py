@@ -226,7 +226,13 @@ def q_hist_equi(spark: SparkSession, d: str):
     pre-pass) and the whole histogram is ONE map-side-combined
     aggregation. ~tens of buckets regardless of table size: the reduce
     side is trivially small at any scale."""
-    o = load_table(spark, d, "orders")
+    return hist_equi_report(load_table(spark, d, "orders"))
+
+
+def hist_equi_report(o):
+    """Composable form over any orders-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     return (
         o.groupBy(
             F.floor(F.col("o_totalprice") / _BUCKET_W).cast("long").alias("bucket")

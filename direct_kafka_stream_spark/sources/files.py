@@ -32,3 +32,11 @@ def events_schema() -> str:
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
     )
+
+
+def orders_schema() -> str:
+    """Schema of the orders fixture as DDL."""
+    return (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )

@@ -1325,3 +1325,77 @@ def test_ivm_join_maintains_live_join_view(spark, tmp_path):
         "segment", "n", F.round("rev", 4).cast("double").alias("revenue")
     )
     assert sorted(map(tuple, final.collect())) == batch_expected
+
+
+@pytest.fixture(scope="module")
+def orders_dir(spark, tmp_path_factory):
+    """Orders fixture staged for file-streaming (the CDC-feed shape)."""
+    d = tmp_path_factory.mktemp("orders_stream_src")
+    load_table(spark, SF_DIR, "orders").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "qname, transform_name",
+    [
+        ("q_islands", "islands_report"),
+        ("q_date_gaps", "date_gaps_report"),
+        ("q_cusum", "cusum_report"),
+        ("q_grubbs", "grubbs_report"),
+        ("q_mom_growth", "mom_growth_report"),
+        ("q_hist_equi", "hist_equi_report"),
+        ("q_rfm", "rfm_report"),
+        ("q_scd2", "scd2_table"),
+        ("q_ewma", "ewma_series"),
+    ],
+)
+def test_streaming_orders_analytics_equal_batch(
+    spark, orders_dir, tmp_path, qname, transform_name
+):
+    """Orders-surface streaming twins: the same ingest-then-analyze
+    foreachBatch shape as the events twins (stage each micro-batch,
+    recompute the analytic over everything staged), proving the
+    orders-table analytics — gap/island detection, CUSUM/Grubbs
+    monitors, SCD2 builds, RFM, EWMA — are batch/stream-unified too."""
+    from direct_kafka_stream_spark import QUERIES
+    from direct_kafka_stream_spark.operators import (
+        analytics5,
+        analytics26,
+        analytics27,
+        cdc,
+        patterns,
+        profiling,
+    )
+    from direct_kafka_stream_spark.sources.files import orders_schema
+
+    transform = next(
+        t
+        for m in (analytics5, analytics26, analytics27, cdc, patterns,
+                  profiling)
+        if (t := getattr(m, transform_name, None)) is not None
+    )
+    expected = sorted(
+        map(tuple, QUERIES[qname].spark(spark, SF_DIR).collect())
+    )
+
+    stage = str(tmp_path / "staged_orders")
+    result = str(tmp_path / "orders_analytic_result")
+
+    def process(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(stage)
+        transform(spark.read.parquet(stage)).write.mode(
+            "overwrite"
+        ).parquet(result)
+
+    stream = file_stream(spark, orders_dir, orders_schema())
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_orders"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = sorted(map(tuple, spark.read.parquet(result).collect()))
+    assert got == expected

@@ -492,7 +492,14 @@ def q_readability(spark: SparkSession, d: str):
     per-doc scores are rounded 6 dp then exact-decimal averaged.
     Zero-sentence docs clamp S to 1; zero-word docs are excluded (the
     score is undefined, and they are q_gopher_rules' problem)."""
-    docs = load_table(spark, d, "documents")
+    return readability_report(load_table(spark, d, "documents"))
+
+
+def readability_report(docs):
+    """Composable form over any documents-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    docs = docs
     wcol = F.size(
         F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     ).cast("double")

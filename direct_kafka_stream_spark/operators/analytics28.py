@@ -454,7 +454,14 @@ def q_hapax(spark: SparkSession, d: str):
     One (source, word)-keyed aggregation — map-side combinable — then
     a source-keyed rollup of exact integer counts; ratios are exact
     rationals rounded once."""
-    docs = load_table(spark, d, "documents")
+    return hapax_report(load_table(spark, d, "documents"))
+
+
+def hapax_report(docs):
+    """Composable form over any documents-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    docs = docs
     wc = (
         docs.select(
             "source",

@@ -421,7 +421,14 @@ def q_k_anonymity(spark: SparkSession, d: str):
     One QI-keyed aggregation (map-side combined) to the class-size
     table, then a bounded rollup; all outputs are exact counts plus
     one 6 dp ratio."""
-    docs = load_table(spark, d, "documents")
+    return k_anonymity_census(load_table(spark, d, "documents"))
+
+
+def k_anonymity_census(docs):
+    """Composable form over any documents-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    docs = docs
     qi = docs.groupBy(
         "lang",
         "source",

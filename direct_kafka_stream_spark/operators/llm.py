@@ -149,7 +149,14 @@ def q_dedup_exact(spark: SparkSession, d: str):
     """Exact dedup: sha256(text) hash-groupBy, keep the lowest doc_id.
     One shuffle on the digest; at 100 TB you'd hash first and shuffle
     only (digest, doc_id), never the text."""
-    docs = load_table(spark, d, "documents")
+    return dedup_exact_keep_first(load_table(spark, d, "documents"))
+
+
+def dedup_exact_keep_first(docs):
+    """Composable form over any documents-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    docs = docs
     return (
         docs.withColumn("h", F.sha2("text", 256))
         .groupBy("h")
@@ -859,7 +866,14 @@ def q_text_quality(spark: SparkSession, d: str):
     """Per-document quality scoring: token count, stopword ratio,
     average token length, keep/drop verdict — the heuristic-filter
     stage of a training-data pipeline."""
-    docs = load_table(spark, d, "documents")
+    return text_quality_report(load_table(spark, d, "documents"))
+
+
+def text_quality_report(docs):
+    """Composable form over any documents-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    docs = docs
     tok = (
         _words(docs)
         .groupBy("doc_id")
@@ -934,7 +948,14 @@ def q_text_langid(spark: SparkSession, d: str):
     the length-delta-of-replace trick (portable, no regex dialect
     divergence). Real pipelines swap in per-language marker n-gram
     tables — same dataflow shape."""
-    docs = load_table(spark, d, "documents")
+    return text_langid_report(load_table(spark, d, "documents"))
+
+
+def text_langid_report(docs):
+    """Composable form over any documents-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    docs = docs
     hits = _marker_hits()
     return docs.select(
         "doc_id",

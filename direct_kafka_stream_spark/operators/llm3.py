@@ -383,7 +383,14 @@ def q_gopher_rules(spark: SparkSession, d: str):
     column expression (no UDFs); ratios are single divisions compared
     against literals, so the gate decisions are engine-exact without
     rounding."""
-    docs = load_table(spark, d, "documents")
+    return gopher_rules_census(load_table(spark, d, "documents"))
+
+
+def gopher_rules_census(docs):
+    """Composable form over any documents-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    docs = docs
     from direct_kafka_stream_spark.operators.llm import _tokens
 
     n_words = F.size(_tokens())

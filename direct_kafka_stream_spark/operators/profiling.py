@@ -514,7 +514,14 @@ def q_text_entropy(spark: SparkSession, d: str):
     the same counts table (no second scan of the corpus); entropy is a
     second doc-keyed aggregation. Both shuffles are token-table-sized,
     partitioned by doc — no skew (a doc's tokens are bounded)."""
-    docs = load_table(spark, d, "documents")
+    return text_entropy_report(load_table(spark, d, "documents"))
+
+
+def text_entropy_report(docs):
+    """Composable form over any documents-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    docs = docs
     toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     counts = (
         docs.select("doc_id", F.explode(toks).alias("word"))

@@ -40,3 +40,8 @@ def orders_schema() -> str:
         "o_orderkey long, o_custkey long, o_orderstatus string, "
         "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
     )
+
+
+def documents_schema() -> str:
+    """Schema of the documents fixture as DDL."""
+    return "doc_id long, text string, lang string, source string, n_chars long"

@@ -1399,3 +1399,81 @@ def test_streaming_orders_analytics_equal_batch(
     _await(q)
     got = sorted(map(tuple, spark.read.parquet(result).collect()))
     assert got == expected
+
+
+@pytest.fixture(scope="module")
+def documents_dir(spark, tmp_path_factory):
+    """Documents fixture staged for file-streaming (the corpus-landing
+    shape: crawler output arriving as files)."""
+    d = tmp_path_factory.mktemp("documents_stream_src")
+    load_table(spark, SF_DIR, "documents").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "qname, transform_name",
+    [
+        ("q_dedup_exact", "dedup_exact_keep_first"),
+        ("q_text_quality", "text_quality_report"),
+        ("q_text_langid", "text_langid_report"),
+        ("q_gopher_rules", "gopher_rules_census"),
+        ("q_text_entropy", "text_entropy_report"),
+        ("q_readability", "readability_report"),
+        ("q_hapax", "hapax_report"),
+        ("q_k_anonymity", "k_anonymity_census"),
+        ("q_textrank", "textrank_on"),
+    ],
+)
+def test_streaming_documents_analytics_equal_batch(
+    spark, documents_dir, tmp_path, qname, transform_name
+):
+    """Documents-surface streaming twins: the curation analytics —
+    exact dedup, quality/Gopher gates, language-ID, entropy,
+    readability, vocabulary health, the k-anonymity release audit,
+    TextRank — recomputed per micro-batch over the staged corpus and
+    equal to the batch analog after the final batch. This is the
+    crawl-ingest shape of an LLM data pipeline: documents land as
+    files, the curation ledger stays fresh per batch."""
+    from direct_kafka_stream_spark import QUERIES
+    from direct_kafka_stream_spark.operators import (
+        analytics27,
+        analytics28,
+        analytics32,
+        analytics34,
+        llm,
+        llm3,
+        profiling,
+    )
+    from direct_kafka_stream_spark.sources.files import documents_schema
+
+    transform = next(
+        t
+        for m in (llm, llm3, profiling, analytics27, analytics28,
+                  analytics32, analytics34)
+        if (t := getattr(m, transform_name, None)) is not None
+    )
+    expected = sorted(
+        map(tuple, QUERIES[qname].spark(spark, SF_DIR).collect())
+    )
+
+    stage = str(tmp_path / "staged_docs")
+    result = str(tmp_path / "docs_analytic_result")
+
+    def process(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(stage)
+        transform(spark.read.parquet(stage)).write.mode(
+            "overwrite"
+        ).parquet(result)
+
+    stream = file_stream(spark, documents_dir, documents_schema())
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_docs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = sorted(map(tuple, spark.read.parquet(result).collect()))
+    assert got == expected

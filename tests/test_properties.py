@@ -416,3 +416,133 @@ def test_shapley_efficiency_axiom(spark, users):
             w = math.factorial(pc) * math.factorial(n - pc - 1) / math.factorial(n)
             phi += w * (v(s | bit) - v(s))
         assert abs(got[name] - phi) < 1e-5, name
+
+
+@given(
+    fact_keys=st.lists(st.integers(min_value=0, max_value=40), min_size=0, max_size=40),
+    dim_keys=st.lists(st.integers(min_value=0, max_value=40), min_size=0, max_size=15, unique=True),
+)
+@_settings
+def test_bloom_reduce_join_equals_plain_join(spark, fact_keys, dim_keys):
+    """bloom_reduce_join == the plain equi join + rollup for ANY key
+    sets — the no-false-negative property that makes the bloom a pure
+    optimization (false positives are removed by the real join)."""
+    from pyspark.sql import functions as F
+
+    from direct_kafka_stream_spark.operators.analytics33 import (
+        bloom_reduce_join,
+    )
+
+    li = spark.createDataFrame(
+        [(k, 100.0 + k, 0.1) for k in fact_keys],
+        "l_orderkey long, l_extendedprice double, l_discount double",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"P{k % 3}") for k in dim_keys], "k long, o_orderpriority string"
+    )
+    got = sorted(map(tuple, bloom_reduce_join(li, dim).collect()))
+    plain = sorted(
+        map(
+            tuple,
+            li.join(dim, li.l_orderkey == dim.k)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(
+                    F.sum(
+                        (
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                        ).cast("decimal(38,10)")
+                    ),
+                    4,
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+            .collect(),
+        )
+    )
+    assert got == plain
+
+
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),   # custkey
+            st.floats(min_value=0.0, max_value=1e4, allow_nan=False),
+            st.booleans(),                             # in R_old?
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    cust=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.sampled_from(["A", "B", "C"]),
+            st.booleans(),                             # in S_old?
+        ),
+        min_size=0,
+        max_size=13,
+        unique_by=lambda t: t[0],
+    ),
+)
+@_settings
+def test_bilinear_ivm_delta_rule(spark, orders, cust):
+    """V_old(R_old⋈S_old) merged with ΔR⋈S_old ∪ R_old⋈ΔS ∪ ΔR⋈ΔS
+    equals the full recompute over (R_old∪ΔR)⋈(S_old∪ΔS) for ANY
+    split — the bilinear expansion q_ivm_join relies on, pinned
+    independently of the fixture's particular partitioning."""
+    from pyspark.sql import functions as F
+
+    DECS = "decimal(38,10)"
+    r = spark.createDataFrame(
+        [(ck, round(p, 2), old) for ck, p, old in orders],
+        "o_custkey long, o_totalprice double, r_old boolean",
+    )
+    s = spark.createDataFrame(
+        [(ck, seg, old) for ck, seg, old in cust],
+        "c_custkey long, c_mktsegment string, s_old boolean",
+    )
+    r_old, r_new = r.filter("r_old"), r.filter(~F.col("r_old"))
+    s_old, s_new = s.filter("s_old"), s.filter(~F.col("s_old"))
+
+    def seg_rows(rr, ss):
+        return rr.join(ss, rr.o_custkey == ss.c_custkey).select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_totalprice").alias("price"),
+        )
+
+    def agg(rows):
+        return rows.groupBy("segment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("price").cast(DECS)).alias("rev"),
+        )
+
+    view_old = agg(seg_rows(r_old, s_old))
+    delta = agg(
+        seg_rows(r_new, s_old)
+        .unionAll(seg_rows(r_old, s_new))
+        .unionAll(seg_rows(r_new, s_new))
+    )
+    v, dta = view_old.alias("v"), delta.alias("d")
+    zero = F.lit(0).cast(DECS)
+    merged = (
+        v.join(dta, F.col("v.segment") == F.col("d.segment"), "full_outer")
+        .select(
+            F.coalesce(F.col("v.segment"), F.col("d.segment")).alias("segment"),
+            (
+                F.coalesce(F.col("v.n"), F.lit(0))
+                + F.coalesce(F.col("d.n"), F.lit(0))
+            ).alias("n"),
+            F.round(
+                F.coalesce(F.col("v.rev"), zero) + F.coalesce(F.col("d.rev"), zero), 4
+            ).cast("double").alias("revenue"),
+        )
+    )
+    full = agg(seg_rows(r, s)).select(
+        "segment", "n", F.round(F.col("rev"), 4).cast("double").alias("revenue")
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )

@@ -546,3 +546,63 @@ def test_bilinear_ivm_delta_rule(spark, orders, cust):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=30),  # value, integer grid
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@_settings
+def test_kruskal_wallis_matches_brute_force_ranks(spark, vals):
+    """The two-level stitched rank computation must reproduce the
+    textbook pooled mid-rank Kruskal-Wallis H (and its tie correction)
+    for ANY grouping — the identity that licenses computing ranks from
+    counts instead of a global sort."""
+    from direct_kafka_stream_spark.operators.analytics33 import (
+        kruskal_wallis_stat,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (i, g, float(v))
+            for i, (g, v) in enumerate(vals)
+        ],
+        "event_id long, event_type string, value double",
+    ).withColumn("ts", F.current_timestamp()).withColumn(
+        "user_id", F.lit(0)
+    ).withColumn("props", F.lit("{}"))
+    row = kruskal_wallis_stat(ev).collect()[0]
+
+    # brute force: pooled mid-ranks
+    xs = sorted(v for _, v in vals)
+    n = len(xs)
+    ranks = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and xs[j] == xs[i]:
+            j += 1
+        ranks[xs[i]] = (i + 1 + j) / 2.0  # average of ranks i+1..j
+        i = j
+    groups = {}
+    for g, v in vals:
+        groups.setdefault(g, []).append(ranks[v])
+    h = 12.0 / (n * (n + 1)) * sum(
+        (sum(rs)) ** 2 / len(rs) for rs in groups.values()
+    ) - 3.0 * (n + 1)
+    from collections import Counter
+    ties = Counter(v for _, v in vals)
+    tsum = sum(t**3 - t for t in ties.values())
+    corr = 1.0 - tsum / (n**3 - n)
+    assert abs(row.h_stat - h) < 1e-5
+    if corr == 0.0:
+        assert row.h_corrected is None
+    else:
+        assert abs(row.h_corrected - h / corr) < 1e-5
+    assert row.n == n and row.df == len(groups) - 1

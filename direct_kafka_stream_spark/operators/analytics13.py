@@ -145,7 +145,14 @@ def q_theil_sen(spark: SparkSession, d: str):
     decimal daily sums (bit-identical inputs both engines); the
     interpolating median is engine-identical (ALIGNMENT); output
     rounded 6dp."""
-    e = load_table(spark, d, "events")
+    return theil_sen_stat(load_table(spark, d, "events"))
+
+
+def theil_sen_stat(events):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    e = events
     daily = e.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(dsum("value").alias("x"))

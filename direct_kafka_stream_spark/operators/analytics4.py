@@ -1074,7 +1074,14 @@ def q_zonemap_prune(spark: SparkSession, d: str):
 
     One map-side-combined aggregation to a months-sized table; the
     skippability test is arithmetic on that bounded zone map."""
-    o = load_table(spark, d, "orders")
+    return zonemap_report(load_table(spark, d, "orders"))
+
+
+def zonemap_report(orders):
+    """Composable form over any orders-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    o = orders
     return (
         o.groupBy(
             F.date_format("o_orderdate", "yyyy-MM").alias("bucket_month")
@@ -1131,7 +1138,14 @@ def q_benford(spark: SparkSession, d: str):
     floor(log10(price)) arithmetic, so no cross-engine float-log
     boundary can flip a digit. One map-side-combined aggregation to
     ≤ 9 rows + a 1-row total broadcast."""
-    o = load_table(spark, d, "orders").filter(F.col("o_totalprice") > 0)
+    return benford_report(load_table(spark, d, "orders"))
+
+
+def benford_report(orders):
+    """Composable form over any orders-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    o = orders.filter(F.col("o_totalprice") > 0)
     digit = F.substring(
         F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
         1,
@@ -1359,7 +1373,14 @@ def q_sax_symbols(spark: SparkSession, d: str):
     flip a letter at a breakpoint (ALIGNMENT.md round-before-compare
     rule); a zero-variance series yields NULL z and symbol 'd' —
     pinned by the degenerate-series unit test."""
-    e = load_table(spark, d, "events")
+    return sax_table(load_table(spark, d, "events"))
+
+
+def sax_table(events):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    e = events
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.round(F.sum("value"), 6).alias("rev")
     )

@@ -153,7 +153,14 @@ def q_winsorize(spark: SparkSession, d: str):
     engine-identical (ALIGNMENT), the clip is a pure comparison
     against that exact value, and means use the exact-decimal-sum
     contract."""
-    e = load_table(spark, d, "events")
+    return winsorize_table(load_table(spark, d, "events"))
+
+
+def winsorize_table(events):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    e = events
     pct = e.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.05)).alias("p05"),
         F.percentile("value", F.lit(0.95)).alias("p95"),
@@ -210,7 +217,14 @@ def q_impute(spark: SparkSession, d: str):
     scan; COALESCE applies the fill without a second pass. The
     interpolated median is engine-identical and the mean uses the
     exact-decimal contract."""
-    e = load_table(spark, d, "events")
+    return impute_table(load_table(spark, d, "events"))
+
+
+def impute_table(events):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    e = events
     holed = e.select(
         "event_type",
         F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("double"))

@@ -273,7 +273,14 @@ def q_quantile_bins(spark: SparkSession, d: str):
     (q_agg_approx_pct) and assigns bins with a per-row comparison; this
     operator is the exact-semantics anchor the approximate path is
     validated against."""
-    o = load_table(spark, d, "orders")
+    return quantile_bins_table(load_table(spark, d, "orders"))
+
+
+def quantile_bins_table(orders):
+    """Composable form over any orders-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
+    o = orders
     w = Window.partitionBy(bounded_window_key("o_orderkey")).orderBy(
         "o_totalprice", "o_orderkey"
     )

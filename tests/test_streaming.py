@@ -856,6 +856,10 @@ def test_rate_source_generated_stream(spark, tmp_path):
         ("q_seasonal_anomaly", "seasonal_anomaly_report"),
         ("q_anomaly_mad", "anomaly_mad_report"),
         ("q_holt_linear", "holt_linear"),
+        ("q_winsorize", "winsorize_table"),
+        ("q_impute", "impute_table"),
+        ("q_theil_sen", "theil_sen_stat"),
+        ("q_sax_symbols", "sax_table"),
     ],
 )
 def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, transform_name):
@@ -871,6 +875,7 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
     from direct_kafka_stream_spark.operators import (
         analytics4,
         analytics5,
+        analytics6,
         analytics7,
         analytics8,
         analytics13,
@@ -893,7 +898,7 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
     transform = next(
         t
         for m in (events_analytics, analytics4, analytics5, analytics7,
-                  analytics8, analytics13, analytics16, analytics21,
+                  analytics6, analytics8, analytics13, analytics16, analytics21,
                   analytics22, analytics25, analytics26, analytics28,
                   analytics29, analytics30, analytics32, analytics33,
                   analytics34, profiling, retrieval)
@@ -1349,6 +1354,9 @@ def orders_dir(spark, tmp_path_factory):
         ("q_rfm", "rfm_report"),
         ("q_scd2", "scd2_table"),
         ("q_ewma", "ewma_series"),
+        ("q_zonemap_prune", "zonemap_report"),
+        ("q_benford", "benford_report"),
+        ("q_quantile_bins", "quantile_bins_table"),
     ],
 )
 def test_streaming_orders_analytics_equal_batch(
@@ -1361,6 +1369,7 @@ def test_streaming_orders_analytics_equal_batch(
     monitors, SCD2 builds, RFM, EWMA — are batch/stream-unified too."""
     from direct_kafka_stream_spark import QUERIES
     from direct_kafka_stream_spark.operators import (
+        analytics4,
         analytics5,
         analytics26,
         analytics27,
@@ -1372,8 +1381,8 @@ def test_streaming_orders_analytics_equal_batch(
 
     transform = next(
         t
-        for m in (analytics5, analytics26, analytics27, cdc, patterns,
-                  profiling)
+        for m in (analytics4, analytics5, analytics26, analytics27, cdc,
+                  patterns, profiling)
         if (t := getattr(m, transform_name, None)) is not None
     )
     expected = sorted(

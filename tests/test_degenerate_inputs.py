@@ -63,6 +63,8 @@ _FORMERLY_CRASHING = [
     ("q_neyman_alloc", ("alloc_share", "alloc_n")),
     ("q_textrank", ()),
     ("q_holt_linear", ()),
+    ("q_friedman", ()),
+    ("q_propensity_strata", ()),
 ]
 
 

@@ -228,6 +228,8 @@ _REPRESENTATIVE = [
     "q_neyman_alloc",     # allocation with a NULL normalizer
     "q_textrank",         # graph supersteps over zero documents
     "q_holt_linear",      # grouped-map recursion over zero days
+    "q_friedman",         # rank blocks over zero complete days
+    "q_propensity_strata", # strata with a NULL size normalizer
 ]
 
 
@@ -444,5 +446,11 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
     elif name == "q_brier":
         # zero bins: zero count, every decomposition term undefined
         assert [tuple(r) for r in rows] == [(0, None, None, None, None, None)]
+    elif name == "q_friedman":
+        # zero complete blocks: k = 0, df = -1, Q undefined
+        assert [tuple(r) for r in rows] == [(None, 0, -1, None)]
+    elif name == "q_propensity_strata":
+        # no two-armed strata: zero strata, ATE undefined
+        assert [tuple(r) for r in rows] == [(0, None, None)]
     else:
         assert rows == []

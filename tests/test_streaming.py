@@ -860,6 +860,8 @@ def test_rate_source_generated_stream(spark, tmp_path):
         ("q_impute", "impute_table"),
         ("q_theil_sen", "theil_sen_stat"),
         ("q_sax_symbols", "sax_table"),
+        ("q_friedman", "friedman_stat"),
+        ("q_propensity_strata", "propensity_strata"),
     ],
 )
 def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, transform_name):
@@ -890,6 +892,7 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
         analytics32,
         analytics33,
         analytics34,
+        analytics35,
         events_analytics,
         profiling,
         retrieval,
@@ -901,7 +904,7 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
                   analytics6, analytics8, analytics13, analytics16, analytics21,
                   analytics22, analytics25, analytics26, analytics28,
                   analytics29, analytics30, analytics32, analytics33,
-                  analytics34, profiling, retrieval)
+                  analytics34, analytics35, profiling, retrieval)
         if (t := getattr(m, transform_name, None)) is not None
     )
     expected = sorted(

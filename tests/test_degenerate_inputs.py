@@ -65,6 +65,11 @@ _FORMERLY_CRASHING = [
     ("q_holt_linear", ()),
     ("q_friedman", ()),
     ("q_propensity_strata", ()),
+    ("q_logrank", ()),
+    # constant value 5.0: no event clears the high-value threshold, so
+    # every column-1 margin is 0 — chi2 variance and the MH odds ratio
+    # must degrade to NULL
+    ("q_cmh", ("chi2_cmh", "odds_ratio_mh")),
 ]
 
 

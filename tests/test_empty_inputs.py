@@ -230,6 +230,8 @@ _REPRESENTATIVE = [
     "q_holt_linear",      # grouped-map recursion over zero days
     "q_friedman",         # rank blocks over zero complete days
     "q_propensity_strata", # strata with a NULL size normalizer
+    "q_logrank",          # risk sets over zero durations
+    "q_cmh",              # pooled 2x2 over zero strata
 ]
 
 
@@ -451,6 +453,11 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         assert [tuple(r) for r in rows] == [(None, 0, -1, None)]
     elif name == "q_propensity_strata":
         # no two-armed strata: zero strata, ATE undefined
+        assert [tuple(r) for r in rows] == [(0, None, None)]
+    elif name == "q_logrank":
+        # zero event times: O, E and chi2 undefined; df is structural
+        assert [tuple(r) for r in rows] == [(None, None, None, 1)]
+    elif name == "q_cmh":
         assert [tuple(r) for r in rows] == [(0, None, None)]
     else:
         assert rows == []

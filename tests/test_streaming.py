@@ -862,6 +862,8 @@ def test_rate_source_generated_stream(spark, tmp_path):
         ("q_sax_symbols", "sax_table"),
         ("q_friedman", "friedman_stat"),
         ("q_propensity_strata", "propensity_strata"),
+        ("q_logrank", "logrank_stat"),
+        ("q_cmh", "cmh_stat"),
     ],
 )
 def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, transform_name):

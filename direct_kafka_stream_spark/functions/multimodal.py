@@ -143,22 +143,22 @@ def resize_images(
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
                 img = decode_image(bytes(payload), decoder).astype(np.float64)
                 h, w = img.shape
-                # area-average pooling onto the target grid: exact
-                # nearest-boundary buckets, deterministic for any h, w
+                # area-average pooling onto the target grid: buckets are
+                # the exact, non-overlapping [ys[i], ys[i+1]) tiles (empty
+                # when h < out_h), and the pooled mean weights each bucket
+                # by its pixel count — so the tiles partition the image
+                # and mean_lum equals the global mean EXACTLY for any h, w
                 ys = np.linspace(0, h, out_h + 1).astype(int)
                 xs = np.linspace(0, w, out_w + 1).astype(int)
-                small = np.array(
-                    [
-                        [
-                            img[ys[i]:max(ys[i + 1], ys[i] + 1),
-                                xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
-                            for j in range(out_w)
-                        ]
-                        for i in range(out_h)
-                    ]
-                )
+                total = 0.0
+                npx = 0
+                for i in range(out_h):
+                    for j in range(out_w):
+                        blk = img[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+                        total += float(blk.sum())
+                        npx += blk.size
                 rows.append(
-                    (int(doc_id), out_h, out_w, float(small.mean()))
+                    (int(doc_id), out_h, out_w, total / npx if npx else 0.0)
                 )
             yield pd.DataFrame(
                 rows, columns=["doc_id", "out_h", "out_w", "mean_lum"]

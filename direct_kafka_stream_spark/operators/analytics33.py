@@ -100,7 +100,16 @@ def q_join_bloom(spark: SparkSession, d: str):
 def bloom_reduce_join(li, dim):
     """Composable form: bloom-prefilter ``li`` on l_orderkey against
     ``dim``'s k column, then the exact equi join + priority rollup.
-    Also driven at 10×-inflated scale by scripts/scale_probe.py."""
+    Also driven at 10×-inflated scale by scripts/scale_probe.py.
+
+    Both keys are canonicalized to BIGINT before hashing: xxhash64 is
+    type-sensitive, so an int build key probed by a bigint fact key
+    would otherwise disagree on bit positions and silently drop join
+    rows (false negatives). The cast is a no-op for already-long keys
+    and preserves the no-false-negative guarantee for any integral
+    key pair."""
+    dim = dim.withColumn("k", F.col("k").cast("long"))
+    li = li.withColumn("l_orderkey", F.col("l_orderkey").cast("long"))
     words = (
         dim.select(F.explode(F.array(*_bloom_positions(F.col("k")))).alias("pos"))
         .distinct()

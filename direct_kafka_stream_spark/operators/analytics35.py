@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.exprs import davg_sql
+from direct_kafka_stream_spark.exprs import davg, davg_sql
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -88,14 +88,7 @@ def friedman_stat(events):
     (tests/test_streaming.py)."""
     cell = events.groupBy(
         F.col("ts").cast("date").alias("day"), "event_type"
-    ).agg(
-        (
-            F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4).cast(
-                "double"
-            )
-            / F.count(F.lit(1))
-        ).alias("m")
-    )
+    ).agg(davg(F.col("value")).alias("m"))
     cell = cell.persist()
     complete = (
         cell.groupBy("day")
@@ -330,13 +323,26 @@ _LR_DUR_SQL = """
                CAST(COUNT(*) AS BIGINT) AS leave_
         FROM durations GROUP BY t, g
     ),
+    etimes AS (
+        SELECT t FROM cell GROUP BY t HAVING SUM(d) > 0
+    ),
+    grid AS (
+        SELECT e.t, gg.g, 1 AS is_grid
+        FROM etimes e CROSS JOIN (SELECT DISTINCT g FROM durations) gg
+    ),
+    aug AS (
+        SELECT COALESCE(c.t, gr.t) AS t, COALESCE(c.g, gr.g) AS g,
+               COALESCE(c.d, 0) AS d, COALESCE(c.leave_, 0) AS leave_,
+               COALESCE(gr.is_grid, 0) AS is_grid
+        FROM cell c FULL OUTER JOIN grid gr ON c.t = gr.t AND c.g = gr.g
+    ),
     risk AS (
-        SELECT t, g, d,
-               (SELECT COUNT(*) FROM durations dd WHERE dd.g = cell.g)
+        SELECT t, g, d, is_grid,
+               (SELECT COUNT(*) FROM durations dd WHERE dd.g = aug.g)
                  - COALESCE(SUM(leave_) OVER (PARTITION BY g ORDER BY t
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS n_risk
-        FROM cell
+        FROM aug
     ),
     wide AS (
         SELECT t,
@@ -344,7 +350,7 @@ _LR_DUR_SQL = """
                COALESCE(MAX(CASE WHEN g = 1 THEN n_risk END), 0) AS n1,
                COALESCE(MAX(CASE WHEN g = 0 THEN d END), 0) AS d0,
                COALESCE(MAX(CASE WHEN g = 0 THEN n_risk END), 0) AS n0
-        FROM risk GROUP BY t
+        FROM risk WHERE is_grid = 1 GROUP BY t
     ),
     terms AS (
         SELECT d1, d1 + d0 AS dt, n1 + n0 AS nt, n1, n0 FROM wide
@@ -422,27 +428,60 @@ def logrank_stat(events):
             F.when(F.col("p_day").isNotNull(), 1).otherwise(0).alias("ev"),
         )
     )
+    return logrank_from_durations(durations)
+
+
+def logrank_from_durations(durations):
+    """Core log-rank statistic over a (g, t, ev) durations frame —
+    property-tested against a brute-force hand computation in
+    tests/test_properties.py."""
+    DECS = "decimal(38,10)"
     durations = durations.persist()
     cell = durations.groupBy("t", "g").agg(
         F.sum("ev").cast("bigint").alias("d"),
         F.count(F.lit(1)).cast("bigint").alias("leave_"),
     )
+    cell = cell.persist()
     totals = durations.groupBy("g").agg(F.count(F.lit(1)).alias("n_tot"))
+    # The at-risk count for group g must be evaluated at EVERY pooled
+    # event time, not only where g has its own (t, g) cell — otherwise
+    # an event time unique to the other group would read n_risk=0 for
+    # members of g still at risk (expected=0 instead of dt*n_g/nt).
+    # Build the pooled distinct-event-time grid × both groups, full-
+    # outer it with the cells, and run the cumulative-leaves window
+    # over the union so prefixes see censor-only times too.
+    etimes = (
+        cell.groupBy("t")
+        .agg(F.sum("d").alias("d_all"))
+        .filter(F.col("d_all") > 0)
+        .select("t")
+    )
+    grid = etimes.crossJoin(F.broadcast(totals.select("g"))).withColumn(
+        "is_grid", F.lit(1)
+    )
+    aug = cell.join(grid, ["t", "g"], "full_outer").select(
+        "t",
+        "g",
+        F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+        F.coalesce(F.col("leave_"), F.lit(0)).alias("leave_"),
+        F.coalesce(F.col("is_grid"), F.lit(0)).alias("is_grid"),
+    )
     wrisk = (
         Window.partitionBy("g")
         .orderBy("t")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    risk = cell.join(totals, "g").select(
+    risk = aug.join(totals, "g").select(
         "t",
         "g",
         "d",
+        "is_grid",
         (
             F.col("n_tot")
             - F.coalesce(F.sum("leave_").over(wrisk), F.lit(0))
         ).alias("n_risk"),
     )
-    wide = risk.groupBy("t").agg(
+    wide = risk.filter(F.col("is_grid") == 1).groupBy("t").agg(
         F.coalesce(F.max(F.when(F.col("g") == 1, F.col("d"))), F.lit(0)).alias("d1"),
         F.coalesce(F.max(F.when(F.col("g") == 1, F.col("n_risk"))), F.lit(0)).alias("n1"),
         F.coalesce(F.max(F.when(F.col("g") == 0, F.col("d"))), F.lit(0)).alias("d0"),

@@ -104,6 +104,12 @@ def test_resize_images_fixed_grid(spark, media):
     assert len(rows) == media.count()
     assert all((r.out_h, r.out_w) == (4, 4) for r in rows)
     assert all(0.0 <= r.mean_lum <= 255.0 for r in rows)
+    # the pooled buckets tile the image exactly and the pooled mean is
+    # pixel-count weighted, so mean_lum == the image's global mean
+    payloads = {r.doc_id: bytes(r.media) for r in media.collect()}
+    for r in rows:
+        img = fake_decoder(payloads[r.doc_id]).astype(float)
+        assert r.mean_lum == pytest.approx(float(img.mean()), rel=1e-12)
 
 
 def test_resize_without_decoder_is_explicit_stub(spark, media):

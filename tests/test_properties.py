@@ -437,8 +437,12 @@ def test_bloom_reduce_join_equals_plain_join(spark, fact_keys, dim_keys):
         [(k, 100.0 + k, 0.1) for k in fact_keys],
         "l_orderkey long, l_extendedprice double, l_discount double",
     )
+    # build side deliberately INT where the probe side is BIGINT:
+    # xxhash64 is type-sensitive, so bloom_reduce_join must
+    # canonicalize both keys to long or this property fails with
+    # silent false negatives (dropped join rows)
     dim = spark.createDataFrame(
-        [(k, f"P{k % 3}") for k in dim_keys], "k long, o_orderpriority string"
+        [(k, f"P{k % 3}") for k in dim_keys], "k int, o_orderpriority string"
     )
     got = sorted(map(tuple, bloom_reduce_join(li, dim).collect()))
     plain = sorted(
@@ -606,3 +610,59 @@ def test_kruskal_wallis_matches_brute_force_ranks(spark, vals):
     else:
         assert abs(row.h_corrected - h / corr) < 1e-5
     assert row.n == n and row.df == len(groups) - 1
+
+
+@given(
+    durs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),   # group g
+            st.integers(min_value=0, max_value=8),   # duration t
+            st.integers(min_value=0, max_value=1),   # event flag ev
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_logrank_matches_brute_force(spark, durs):
+    """logrank_from_durations == the textbook hand computation (the
+    lifelines-style definition: at every POOLED event time, n_risk_g =
+    members of g with T >= t, including times where g itself has no
+    exit) — the property the round-6 ADVICE found violated when a
+    group's risk set was only evaluated at its own cell times."""
+    from direct_kafka_stream_spark.operators.analytics35 import (
+        logrank_from_durations,
+    )
+
+    df = spark.createDataFrame(durs, "g long, t int, ev int")
+    row = logrank_from_durations(df).collect()[0]
+
+    # brute force over pooled event times
+    etimes = sorted({t for g, t, ev in durs if ev == 1})
+    observed1 = sum(ev for g, t, ev in durs if g == 1)
+    o_minus_e = 0.0
+    var_sum = 0.0
+    expected1 = 0.0
+    for t in etimes:
+        n1 = sum(1 for g, tt, _ in durs if g == 1 and tt >= t)
+        n0 = sum(1 for g, tt, _ in durs if g == 0 and tt >= t)
+        d1 = sum(ev for g, tt, ev in durs if g == 1 and tt == t)
+        d0 = sum(ev for g, tt, ev in durs if g == 0 and tt == t)
+        nt, dt = n1 + n0, d1 + d0
+        e1 = dt * n1 / nt
+        expected1 += e1
+        o_minus_e += d1 - e1
+        if nt > 1:
+            var_sum += (
+                dt * (n1 / nt) * (1 - n1 / nt) * (nt - dt) / (nt - 1)
+            )
+    if not etimes:
+        # no events at all: the aggregate runs over zero terms
+        assert row.observed1 in (None, 0) and row.chi2 is None
+        return
+    assert row.observed1 == observed1
+    assert abs(row.expected1 - expected1) < 1e-5
+    if abs(var_sum) < 1e-12:
+        assert row.chi2 is None
+    else:
+        assert abs(row.chi2 - o_minus_e**2 / var_sum) < 1e-5

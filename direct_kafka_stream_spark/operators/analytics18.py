@@ -502,8 +502,15 @@ def q_weighted_median(spark: SparkSession, d: str):
         "c_acctbal",
         "c_custkey",
         (F.col("c_custkey") % 7 + 1).alias("w"),
-        F.floor(F.col("c_acctbal") / _WM_BIN).alias("bin"),
     )
+    return weighted_median_stat(cw, _WM_BIN)
+
+
+def weighted_median_stat(cw, bin_w: float = _WM_BIN):
+    """Composable form over any (seg, c_acctbal, c_custkey, w) frame —
+    also the property-test entry point (brute-force weighted median,
+    tests/test_properties.py)."""
+    cw = cw.withColumn("bin", F.floor(F.col("c_acctbal") / bin_w))
     tot = cw.groupBy("seg").agg(F.sum("w").alias("tot"))
     binw = cw.groupBy("seg", "bin").agg(F.sum("w").alias("bw"))
     wcum = (

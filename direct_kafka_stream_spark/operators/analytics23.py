@@ -204,45 +204,55 @@ def q_spearman(spark: SparkSession, d: str):
     DECIMAL(38,0) (the ×2 factors cancel in the correlation). Scale
     shape: two distinct-value aggregates with bounded windows, two
     value-keyed joins, one moment rollup — no global sort anywhere."""
-
-    def ranks(col: str, bin_w: float):
-        li = load_table(spark, d, "lineitem")
-        vals = (
-            li.select(
-                F.col(col).alias("v"), F.floor(F.col(col) / bin_w).alias("bin")
-            )
-            .groupBy("v", "bin")
-            .agg(F.count(F.lit(1)).alias("t"))
-        )
-        bins = vals.groupBy("bin").agg(F.sum("t").alias("bt"))
-        # literal key: bins-sized frame, one-partition window intended
-        wb = Window.partitionBy(bounded_window_key("bin")).orderBy("bin").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        binp = bins.select(
-            "bin", F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("prior")
-        )
-        wv = (
-            Window.partitionBy("bin")
-            .orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        return vals.join(F.broadcast(binp), "bin").select(
-            "v",
-            (
-                2
-                * (F.col("prior") + F.coalesce(F.sum("t").over(wv), F.lit(0)))
-                + F.col("t")
-                + 1
-            ).alias("ar2"),
-        )
-
     li = load_table(spark, d, "lineitem").select("l_quantity", "l_extendedprice")
-    rq = ranks("l_quantity", _SP_QBIN).withColumnRenamed("ar2", "ra")
-    rp = ranks("l_extendedprice", _SP_PBIN).withColumnRenamed("ar2", "rb")
+    return spearman_rho(li, "l_quantity", "l_extendedprice", _SP_QBIN, _SP_PBIN)
+
+
+def stitched_avg_ranks(df, col: str, bin_w: float):
+    """(v, ar2 = 2·average pooled mid-rank) per distinct value of
+    ``col`` via the two-level bin-stitched prefix — the shared rank
+    kernel (the q_mann_whitney machinery); property-tested against
+    brute-force pooled mid-ranks in tests/test_properties.py."""
+    vals = (
+        df.select(
+            F.col(col).alias("v"), F.floor(F.col(col) / bin_w).alias("bin")
+        )
+        .groupBy("v", "bin")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    bins = vals.groupBy("bin").agg(F.sum("t").alias("bt"))
+    # literal key: bins-sized frame, one-partition window intended
+    wb = Window.partitionBy(bounded_window_key("bin")).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    binp = bins.select(
+        "bin", F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("prior")
+    )
+    wv = (
+        Window.partitionBy("bin")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return vals.join(F.broadcast(binp), "bin").select(
+        "v",
+        (
+            2
+            * (F.col("prior") + F.coalesce(F.sum("t").over(wv), F.lit(0)))
+            + F.col("t")
+            + 1
+        ).alias("ar2"),
+    )
+
+
+def spearman_rho(li, col_a: str, col_b: str, bin_a: float, bin_b: float):
+    """Composable Spearman over any two numeric columns of ``li`` —
+    also the property-test entry point (brute-force pooled ranks,
+    tests/test_properties.py)."""
+    rq = stitched_avg_ranks(li, col_a, bin_a).withColumnRenamed("ar2", "ra")
+    rp = stitched_avg_ranks(li, col_b, bin_b).withColumnRenamed("ar2", "rb")
     pairs = li.join(
-        F.broadcast(rq), li.l_quantity == rq.v
-    ).join(rp, li.l_extendedprice == rp.v).select("ra", "rb")
+        F.broadcast(rq), li[col_a] == rq.v
+    ).join(rp, li[col_b] == rp.v).select("ra", "rb")
     D = "decimal(38,0)"
     m = pairs.agg(
         F.count(F.lit(1)).alias("n"),

@@ -666,3 +666,210 @@ def test_logrank_matches_brute_force(spark, durs):
         assert row.chi2 is None
     else:
         assert abs(row.chi2 - o_minus_e**2 / var_sum) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Stitched-rank kernels vs brute-force pooled ranks (round-6 verdict
+# directive #7): the two-level bin-stitched prefix must equal a global
+# sort's mid-ranks for ANY value multiset and any bin placement, so a
+# future refactor of bounded_window_key / the stitching can't silently
+# break rank math.
+# ---------------------------------------------------------------------------
+
+def _midranks(xs):
+    """value -> average pooled rank (ties get the mid-rank)."""
+    s = sorted(xs)
+    out = {}
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        out[s[i]] = (i + 1 + j) / 2.0
+        i = j
+    return out
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-30, max_value=30).map(lambda k: k * 2.5),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_settings
+def test_stitched_avg_ranks_match_pooled(spark, vals):
+    """stitched_avg_ranks == 2 x brute-force pooled mid-rank for any
+    multiset, including values straddling bin boundaries."""
+    from direct_kafka_stream_spark.operators.analytics23 import (
+        stitched_avg_ranks,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r.v: r.ar2 for r in stitched_avg_ranks(df, "x", 10.0).collect()}
+    want = _midranks(vals)
+    assert set(got) == set(want)
+    for v, ar2 in got.items():
+        assert ar2 == 2 * want[v], (v, ar2, want[v])
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-10, max_value=10),
+            st.integers(min_value=-10, max_value=10),
+        ),
+        min_size=3,
+        max_size=30,
+    )
+)
+@_settings
+def test_spearman_matches_brute_force(spark, pairs):
+    """spearman_rho == Pearson on brute-force pooled mid-ranks."""
+    import math
+
+    from direct_kafka_stream_spark.operators.analytics23 import spearman_rho
+
+    df = spark.createDataFrame(
+        [(float(a) * 1.5, float(b) * 3.0) for a, b in pairs], "a double, b double"
+    )
+    row = spearman_rho(df, "a", "b", 4.0, 7.0).collect()[0]
+    ra = _midranks([a * 1.5 for a, _ in pairs])
+    rb = _midranks([b * 3.0 for _, b in pairs])
+    xs = [ra[a * 1.5] for a, _ in pairs]
+    ys = [rb[b * 3.0] for _, b in pairs]
+    n = len(pairs)
+    sa, sb = sum(xs), sum(ys)
+    sab = sum(x * y for x, y in zip(xs, ys))
+    saa, sbb = sum(x * x for x in xs), sum(y * y for y in ys)
+    den = math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    assert row.n == n
+    if den == 0.0:
+        assert row.rho is None
+    else:
+        assert abs(row.rho - (n * sab - sa * sb) / den) < 1e-5
+
+
+@given(
+    rows_=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),      # segment
+            st.integers(min_value=-40, max_value=40),   # value (scaled)
+            st.integers(min_value=1, max_value=7),      # weight
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_weighted_median_matches_brute_force(spark, rows_):
+    """weighted_median_stat's bin-then-refine == the global weighted
+    lower median (first value where 2*cumweight >= total, rows ordered
+    by (value, key))."""
+    from direct_kafka_stream_spark.operators.analytics18 import (
+        weighted_median_stat,
+    )
+
+    data = [
+        (f"S{g}", v * 25.0, i, w) for i, (g, v, w) in enumerate(rows_)
+    ]
+    cw = spark.createDataFrame(
+        data, "seg string, c_acctbal double, c_custkey long, w long"
+    )
+    got = {r.seg: (r.wmedian, r.total_w) for r in weighted_median_stat(cw, 100.0).collect()}
+    segs = {}
+    for seg, val, key, w in data:
+        segs.setdefault(seg, []).append((val, key, w))
+    for seg, rows in segs.items():
+        tot = sum(w for _, _, w in rows)
+        cum = 0
+        med = None
+        for val, key, w in sorted(rows):
+            cum += w
+            if 2 * cum >= tot:
+                med = val
+                break
+        assert got[seg] == (med, tot), seg
+
+
+@given(
+    durs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),     # group: a or b
+            st.integers(min_value=-20, max_value=20),  # value (scaled)
+        ),
+        min_size=2,
+        max_size=30,
+    ).filter(lambda l: any(g == 0 for g, _ in l) and any(g == 1 for g, _ in l))
+)
+@_settings
+def test_mann_whitney_matches_brute_force(spark, durs):
+    """mann_whitney_stat's stitched rank sums == brute-force pooled
+    mid-ranks: u2 exactly, z to 1e-5."""
+    import math
+
+    from direct_kafka_stream_spark.operators.analytics21 import (
+        mann_whitney_stat,
+    )
+    from collections import Counter
+
+    data = [
+        ("click" if g == 0 else "purchase", v * 2.5) for g, v in durs
+    ]
+    ev = spark.createDataFrame(data, "event_type string, value double")
+    row = mann_whitney_stat(ev).collect()[0]
+
+    ranks = _midranks([v for _, v in data])
+    a_vals = [v for t, v in data if t == "click"]
+    b_vals = [v for t, v in data if t == "purchase"]
+    n_a, n_b = len(a_vals), len(b_vals)
+    r_a = sum(ranks[v] for v in a_vals)
+    u2 = int(round(2 * r_a)) - n_a * (n_a + 1)
+    assert (row.n_a, row.n_b, row.u2) == (n_a, n_b, u2)
+    n = n_a + n_b
+    ties = Counter(v for _, v in data)
+    tiesum = sum(t**3 - t for t in ties.values())
+    var = (n_a * n_b / 12.0) * (
+        (n + 1) - tiesum / (n * (n - 1)) if n > 1 else 0.0
+    )
+    denom = 2.0 * math.sqrt(max(var, 0.0))
+    if denom == 0.0:
+        assert row.z is None
+    else:
+        assert abs(row.z - (u2 - n_a * n_b) / denom) < 1e-5
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-25, max_value=25).map(lambda k: k * 3.5),
+        min_size=1,
+        max_size=35,
+    )
+)
+@_settings
+def test_median_ci_matches_brute_force(spark, vals):
+    """median_ci_report's bin-then-refine selection == direct order
+    statistics on the sorted sample at the three target ranks."""
+    import math
+
+    from direct_kafka_stream_spark.operators.analytics25 import (
+        median_ci_report,
+    )
+
+    ev = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "value double, event_id long"
+    )
+    row = median_ci_report(ev).collect()[0]
+    xs = sorted(vals)
+    n = len(xs)
+
+    def clamp(r):
+        return max(1, min(n, r))
+
+    r_lo = clamp(int(math.floor((n - 1.959964 * math.sqrt(n)) / 2)))
+    r_med = clamp((n + 1) // 2)
+    r_hi = clamp(int(math.ceil(1 + (n + 1.959964 * math.sqrt(n)) / 2)))
+    assert row.n == n
+    assert row.median == xs[r_med - 1]
+    assert row.ci_lo == xs[r_lo - 1]
+    assert row.ci_hi == xs[r_hi - 1]

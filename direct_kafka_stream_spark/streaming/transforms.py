@@ -323,3 +323,142 @@ def ivm_join_apply_delta(
         )
     )
     return merged.filter(F.col("n") != 0)
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus curation (round-6 verdict directive #5): new
+# documents arriving in micro-batches are deduped against the
+# already-seen corpus — the exact sha256 set plus the LSH band store
+# maintained across batches in a foreachBatch sink.
+# ---------------------------------------------------------------------------
+
+CURATION_SEEN_SCHEMA = "h string, doc_id long"
+CURATION_BANDS_SCHEMA = "doc_id long, band int, mh string"
+CURATION_WARR_SCHEMA = "doc_id long, ws array<string>"
+CURATION_ACCEPTED_SCHEMA = "doc_id long, n_tokens bigint"
+
+
+def curation_apply_batch(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    bands_store: DataFrame,
+    warr_store: DataFrame,
+):
+    """One micro-batch of the incremental curation pipeline — the
+    streaming twin of q_curation_pipeline (operators/llm2.py): quality
+    gate → exact dedup against the accumulated sha256 ``seen`` store →
+    MinHash-LSH candidates of the batch's new docs against the
+    accumulated ``bands_store`` (old-vs-new AND new-vs-new; old-vs-old
+    pairs were already emitted by earlier batches) → exact-Jaccard
+    confirmation via the accumulated word-array store → τ-drops.
+
+    Arrival-order contract: with batches arriving in doc_id order
+    (Kafka offsets, ingest timestamps), "first seen keeps" equals the
+    batch pipeline's min-doc_id rule, so the accumulated accepted set
+    after N batches is hash-identical to q_curation_pipeline over the
+    union (pinned by tests/test_streaming.py).
+
+    Scale shape: every per-batch stage is batch-sized on one side —
+    the sha256 anti-join and the (band, mh) probe join are new-docs ×
+    store joins, never store × store; the accumulated bucket cap
+    (_BUCKET_CAP over store ∪ batch) keeps the probe skew-bounded
+    exactly like the batch pipeline's cap. State grows by one (h,
+    doc_id) row, 4 band rows and 1 word-array row per accepted-base
+    doc — the per-doc fingerprint state a 100 TB incremental dedup
+    service would keep in its store.
+
+    Returns dict of batch-sized deltas: ``accepted`` (doc_id,
+    n_tokens), ``seen_delta``, ``bands_delta``, ``warr_delta``,
+    ``drops`` (new doc_ids rejected as near-dups). Callers append the
+    deltas to their stores; drops stay IN the band/word stores (the
+    batch analog also blocks on pairs whose smaller side was itself
+    dropped)."""
+    from direct_kafka_stream_spark.operators.llm import (
+        _BUCKET_CAP,
+        _jaccard_on_pairs,
+        _materialized,
+        _minhash_bands,
+        _minhash_sigs,
+        _shingles_from_docs,
+        _spread,
+        _word_arrays,
+    )
+    from direct_kafka_stream_spark.operators.llm2 import (
+        _CURATION_LANGS,
+        _CURATION_TAU,
+    )
+
+    gated = new_docs.filter(
+        F.col("lang").isin(*_CURATION_LANGS)
+        & F.col("n_chars").between(50, 100000)
+    )
+    keeper = F.min_by(F.struct("doc_id", "text"), "doc_id").alias("k")
+    batch_base = (
+        gated.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(keeper)
+        .select(
+            "h",
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.text").alias("text"),
+        )
+    )
+    # localCheckpoint (NOT persist): appending this batch's deltas back
+    # to a store path INVALIDATES any cached plan that reads that path,
+    # so a persisted anti-join would silently recompute against the
+    # already-updated seen store and return empty. Truncating lineage
+    # makes every returned delta independent of the store files —
+    # callers can append in any order. Batch-sized, so the eager
+    # checkpoint is cheap at any scale.
+    new_base = batch_base.join(
+        seen.select("h"), "h", "left_anti"
+    ).localCheckpoint(eager=True)
+    sigs = _minhash_sigs(
+        _shingles_from_docs(_spread(new_base.select("doc_id", "text")))
+    )
+    new_bands = _materialized(_minhash_bands(sigs))
+    new_warr = _materialized(_word_arrays(new_base))
+
+    all_bands = bands_store.unionByName(new_bands)
+    wb = Window.partitionBy("band", "mh")
+    capped = _materialized(
+        all_bands.withColumn("bn", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bn") <= _BUCKET_CAP)
+        .drop("bn")
+    )
+    new_ids = new_base.select("doc_id")
+    capped_new = capped.join(F.broadcast(new_ids), "doc_id")
+    a, b = capped.alias("a"), capped_new.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    all_warr = warr_store.unionByName(new_warr)
+    # drops read the band/word store paths — checkpoint them too so the
+    # returned frames survive subsequent store appends (same hazard as
+    # new_base above)
+    drops = (
+        _jaccard_on_pairs(edges, all_warr, "src", "dst")
+        .filter(F.col("jaccard") >= _CURATION_TAU)
+        .select(F.col("dst").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    accepted = new_base.join(drops, "doc_id", "left_anti").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return {
+        "accepted": accepted,
+        "seen_delta": new_base.select("h", "doc_id"),
+        "bands_delta": new_bands,
+        "warr_delta": new_warr,
+        "drops": drops,
+    }

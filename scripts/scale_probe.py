@@ -1,18 +1,36 @@
 #!/usr/bin/env python3
 """Scale probe: synthetically inflate the sf0.1 fixtures N× (default
-10× → ~6M lineitem rows) with key-shifted copies and run the heavy
-query shapes — evidence that plans and runtimes scale linearly rather
-than degrading (shuffle explosions, driver collects, quadratic joins
-would all surface here).
+10× → ~6M lineitem rows, an ~sf1 equivalent) and measure the heavy
+registered queries at both scales — converting the 100 TB design
+*argument* (bounded blocks, broadcast sizes, no quadratic joins) into
+measured evidence: near-linear cost ratios and no plan flips.
 
-Usage: python scripts/scale_probe.py [N]
-Prints one JSON line: {"inflate": N, "rows": {...}, "seconds": {...}}.
+Subcommands
+-----------
+materialize OUTDIR [N]   write the inflated tables as parquet under
+                         OUTDIR (key-shifted copies; document text is
+                         letter-rotated per copy so copies are NOT
+                         near-duplicates of each other — duplicate
+                         cluster structure, and therefore candidate
+                         volume in the dedup family, scales linearly
+                         exactly as an organically larger corpus would)
+run SFDIR Q [Q...]       run registered queries against SFDIR via a
+                         noop sink, print one JSON line per query:
+                         {"query": ..., "sec": ..., "plan": {...}}
+                         where plan is the POST-execution AQE final
+                         plan's operator histogram (join strategies,
+                         exchanges, AQE skew reads)
+shapes [N]               the original composed-operator shape probe
+                         (in-memory inflation, no materialization)
+
+Results are tracked in SCALE.md at the repo root.
 """
 
 from __future__ import annotations
 
 import json
 import pathlib
+import re
 import sys
 import time
 
@@ -24,9 +42,28 @@ from pyspark.sql import DataFrame, functions as F
 
 from direct_kafka_stream_spark import get_session, load_table
 from direct_kafka_stream_spark.exprs import dsum
+from direct_kafka_stream_spark.io import TABLES
 
 SF_DIR = "/root/testdata/sf0.1"
 SHIFT = 10_000_000_000
+
+# join keys that must shift together to preserve referential integrity
+_KEY_COLS = {
+    "customer": ("c_custkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    # region/nation are bounded by geography at every scale factor —
+    # they stay fixed, like real TPC-H
+    "region": (),
+    "nation": (),
+}
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
 def inflate(df: DataFrame, n: int, key_cols: tuple[str, ...]) -> DataFrame:
@@ -39,8 +76,98 @@ def inflate(df: DataFrame, n: int, key_cols: tuple[str, ...]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), copies)
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+def inflate_table(spark, name: str, n: int) -> DataFrame:
+    df = load_table(spark, SF_DIR, name)
+    keys = _KEY_COLS.get(name, ())
+    if not keys:
+        return df
+    copies = []
+    for i in range(n):
+        c = df
+        for k in keys:
+            c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+        if name == "documents" and i > 0:
+            # rotate letters per copy (Caesar shift i): token lengths,
+            # whitespace and stats are preserved, but copies share
+            # almost no shingles — so the near-dup structure of each
+            # copy equals sf0.1's under a token bijection and TOTAL
+            # duplicate volume scales linearly, not quadratically
+            rot = _ALPHA[i % 26:] + _ALPHA[: i % 26]
+            c = c.withColumn(
+                "text",
+                F.translate(
+                    F.col("text"),
+                    _ALPHA + _ALPHA.upper(),
+                    rot + rot.upper(),
+                ),
+            )
+        copies.append(c)
+    return reduce(lambda a, b: a.unionByName(b), copies)
+
+
+def materialize(outdir: str, n: int) -> None:
+    spark = get_session("scale-probe-materialize")
+    out = pathlib.Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    rows = {}
+    for name in TABLES:
+        df = inflate_table(spark, name, n)
+        dest = str(out / f"{name}.parquet")
+        df.write.mode("overwrite").parquet(dest)
+        rows[name] = spark.read.parquet(dest).count()
+    print(json.dumps({"materialized": outdir, "inflate": n, "rows": rows}))
+
+
+_PLAN_OPS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "Exchange",
+    "AQEShuffleRead",
+    "Window",
+)
+
+
+def _plan_histogram(df: DataFrame) -> dict[str, int]:
+    """Operator histogram of the POST-execution plan (AQE final plan
+    when adaptive execution re-planned)."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return {op: len(re.findall(rf"\b{op}\b", s)) for op in _PLAN_OPS if re.search(rf"\b{op}\b", s)}
+
+
+def run_queries(sf_dir: str, names: list[str]) -> None:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    spark = get_session("scale-probe-run")
+    # session warmup: pay JVM/codegen/first-scan cost outside the clock
+    load_table(spark, sf_dir, "lineitem").count()
+    for name in names:
+        raws = []
+        df = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            raws.append(round(time.perf_counter() - t0, 2))
+            spark.catalog.clearCache()
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sf_dir": sf_dir,
+                    "sec": min(raws),
+                    "raw": raws,
+                    "plan": _plan_histogram(df),
+                }
+            ),
+            flush=True,
+        )
+
+
+def shapes(n: int) -> None:
     spark = get_session("scale-probe")
 
     li = inflate(load_table(spark, SF_DIR, "lineitem"), n, ("l_orderkey",))
@@ -180,6 +307,19 @@ def main() -> None:
     run("textrank_docs", textrank_on(docs))
 
     print(json.dumps({"inflate": n, "rows": rows, "seconds": secs}))
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if args and args[0] == "materialize":
+        materialize(args[1], int(args[2]) if len(args) > 2 else 10)
+    elif args and args[0] == "run":
+        run_queries(args[1], args[2:])
+    elif args and args[0] == "shapes":
+        shapes(int(args[1]) if len(args) > 1 else 10)
+    else:
+        # backwards compatible: bare [N] runs the shape probe
+        shapes(int(args[0]) if args else 10)
 
 
 if __name__ == "__main__":

@@ -1491,3 +1491,106 @@ def test_streaming_documents_analytics_equal_batch(
     _await(q)
     got = sorted(map(tuple, spark.read.parquet(result).collect()))
     assert got == expected
+
+def test_incremental_curation_matches_batch_pipeline(spark, tmp_path):
+    """End-to-end incremental corpus curation (round-6 directive #5):
+    documents arrive in 3 doc_id-ordered micro-batches; a foreachBatch
+    sink maintains the sha256 seen-set, the LSH band store and the
+    word-array store, accepting each batch's docs only if they survive
+    the quality gate, the exact dedup against everything seen, and the
+    near-dup check against the accumulated corpus. The accumulated
+    accepted set after all batches must equal the batch analog
+    q_curation_pipeline over the union, hash-exactly."""
+    import os
+    import time as _time
+
+    from direct_kafka_stream_spark import QUERIES
+    from direct_kafka_stream_spark.streaming.transforms import (
+        CURATION_ACCEPTED_SCHEMA,
+        CURATION_BANDS_SCHEMA,
+        CURATION_SEEN_SCHEMA,
+        CURATION_WARR_SCHEMA,
+        curation_apply_batch,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    lo, hi = (
+        docs.agg(
+            F.expr("percentile(doc_id, 0.34)"), F.expr("percentile(doc_id, 0.67)")
+        ).collect()[0]
+    )
+    parts = [
+        docs.filter(F.col("doc_id") <= lo),
+        docs.filter((F.col("doc_id") > lo) & (F.col("doc_id") <= hi)),
+        docs.filter(F.col("doc_id") > hi),
+    ]
+    assert sum(p.count() for p in parts) == n_docs
+    assert all(p.count() > 0 for p in parts)
+
+    src = tmp_path / "cur_src"
+    src.mkdir()
+    now = _time.time()
+    for i, p in enumerate(parts, start=1):
+        dest = src / f"b{i}.parquet"
+        p.toPandas().to_parquet(dest)
+        os.utime(dest, (now - (4 - i) * 60, now - (4 - i) * 60))
+
+    stores = {
+        "seen": (str(tmp_path / "cur_seen"), CURATION_SEEN_SCHEMA),
+        "bands": (str(tmp_path / "cur_bands"), CURATION_BANDS_SCHEMA),
+        "warr": (str(tmp_path / "cur_warr"), CURATION_WARR_SCHEMA),
+        "accepted": (str(tmp_path / "cur_acc"), CURATION_ACCEPTED_SCHEMA),
+    }
+    n_batches = []
+
+    def read_or_empty(key):
+        path, schema = stores[key]
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return spark.createDataFrame([], schema)
+
+    def process(batch_df, batch_id):
+        out = curation_apply_batch(
+            batch_df,
+            read_or_empty("seen"),
+            read_or_empty("bands"),
+            read_or_empty("warr"),
+        )
+        out["accepted"].write.mode("append").parquet(stores["accepted"][0])
+        out["seen_delta"].write.mode("append").parquet(stores["seen"][0])
+        out["bands_delta"].write.mode("append").parquet(stores["bands"][0])
+        out["warr_delta"].write.mode("append").parquet(stores["warr"][0])
+        n_batches.append(batch_id)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cur"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    assert len(n_batches) == 3
+
+    got = sorted(
+        (r.doc_id, int(r.n_tokens))
+        for r in spark.read.parquet(stores["accepted"][0]).collect()
+    )
+    expected = sorted(
+        (r.doc_id, int(r.n_tokens))
+        for r in QUERIES["q_curation_pipeline"].spark(spark, SF_DIR).collect()
+    )
+    assert got == expected
+    # the incremental run must have actually rejected something, or the
+    # equality is vacuous for the dedup stages
+    n_gated = docs.filter(
+        F.col("lang").isin("en", "es", "de", "fr")
+        & F.col("n_chars").between(50, 100000)
+    ).count()
+    assert len(got) < n_gated

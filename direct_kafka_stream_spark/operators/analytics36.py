@@ -1,0 +1,373 @@
+"""Round-7 batch 1: engine-machinery operators — each entry exercises
+a distinct Spark execution-engine feature rather than a new statistic
+(round-6 verdict directive #3: depth over breadth, new machinery over
+new math): Arrow-native mapInArrow, cogrouped applyInPandas, bucketed
+co-located joins, partition-pruned reads, the Spark 4 Python
+DataSource V2 API, and exchange reuse.
+
+Reference anchor: EXT operators per SURVEY.md §2 (the reference's
+processing hook is KafkaDirectStream.scala:43-51).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import SparkSession, functions as F
+
+from direct_kafka_stream_spark.exprs import dsum, dsum_sql
+from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.registry import query
+
+# Scratch root for the operators that exercise write-then-read engine
+# paths (bucketed tables, partitioned layouts). Session-unique subdirs
+# avoid clashes between a concurrently-running driver and test suite.
+_SCRATCH = "/tmp/dks_spark_scratch"
+
+
+def _scratch_dir(tag: str) -> str:
+    return f"{_SCRATCH}/{tag}_{uuid.uuid4().hex[:12]}"
+
+
+# ---------------------------------------------------------------------------
+# q_map_in_arrow — Arrow-native batch UDF (no pandas materialization)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+               AS n_spaces
+    FROM documents
+    """,
+    tags=("udf", "arrow", "engine"),
+)
+def q_map_in_arrow(spark: SparkSession, d: str):
+    """Per-document byte/char/space counts computed in a mapInArrow
+    UDF with pure pyarrow.compute kernels — the zero-copy Arrow path:
+    record batches flow Python-side WITHOUT a pandas conversion
+    (mapInPandas pays the Arrow→pandas→Arrow round trip per batch;
+    mapInArrow hands the raw batch to vectorized C++ kernels). The
+    cheapest Python escape hatch Spark has, and the template for any
+    custom columnar kernel (tokenizers, codecs) at 100 TB: one pass,
+    partition-parallel, zero shuffle, fixed-width outputs."""
+
+    def counts(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.count_substring(text, " "), pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_chars", "n_spaces"],
+            )
+
+    docs = load_table(spark, d, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        counts, "doc_id long, n_bytes long, n_chars long, n_spaces long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cogroup_asof — cogrouped applyInPandas (two-sided grouped Arrow UDF)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cogroup_asof",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    nxt AS (
+        SELECT c.event_id, c.user_id,
+               CAST(epoch(date_trunc('second', c.ts)) AS BIGINT) AS c_s,
+               CAST(epoch(date_trunc('second', MIN(p.ts))) AS BIGINT) AS p_s
+        FROM c LEFT JOIN p
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        GROUP BY c.event_id, c.user_id, c.ts
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(SUM(CASE WHEN p_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted,
+           CAST(SUM(CASE WHEN p_s IS NOT NULL THEN p_s - c_s ELSE 0 END)
+                AS BIGINT) AS total_wait_s
+    FROM nxt GROUP BY user_id
+    """,
+    tags=("udf", "arrow", "asof", "engine"),
+)
+def q_cogroup_asof(spark: SparkSession, d: str):
+    """Per-user click→next-purchase as-of merge via COGROUPED
+    applyInPandas — Spark's two-sided grouped Arrow UDF: both streams
+    shuffle once on user_id, arrive as per-key pandas frame PAIRS, and
+    the as-of scan runs as a vectorized searchsorted per user instead
+    of the range-join the pure-SQL form needs. The machinery exhibit
+    for custom two-table per-key logic (as-of merges, interval
+    reconciliation, order-book replay).
+
+    Scale shape: one co-partitioned exchange per side, then
+    embarrassingly parallel per-key compute with per-user group sizes
+    bounded by the fixture's activity cap; output is user-keyed (tiny).
+    The equivalent q_join_asof plan is the better choice when the
+    probe side is huge and unsharded — this is the better one when
+    per-key logic outgrows SQL."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, d, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["user_id", "n_clicks", "n_converted", "total_wait_s"]
+            )
+        uid = int(left["user_id"].iloc[0])
+        c_ns = left["ts"].values.astype("datetime64[ns]").astype("int64")
+        p_ns = np.sort(right["ts"].values.astype("datetime64[ns]").astype("int64"))
+        idx = np.searchsorted(p_ns, c_ns, side="left")
+        hit = idx < len(p_ns)
+        c_s = c_ns // 1_000_000_000
+        p_s = np.where(hit, p_ns[np.minimum(idx, max(len(p_ns) - 1, 0))], 0) // 1_000_000_000
+        wait = np.where(hit, p_s - c_s, 0)
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_clicks": [len(left)],
+                "n_converted": [int(hit.sum())],
+                "total_wait_s": [int(wait.sum())],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(buys.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_clicks bigint, n_converted bigint, total_wait_s bigint",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_bucket_join — bucketed tables joined WITHOUT a shuffle
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+
+@query(
+    "q_bucket_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {dsum_sql('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "bucketing", "engine", "scale"),
+)
+def q_bucket_join(spark: SparkSession, d: str):
+    """Co-located join via BUCKETED tables: both sides are written
+    bucketed (and sorted) by the join key into {_BUCKETS} buckets, so
+    the subsequent join needs NO exchange on either side — the bucket
+    layout IS the shuffle, paid once at write time and amortized over
+    every later join (verified by tests/test_plans.py with broadcast
+    disabled: zero Exchange under the SortMergeJoin). This is THE
+    100 TB pattern for fact-to-fact joins repeated across a pipeline:
+    at cluster scale the bucketed write replaces per-query tera-scale
+    shuffles with a one-time layout cost.
+
+    The result itself is scale-independent of the layout — the oracle
+    is the plain join aggregate."""
+    scratch = _scratch_dir("bucket")
+    tag = scratch.rsplit("_", 1)[1]
+    o = load_table(spark, d, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, d, "lineitem").select("l_orderkey", "l_extendedprice")
+    to_name = f"dks_bucket_orders_{tag}"
+    tl_name = f"dks_bucket_lineitem_{tag}"
+    (
+        o.write.mode("overwrite")
+        .format("parquet")
+        .option("path", f"{scratch}/orders")
+        .bucketBy(_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(to_name)
+    )
+    (
+        li.write.mode("overwrite")
+        .format("parquet")
+        .option("path", f"{scratch}/lineitem")
+        .bucketBy(_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(tl_name)
+    )
+    ob = spark.table(to_name)
+    lb = spark.table(tl_name)
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_partition_prune — partitioned layout + partition-pruned scan
+# ---------------------------------------------------------------------------
+
+_PP_LO, _PP_HI = "2024-01-08", "2024-01-14"
+
+
+@query(
+    "q_partition_prune",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('value')} AS total
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') BETWEEN '{_PP_LO}' AND '{_PP_HI}'
+    GROUP BY 1
+    """,
+    tags=("source", "partitioning", "engine", "scale"),
+)
+def q_partition_prune(spark: SparkSession, d: str):
+    """Hive-style partitioned layout + pruned read: events are written
+    partitioned by day (directory-per-day), then re-read with a day
+    filter that Catalyst resolves at PLANNING time — the scan touches
+    only the matching directories (PartitionFilters in the plan,
+    pinned by tests/test_plans.py), not one row of the others. The
+    difference between reading 7 days and reading 100 TB: at cluster
+    scale this layout + filter is what makes time-ranged queries on an
+    append-only fact table O(range) instead of O(history)."""
+    scratch = _scratch_dir("ppart")
+    ev = load_table(spark, d, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(scratch)
+    back = spark.read.option("basePath", scratch).parquet(scratch)
+    # partition-type inference reads the directory value back as DATE;
+    # the filter stays on the raw partition column (that's what prunes),
+    # the output casts to string to match the oracle's strftime
+    return (
+        back.filter(F.col("day").between(_PP_LO, _PP_HI))
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_python_datasource — Spark 4 Python DataSource V2 (custom source)
+# ---------------------------------------------------------------------------
+
+_PDS_N = 10_000
+_PDS_PARTS = 8
+
+
+@query(
+    "q_python_datasource",
+    oracle=f"""
+    SELECT CAST(i % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(i * i % 97) AS BIGINT) AS checksum
+    FROM range({_PDS_N}) t(i)
+    GROUP BY 1
+    """,
+    tags=("source", "engine"),
+)
+def q_python_datasource(spark: SparkSession, d: str):
+    """Custom batch source via the Spark 4 PYTHON DataSource V2 API —
+    the pure-Python connector surface (pyspark.sql.datasource): the
+    source declares its schema, splits itself into {_PDS_PARTS} input
+    partitions, and each partition's reader yields rows
+    executor-side in parallel. The template for connecting Spark to
+    any Python-reachable system (REST APIs, vector DBs, bespoke
+    formats) without writing a JVM connector; reads are
+    partition-parallel and land directly in Arrow batches.
+
+    The generator is deterministic (i, i²%97 per i) so the DuckDB
+    range() oracle reproduces it exactly."""
+    from direct_kafka_stream_spark.sources.pyds import SyntheticDataSource
+
+    try:
+        spark.dataSource.register(SyntheticDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("dks_synthetic")
+        .option("n", str(_PDS_N))
+        .option("partitions", str(_PDS_PARTS))
+        .load()
+    )
+    return df.groupBy((F.col("i") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("checksum").cast("bigint").alias("checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_exchange_reuse — one aggregate, two consumers, ONE shuffle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_exchange_reuse",
+    oracle=f"""
+    WITH m AS (
+        SELECT strftime(ts, '%Y-%m') AS month,
+               {dsum_sql('value')} AS rev
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT month, rev,
+           round(rev / NULLIF((SELECT SUM(rev) FROM m), 0.0), 6) AS share
+    FROM m
+    """,
+    tags=("plan", "engine"),
+)
+def q_exchange_reuse(spark: SparkSession, d: str):
+    """Monthly revenue share-of-total from ONE aggregate read twice —
+    the diamond DAG: the monthly rollup feeds both the detail rows and
+    the global total, and Spark plans a single shuffle with a
+    ReusedExchange for the second consumer (pinned AQE-off by
+    tests/test_plans.py; under AQE the same dedup happens via shuffle-
+    stage reuse). The engine-level sharing that makes same-CTE-twice
+    queries pay for their exchange once — at 100 TB this halves the
+    shuffle volume of every share-of-total / compare-to-aggregate
+    query. (A prior-month SELF-JOIN variant would NOT reuse: the join
+    pushes asymmetric isnotnull filters into the two branches and
+    breaks canonical plan equality — the negative case the plan test
+    documents.)"""
+    ev = load_table(spark, d, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    m = ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month")).agg(
+        dsum(F.col("value")).alias("rev")
+    )
+    tot = m.agg(F.sum("rev").alias("tot_rev"))
+    return m.crossJoin(F.broadcast(tot)).select(
+        "month",
+        "rev",
+        F.round(
+            F.col("rev") / F.nullif(F.col("tot_rev"), F.lit(0.0)), 6
+        ).alias("share"),
+    )

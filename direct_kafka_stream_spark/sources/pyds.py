@@ -1,0 +1,55 @@
+"""Spark 4 Python DataSource V2: a deterministic synthetic batch
+source (``format("dks_synthetic")``) demonstrating the pure-Python
+connector surface — schema declaration, input-partition planning, and
+executor-side row generation — without any JVM code.
+
+The reader is the template for Python-reachable systems (REST
+endpoints, vector stores, bespoke formats): ``partitions()`` returns
+the split plan the scheduler parallelizes over, and each ``read``
+call runs ON AN EXECUTOR, yielding tuples that Spark assembles into
+Arrow batches. State passed to readers must be picklable.
+
+Driven by q_python_datasource (operators/analytics36.py), whose
+DuckDB range() oracle reproduces the deterministic generator exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", "1000"))
+        self.num_parts = int(options.get("partitions", "4"))
+
+    def partitions(self):
+        step = max(1, -(-self.n // self.num_parts))  # ceil division
+        return [
+            _RangePartition(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield (i, (i * i) % 97)
+
+
+class SyntheticDataSource(DataSource):
+    """``spark.read.format("dks_synthetic").option("n", ...).load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dks_synthetic"
+
+    def schema(self) -> str:
+        return "i bigint, checksum bigint"
+
+    def reader(self, schema) -> SyntheticReader:
+        return SyntheticReader(self.options)

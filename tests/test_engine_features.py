@@ -1,0 +1,156 @@
+"""Engine-machinery exhibits without a registry entry (round-7,
+verdict directive #3): observation metrics, parquet _metadata hidden
+columns, and the Spark 4 transformWithStateInPandas arbitrary-stateful
+streaming processor. Each pins an engine surface a 100 TB deployment
+leans on (in-flight QA counters, file-provenance lineage, keyed state
+machines) against a batch-computed truth.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from direct_kafka_stream_spark.io import load_table
+
+from tests.conftest import SF_DIR
+
+
+def test_observe_metrics_match_aggregate(spark):
+    """df.observe collects accumulator-style metrics DURING the action
+    — the free in-flight QA counter (row counts, null counts, sums)
+    that saves a second pass over 100 TB. Values must equal a separate
+    aggregate over the same frame."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, SF_DIR, "events")
+    obs = Observation("qa")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(38,10)")).alias("total_value"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    # the action that flows through the observe node
+    n_out = observed.filter(F.col("value") >= 0).count()
+    got = obs.get
+    truth = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(38,10)")).alias("total_value"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    ).collect()[0]
+    assert got["n_rows"] == truth.n_rows == n_out + ev.filter("value < 0").count()
+    assert got["total_value"] == truth.total_value
+    assert got["n_errors"] == truth.n_errors
+
+
+def test_metadata_columns_expose_file_provenance(spark, tmp_path):
+    """The parquet source's hidden _metadata struct gives per-row file
+    provenance (path, size, modification time) with no extra scan —
+    the lineage primitive for per-file quarantine/compaction decisions
+    at corpus scale."""
+    src = tmp_path / "prov"
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(str(src / "even"))
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(str(src / "odd"))
+    back = spark.read.option("recursiveFileLookup", "true").parquet(str(src))
+    per_file = (
+        back.select("doc_id", F.col("_metadata.file_path").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("doc_id") % 2).alias("parity_sum"),
+        )
+        .collect()
+    )
+    data_files = [r for r in per_file if r.fp.endswith(".parquet")]
+    assert len(data_files) == 2
+    for r in data_files:
+        # every row in a file shares that file's parity by construction
+        assert r.parity_sum in (0, r.n), r
+    assert sum(r.n for r in data_files) == 40
+
+
+def test_transform_with_state_running_counts(spark, tmp_path):
+    """transformWithStateInPandas — Spark 4's arbitrary-stateful
+    processor API (typed state handles, per-key timers) — maintains a
+    running per-event-type count across micro-batches; after the run
+    the final emitted counts equal the batch groupBy. The modern
+    replacement for applyInPandasWithState keyed state machines."""
+    try:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+    except ImportError:
+        pytest.skip("transformWithStateInPandas API not present")
+    # the state-server protocol needs protobuf, which this sandbox
+    # lacks (same class of env gate as the real-Kafka-broker tests);
+    # the API surface above still import-checks
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf runtime not available for the state protocol")
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "event_id")
+    src = tmp_path / "tws_src"
+    src.mkdir()
+    pdf = ev.toPandas().sort_values("event_id")
+    half = len(pdf) // 2
+    import os
+    import time as _time
+
+    now = _time.time()
+    for i, chunk in enumerate((pdf.iloc[:half], pdf.iloc[half:]), start=1):
+        p = src / f"b{i}.parquet"
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (now - (3 - i) * 60, now - (3 - i) * 60))
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = sum(len(pdf_) for pdf_ in rows)
+            prev = self._count.get()[0] if self._count.exists() else 0
+            self._count.update((prev + total,))
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "n": [prev + total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    seen: dict[str, int] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            seen[r.event_type] = max(seen.get(r.event_type, 0), r.n)
+
+    stream = (
+        spark.readStream.schema("event_type string, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.groupBy("event_type")
+        .transformWithStateInPandas(
+            RunningCount(),
+            outputStructType="event_type string, n bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    truth = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert seen == truth

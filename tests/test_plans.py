@@ -722,3 +722,81 @@ def test_holt_reduces_before_the_pandas_stage(spark):
     # the aggregate (daily reduction) is a descendant of the pandas
     # stage: it appears after it in the top-down formatted plan
     assert plan.index("FlatMapGroupsInPandas") < plan.rindex("HashAggregate")
+
+
+def test_bucket_join_has_no_exchange(spark):
+    """q_bucket_join's layout contract: with broadcast disabled, the
+    join over the two bucketed tables is a SortMergeJoin with ZERO
+    Exchange below it — the bucket layout replaced the shuffle. (The
+    formatted plan lists leaves first, so "below the join" is BEFORE
+    the SortMergeJoin line; the final agg above it still shuffles its
+    handful of priority groups.)"""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["q_bucket_join"].spark(spark, SF_DIR)
+        plan = inspect.physical_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    import re
+
+    assert "SortMergeJoin" in plan
+    # formatted node ids are bottom-up (leaves lowest): every Exchange
+    # must sit ABOVE the join (the final agg's group shuffle), never
+    # below it where the bucket layout did the work
+    join_id = int(re.search(r"\((\d+)\) SortMergeJoin", plan).group(1))
+    exchange_ids = [int(m) for m in re.findall(r"\((\d+)\) Exchange", plan)]
+    assert all(e > join_id for e in exchange_ids), (join_id, exchange_ids)
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_partition_prune_pushes_partition_filters(spark):
+    """q_partition_prune's scan must carry non-empty PartitionFilters
+    on the day range — pruning resolved at planning time."""
+    df = QUERIES["q_partition_prune"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "PartitionFilters: [" in plan
+    seg = plan[plan.index("PartitionFilters: [") :]
+    head = seg[: seg.index("]")]
+    assert "day" in head and "2024-01-08" in head
+
+
+def test_exchange_reuse_single_shuffle(spark):
+    """q_exchange_reuse: the monthly aggregate feeding both the detail
+    rows and the global total is shuffled once — the second consumer
+    is a ReusedExchange. Pinned with AQE off (the static planner's
+    ReuseExchangeAndSubquery rule); under AQE the same dedup happens
+    at runtime via shuffle-stage reuse but is not visible as a plan
+    node."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    # build FIRST (the registry callable re-applies tune_session, which
+    # turns AQE back on), then disable AQE for the lazy planning pass
+    df = QUERIES["q_exchange_reuse"].spark(spark, SF_DIR)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = inspect.physical_plan(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "ReusedExchange" in plan
+
+
+def test_cogroup_asof_single_exchange_per_side(spark):
+    """q_cogroup_asof: one hash exchange per input side feeding the
+    FlatMapCoGroupsInPandas node — no extra shuffles around the
+    per-key compute."""
+    import re
+
+    df = QUERIES["q_cogroup_asof"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    # the formatted plan prints each node twice (tree + detail); count
+    # the numbered detail entries
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_map_in_arrow_is_shuffle_free(spark):
+    """q_map_in_arrow: a pure scan → ArrowEvalPython/MapInArrow stage —
+    zero exchanges."""
+    df = QUERIES["q_map_in_arrow"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "Exchange" not in plan

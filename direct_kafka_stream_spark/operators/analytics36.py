@@ -371,3 +371,96 @@ def q_exchange_reuse(spark: SparkSession, d: str):
             F.col("rev") / F.nullif(F.col("tot_rev"), F.lit(0.0)), 6
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sql_pipe — Spark 4 SQL pipe syntax end-to-end
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_pipe",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY l_returnflag
+    """,
+    tags=("sql", "engine"),
+)
+def q_sql_pipe(spark: SparkSession, d: str):
+    """The same filter→aggregate expressed in Spark 4's SQL PIPE
+    syntax (`FROM t |> WHERE ... |> AGGREGATE ... GROUP BY ...`) — the
+    linear query dialect that reads in execution order. The pipe
+    operators lower to the identical Catalyst logical plan as the
+    nested form (same pushdown, same partial aggregation), so this is
+    a parser-surface exhibit with a classic-SQL oracle proving the
+    semantics match engine-for-engine."""
+    load_table(spark, d, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity >= 25
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                         AS DECIMAL(38,10))), 4) AS DOUBLE)
+                         AS revenue
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n, revenue
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sql_udf — SQL-defined scalar + table functions (optimizer-inlined)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_udf",
+    oracle=f"""
+    WITH b AS (
+        SELECT o_orderpriority,
+               o_totalprice * (1 - 0.04) AS net,
+               CASE WHEN o_totalprice >= 200000 THEN 'big'
+                    WHEN o_totalprice >= 50000 THEN 'mid'
+                    ELSE 'small' END AS bucket
+        FROM orders
+    )
+    SELECT o_orderpriority, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('net')} AS net_total
+    FROM b GROUP BY o_orderpriority, bucket
+    """,
+    tags=("sql", "udf", "engine"),
+)
+def q_sql_udf(spark: SparkSession, d: str):
+    """SQL-defined functions (CREATE FUNCTION ... RETURN expr) applied
+    over orders — the UDF form that costs NOTHING at execution: the
+    analyzer inlines the body into the plan, so pushdown, constant
+    folding and whole-stage codegen all still apply (unlike any
+    Python/JVM lambda UDF, which is an optimization barrier). The
+    right default for reusable business logic at 100 TB; the oracle
+    inlines the same expressions by hand to prove semantic identity."""
+    load_table(spark, d, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION dks_net(p DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - 0.04)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION dks_bucket(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p >= 200000 THEN 'big' "
+        "WHEN p >= 50000 THEN 'mid' ELSE 'small' END"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, dks_bucket(o_totalprice) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(dks_net(o_totalprice)
+                                   AS DECIMAL(38,10))), 4) AS DOUBLE)
+                   AS net_total
+        FROM orders GROUP BY o_orderpriority, dks_bucket(o_totalprice)
+        """
+    )

@@ -15,7 +15,12 @@ DuckDB range() oracle reproduces the deterministic generator exactly.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _RangePartition(InputPartition):
@@ -53,3 +58,41 @@ class SyntheticDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticReader:
         return SyntheticReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SyntheticStreamReader":
+        return SyntheticStreamReader(self.options)
+
+
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader: each poll emits the next ``batch_size`` ids
+    until ``n`` is exhausted — offsets are plain dicts checkpointed by
+    the engine, ``readBetweenOffsets`` replays deterministically on
+    recovery (the replayable-source contract Kafka fulfills with
+    offsets; KafkaDirectStream.scala:84-105 hand-rolled the same thing
+    in ZooKeeper)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", "1000"))
+        self.batch_size = int(options.get("batchSize", "100"))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        # iter(list), not a generator: the engine prefetches with
+        # next() AND copy.copy()s the cached iterator between planning
+        # and execution — list iterators support both, generators don't
+        lo = int(start["pos"])
+        hi = min(lo + self.batch_size, self.n)
+        return (iter([(i, (i * i) % 97) for i in range(lo, hi)]), {"pos": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [
+                (i, (i * i) % 97)
+                for i in range(int(start["pos"]), int(end["pos"]))
+            ]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -154,3 +154,48 @@ def test_transform_with_state_running_counts(spark, tmp_path):
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert seen == truth
+
+
+def test_python_datasource_stream_reader(spark, tmp_path):
+    """The Python DataSource's STREAMING half: the same dks_synthetic
+    source read via readStream emits micro-batches paced by dict
+    offsets the engine checkpoints (the replayable-offset contract the
+    reference hand-rolled in ZooKeeper, KDS:84-105). Accumulated rows
+    across all batches must equal the batch-read result exactly, and
+    more than one micro-batch must actually fire."""
+    from direct_kafka_stream_spark.sources.pyds import SyntheticDataSource
+
+    try:
+        spark.dataSource.register(SyntheticDataSource)
+    except Exception:
+        pass
+
+    batches: list[tuple[int, int]] = []
+    seen_rows: list[tuple[int, int]] = []
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.collect()
+        batches.append((batch_id, len(rows)))
+        seen_rows.extend((r.i, r.checksum) for r in rows)
+
+    q = (
+        spark.readStream.format("dks_synthetic")
+        .option("n", "500")
+        .option("batchSize", "120")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_pyds"))
+        .start()
+    )
+    # free-running micro-batches (availableNow would poll the simple
+    # reader exactly once); stop once the source is drained
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline and len(seen_rows) < 500:
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    assert len([b for b in batches if b[1] > 0]) >= 2, batches
+    expected = [(i, (i * i) % 97) for i in range(500)]
+    assert sorted(seen_rows) == expected

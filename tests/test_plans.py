@@ -800,3 +800,15 @@ def test_map_in_arrow_is_shuffle_free(spark):
     df = QUERIES["q_map_in_arrow"].spark(spark, SF_DIR)
     plan = inspect.physical_plan(df)
     assert "Exchange" not in plan
+
+
+def test_pandas_api_lowers_without_python_nodes(spark):
+    """q_pandas_api: the pandas-on-Spark program must lower to pure
+    Catalyst aggregates — no Python evaluation nodes and no
+    AttachDistributedSequence (the index generator that would force a
+    single-partition pass) anywhere in the plan."""
+    df = QUERIES["q_pandas_api"].spark(spark, SF_DIR)
+    plan = inspect.physical_plan(df)
+    assert "HashAggregate" in plan
+    for bad in ("EvalPython", "AttachDistributedSequence", "MapInPandas"):
+        assert bad not in plan, bad

@@ -262,7 +262,13 @@ def q_partition_prune(spark: SparkSession, d: str):
         "day", F.date_format("ts", "yyyy-MM-dd")
     )
     ev.write.mode("overwrite").partitionBy("day").parquet(scratch)
-    back = spark.read.option("basePath", scratch).parquet(scratch)
+    # explicit schema: a zero-row write creates no partition dirs, and
+    # schema inference would fail on the empty layout
+    back = (
+        spark.read.schema(ev.schema)
+        .option("basePath", scratch)
+        .parquet(scratch)
+    )
     # partition-type inference reads the directory value back as DATE;
     # the filter stays on the raw partition column (that's what prunes),
     # the output casts to string to match the oracle's strftime

@@ -154,13 +154,20 @@ def q_ml_linreg(spark: SparkSession, d: str):
     li = load_table(spark, d, "lineitem").select(
         "l_quantity", "l_discount", "l_extendedprice"
     )
+    n = li.count()
+    if n == 0:
+        # ML's fit asserts non-empty; the oracle's normal equations
+        # degrade to NULL coefficients on zero rows — match that
+        return spark.createDataFrame(
+            [(0, None, None, None)],
+            "n bigint, b0 double, b1 double, b2 double",
+        )
     tr = VectorAssembler(
         inputCols=["l_quantity", "l_discount"], outputCol="f"
     ).transform(li).select("f", F.col("l_extendedprice").alias("y"))
     model = LinearRegression(
         featuresCol="f", labelCol="y", regParam=0.0, solver="normal"
     ).fit(tr)
-    n = li.count()
     b1, b2 = (float(c) for c in model.coefficients)
     b0 = float(model.intercept)
     return spark.createDataFrame(

@@ -232,6 +232,16 @@ _REPRESENTATIVE = [
     "q_propensity_strata", # strata with a NULL size normalizer
     "q_logrank",          # risk sets over zero durations
     "q_cmh",              # pooled 2x2 over zero strata
+    # round-7 additions
+    "q_map_in_arrow",     # Arrow kernels over zero record batches
+    "q_cogroup_asof",     # cogrouped UDF with both sides empty
+    "q_bucket_join",      # bucketed write + join of zero rows
+    "q_partition_prune",  # partitioned write of zero rows (no dirs)
+    "q_exchange_reuse",   # reused aggregate over zero months
+    "q_sql_pipe",         # pipe aggregate over zero lines
+    "q_sql_udf",          # SQL-UDF rollup over zero orders
+    "q_pandas_api",       # pandas-on-Spark groupby over zero rows
+    "q_ml_linreg",        # normal-equation fit over zero rows
 ]
 
 
@@ -459,5 +469,8 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         assert [tuple(r) for r in rows] == [(None, None, None, 1)]
     elif name == "q_cmh":
         assert [tuple(r) for r in rows] == [(0, None, None)]
+    elif name == "q_ml_linreg":
+        # zero rows: singular normal equations, NULL coefficients
+        assert [tuple(r) for r in rows] == [(0, None, None, None)]
     else:
         assert rows == []

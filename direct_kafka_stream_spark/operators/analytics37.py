@@ -154,12 +154,36 @@ def q_ml_linreg(spark: SparkSession, d: str):
     li = load_table(spark, d, "lineitem").select(
         "l_quantity", "l_discount", "l_extendedprice"
     )
-    n = li.count()
-    if n == 0:
-        # ML's fit asserts non-empty; the oracle's normal equations
-        # degrade to NULL coefficients on zero rows — match that
+    # Singularity gate (one moment pass, SAME arithmetic as the
+    # oracle): ML's WLS degrades a singular system to zero
+    # coefficients + mean intercept, while the closed-form oracle
+    # yields NULLs via NULLIF(det, 0.0) — on constant/collinear
+    # features (the degenerate-input sweep) the two would diverge.
+    # Computing the identical Cramer determinant from the identical
+    # exact-decimal moments, in the identical operation order, makes
+    # the gate bit-equal to the oracle's.
+    from direct_kafka_stream_spark.exprs import dsum
+
+    q, disc, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    mm = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(q).alias("s1"),
+        dsum(disc).alias("s2"),
+        dsum(q * q).alias("s11"),
+        dsum(q * disc).alias("s12"),
+        dsum(disc * disc).alias("s22"),
+    ).collect()[0]
+    n = int(mm.n)
+    det = (
+        (mm.n * ((mm.s11 or 0.0) * (mm.s22 or 0.0) - (mm.s12 or 0.0) ** 2)
+         - (mm.s1 or 0.0) * ((mm.s1 or 0.0) * (mm.s22 or 0.0) - (mm.s12 or 0.0) * (mm.s2 or 0.0))
+         + (mm.s2 or 0.0) * ((mm.s1 or 0.0) * (mm.s12 or 0.0) - (mm.s11 or 0.0) * (mm.s2 or 0.0)))
+        if n
+        else 0.0
+    )
+    if det == 0.0:
         return spark.createDataFrame(
-            [(0, None, None, None)],
+            [(n, None, None, None)],
             "n bigint, b0 double, b1 double, b2 double",
         )
     tr = VectorAssembler(

@@ -70,6 +70,10 @@ _FORMERLY_CRASHING = [
     # every column-1 margin is 0 — chi2 variance and the MH odds ratio
     # must degrade to NULL
     ("q_cmh", ("chi2_cmh", "odds_ratio_mh")),
+    # round-7: constant features make the normal equations singular —
+    # the ML path must gate on the SAME Cramer determinant the oracle
+    # NULLIFs, not on ML's zero-coefficient degradation
+    ("q_ml_linreg", ("b0", "b1", "b2")),
 ]
 
 

@@ -650,6 +650,14 @@ def q_curation_pipeline(spark: SparkSession, d: str):
     shuffles are the signature groupBy and the (band, mh) candidate
     join — the same shape this runs at 100 TB, where each stage's
     output feeds the next without materializing to storage."""
+    return curation_pipeline_on(load_table(spark, d, "documents"))
+
+
+def curation_pipeline_on(raw_docs):
+    """Composable form over any documents-shaped frame — also the
+    batch analog the incremental streaming twin and its hypothesis
+    property test compare against (tests/test_streaming.py,
+    tests/test_properties.py)."""
     from direct_kafka_stream_spark.operators.llm import (
         _jaccard_on_pairs,
         _materialized,
@@ -658,7 +666,7 @@ def q_curation_pipeline(spark: SparkSession, d: str):
         _word_arrays,
     )
 
-    docs = _spread(load_table(spark, d, "documents")).filter(
+    docs = _spread(raw_docs).filter(
         F.col("lang").isin(*_CURATION_LANGS)
         & F.col("n_chars").between(50, 100000)
     )

@@ -873,3 +873,84 @@ def test_median_ci_matches_brute_force(spark, vals):
     assert row.median == xs[r_med - 1]
     assert row.ci_lo == xs[r_lo - 1]
     assert row.ci_hi == xs[r_hi - 1]
+
+
+# ---------------------------------------------------------------------------
+# Incremental curation == batch pipeline for ANY corpus and ANY
+# doc_id-ordered batch split (round-7: generalizes the fixed 3-way
+# fixture split in tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+
+_WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+          "golf", "hotel", "india", "juliet"]
+
+
+@given(
+    docs_spec=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # base phrase family
+            st.integers(min_value=0, max_value=2),   # mutation: 0=clone
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    cut=st.tuples(
+        st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+    ),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_curation_equals_batch_for_any_split(spark, docs_spec, cut):
+    """curation_apply_batch accumulated over an arbitrary
+    doc_id-ordered split == curation_pipeline_on over the union —
+    exact dedup, LSH candidates and tau-drops included."""
+    from direct_kafka_stream_spark.operators.llm2 import curation_pipeline_on
+    from direct_kafka_stream_spark.streaming.transforms import (
+        CURATION_BANDS_SCHEMA,
+        CURATION_SEEN_SCHEMA,
+        CURATION_WARR_SCHEMA,
+        curation_apply_batch,
+    )
+
+    rows = []
+    for i, (fam, mut) in enumerate(docs_spec):
+        # family phrase long enough to clear the 50-char gate; mutation
+        # 0 clones the family exactly (exact dup), 1 appends one word
+        # (near dup), 2 rewrites half the words (distinct)
+        base_words = [_WORDS[(fam * 3 + k) % len(_WORDS)] for k in range(12)]
+        if mut == 1:
+            words = base_words + ["extraword"]
+        elif mut == 2:
+            words = base_words[:6] + [
+                _WORDS[(fam + k) % len(_WORDS)] + "x" for k in range(6)
+            ]
+        else:
+            words = base_words
+        text = " ".join(words)
+        rows.append((i, text, "en", "s", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    expected = sorted(
+        (r.doc_id, int(r.n_tokens))
+        for r in curation_pipeline_on(docs).collect()
+    )
+
+    c1, c2 = sorted(min(c, len(rows)) for c in cut)
+    parts = [
+        docs.filter(F.col("doc_id") < c1),
+        docs.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+        docs.filter(F.col("doc_id") >= c2),
+    ]
+    seen = spark.createDataFrame([], CURATION_SEEN_SCHEMA)
+    bands = spark.createDataFrame([], CURATION_BANDS_SCHEMA)
+    warr = spark.createDataFrame([], CURATION_WARR_SCHEMA)
+    accepted = []
+    for p in parts:
+        out = curation_apply_batch(p, seen, bands, warr)
+        accepted += [(r.doc_id, int(r.n_tokens)) for r in out["accepted"].collect()]
+        seen = seen.unionByName(out["seen_delta"])
+        bands = bands.unionByName(out["bands_delta"])
+        warr = warr.unionByName(out["warr_delta"])
+    assert sorted(accepted) == expected

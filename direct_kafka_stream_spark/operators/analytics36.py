@@ -123,10 +123,16 @@ def q_cogroup_asof(spark: SparkSession, d: str):
     The equivalent q_join_asof plan is the better choice when the
     probe side is huge and unsharded — this is the better one when
     per-key logic outgrows SQL."""
+    return cogroup_asof_report(load_table(spark, d, "events"))
+
+
+def cogroup_asof_report(ev):
+    """Composable form over any events-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
     import numpy as np
     import pandas as pd
 
-    ev = load_table(spark, d, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )

@@ -821,6 +821,7 @@ def test_rate_source_generated_stream(spark, tmp_path):
         ("q_robust_scale", "robust_scale_report"),
         ("q_burstiness", "burstiness_report"),
         ("q_mann_whitney", "mann_whitney_stat"),
+        ("q_cogroup_asof", "cogroup_asof_report"),
         ("q_changepoint", "changepoint_report"),
         ("q_seasonality", "seasonality_profile"),
         ("q_cohort_ltv", "cohort_ltv_curve"),
@@ -895,6 +896,7 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
         analytics33,
         analytics34,
         analytics35,
+        analytics36,
         events_analytics,
         profiling,
         retrieval,
@@ -906,7 +908,8 @@ def test_streaming_analytics_equal_batch(spark, events_dir, tmp_path, qname, tra
                   analytics6, analytics8, analytics13, analytics16, analytics21,
                   analytics22, analytics25, analytics26, analytics28,
                   analytics29, analytics30, analytics32, analytics33,
-                  analytics34, analytics35, profiling, retrieval)
+                  analytics34, analytics35, analytics36, profiling,
+                  retrieval)
         if (t := getattr(m, transform_name, None)) is not None
     )
     expected = sorted(

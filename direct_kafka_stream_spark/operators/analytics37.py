@@ -55,19 +55,9 @@ def q_pandas_api(spark: SparkSession, d: str):
         n=("o_orderkey", "count"), biggest=("o_totalprice", "max")
     )
     sdf = agg.reset_index().to_spark()
-    # the exact-decimal revenue sum joins in from the same frontend
-    # frame (two pandas-API aggs, one Catalyst plan each)
-    totals = (
-        psdf.groupby("o_orderpriority")[["o_totalprice"]]
-        .sum()
-        .reset_index()
-        .to_spark()
-        .select(
-            "o_orderpriority",
-            F.col("o_totalprice").alias("raw_total"),
-        )
-    )
-    # recompute the decimal-contract total Spark-side for parity
+    # the exact-decimal revenue sum comes from a plain DataFrame agg
+    # (pandas-API sum is a double fold — it cannot express the
+    # decimal-cast contract the oracle uses)
     dec = (
         load_table(spark, d, "orders")
         .groupBy("o_orderpriority")

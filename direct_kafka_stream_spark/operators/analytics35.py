@@ -400,7 +400,6 @@ def logrank_stat(events):
     """Composable form over any events-shaped frame — also the
     foreachBatch streaming twin's per-batch transform
     (tests/test_streaming.py)."""
-    DECS = "decimal(38,10)"
     signup = events.filter(F.col("event_type") == "signup").groupBy(
         "user_id"
     ).agg(F.date_trunc("day", F.min("ts")).cast("date").alias("s_day"))

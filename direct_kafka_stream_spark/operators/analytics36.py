@@ -11,6 +11,7 @@ processing hook is KafkaDirectStream.scala:43-51).
 
 from __future__ import annotations
 
+import pathlib
 import uuid
 
 from pyspark.sql import SparkSession, functions as F
@@ -26,6 +27,20 @@ _SCRATCH = "/tmp/dks_spark_scratch"
 
 
 def _scratch_dir(tag: str) -> str:
+    # best-effort GC of stale siblings (> 2 h): repeated bench/driver
+    # invocations each write a fresh unique dir, and nothing else
+    # cleans /tmp between rounds
+    import shutil
+    import time
+
+    root = pathlib.Path(_SCRATCH)
+    try:
+        cutoff = time.time() - 7200
+        for p in root.iterdir():
+            if p.is_dir() and p.stat().st_mtime < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
     return f"{_SCRATCH}/{tag}_{uuid.uuid4().hex[:12]}"
 
 

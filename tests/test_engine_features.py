@@ -199,3 +199,27 @@ def test_python_datasource_stream_reader(spark, tmp_path):
     assert len([b for b in batches if b[1] > 0]) >= 2, batches
     expected = [(i, (i * i) % 97) for i in range(500)]
     assert sorted(seen_rows) == expected
+
+
+def test_arrow_optimized_scalar_udf_matches_row_udf(spark):
+    """Spark 4's Arrow-optimized scalar Python UDF (useArrow=True)
+    must produce exactly the row-UDF result while batching transfers
+    through Arrow — the drop-in acceleration for legacy @udf code
+    that can't be rewritten to pandas_udf."""
+    from pyspark.sql.functions import udf
+
+    def tag(price: float) -> str:
+        return f"{'hi' if price >= 100000 else 'lo'}:{int(price) % 7}"
+
+    row_udf = udf(tag, "string")
+    arrow_udf = udf(tag, "string", useArrow=True)
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    a = sorted(
+        (r.o_orderkey, r.t)
+        for r in o.select("o_orderkey", row_udf("o_totalprice").alias("t")).collect()
+    )
+    b = sorted(
+        (r.o_orderkey, r.t)
+        for r in o.select("o_orderkey", arrow_udf("o_totalprice").alias("t")).collect()
+    )
+    assert a == b and len(a) == o.count()

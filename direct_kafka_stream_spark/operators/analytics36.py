@@ -70,6 +70,13 @@ def q_map_in_arrow(spark: SparkSession, d: str):
     cheapest Python escape hatch Spark has, and the template for any
     custom columnar kernel (tokenizers, codecs) at 100 TB: one pass,
     partition-parallel, zero shuffle, fixed-width outputs."""
+    return arrow_counts(load_table(spark, d, "documents"))
+
+
+def arrow_counts(docs):
+    """Composable form over any documents-shaped frame — also the
+    foreachBatch streaming twin's per-batch transform
+    (tests/test_streaming.py)."""
 
     def counts(batches):
         import pyarrow as pa
@@ -87,8 +94,7 @@ def q_map_in_arrow(spark: SparkSession, d: str):
                 names=["doc_id", "n_bytes", "n_chars", "n_spaces"],
             )
 
-    docs = load_table(spark, d, "documents").select("doc_id", "text")
-    return docs.mapInArrow(
+    return docs.select("doc_id", "text").mapInArrow(
         counts, "doc_id long, n_bytes long, n_chars long, n_spaces long"
     )
 

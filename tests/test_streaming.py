@@ -1441,6 +1441,7 @@ def documents_dir(spark, tmp_path_factory):
         ("q_hapax", "hapax_report"),
         ("q_k_anonymity", "k_anonymity_census"),
         ("q_textrank", "textrank_on"),
+        ("q_map_in_arrow", "arrow_counts"),
     ],
 )
 def test_streaming_documents_analytics_equal_batch(
@@ -1459,6 +1460,7 @@ def test_streaming_documents_analytics_equal_batch(
         analytics28,
         analytics32,
         analytics34,
+        analytics36,
         llm,
         llm3,
         profiling,
@@ -1468,7 +1470,7 @@ def test_streaming_documents_analytics_equal_batch(
     transform = next(
         t
         for m in (llm, llm3, profiling, analytics27, analytics28,
-                  analytics32, analytics34)
+                  analytics32, analytics34, analytics36)
         if (t := getattr(m, transform_name, None)) is not None
     )
     expected = sorted(

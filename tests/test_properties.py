@@ -954,3 +954,77 @@ def test_incremental_curation_equals_batch_for_any_split(spark, docs_spec, cut):
         bands = bands.unionByName(out["bands_delta"])
         warr = warr.unionByName(out["warr_delta"])
     assert sorted(accepted) == expected
+
+
+# ---------------------------------------------------------------------------
+# As-of joins vs brute force: the union + one-shuffle + running-window
+# composition must equal the textbook "most recent at-or-before" /
+# "nearest at-or-after" scan for ANY event multiset, including ties at
+# equal timestamps (max view value wins) and probe rows with no match.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user
+            st.integers(min_value=0, max_value=5),  # second offset
+            st.booleans(),                          # is click (else view)
+            st.integers(min_value=1, max_value=9),  # value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_joins_match_brute_force(spark, evs):
+    import pandas as pd
+    import tempfile
+
+    from direct_kafka_stream_spark.registry import QUERIES
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(evs)),
+            "ts": pd.Series(
+                [base + pd.Timedelta(seconds=t) for _, t, _, _ in evs]
+            ).astype("datetime64[us]"),
+            "user_id": [u for u, _, _, _ in evs],
+            "event_type": ["click" if c else "view" for _, _, c, _ in evs],
+            "value": [float(v) for _, _, _, v in evs],
+            "props": ["{}"] * len(evs),
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        pdf.to_parquet(f"{td}/events.parquet")
+        back = {
+            r.event_id: r.view_value
+            for r in QUERIES["q_join_asof"].spark(spark, td).collect()
+        }
+        fwd = {
+            r.event_id: r.view_value
+            for r in QUERIES["q_join_asof_forward"].spark(spark, td).collect()
+        }
+
+    views = [(u, t, v) for u, t, c, v in evs if not c]
+    for eid, (u, t, c, v) in enumerate(evs):
+        if not c:
+            continue
+        past = [(tt, vv) for uu, tt, vv in views if uu == u and tt <= t]
+        future = [
+            (tt, vv) for uu, tt, vv in views if uu == u and tt >= t
+        ]
+        # backward: the LATEST view at-or-before; max value among ties
+        want_back = None
+        if past:
+            tmax = max(tt for tt, _ in past)
+            want_back = float(max(vv for tt, vv in past if tt == tmax))
+        # forward: the NEAREST following view; max value among ties
+        want_fwd = None
+        if future:
+            tmin = min(tt for tt, _ in future)
+            want_fwd = float(max(vv for tt, vv in future if tt == tmin))
+        assert back[eid] == want_back, ("backward", eid)
+        assert fwd[eid] == want_fwd, ("forward", eid)

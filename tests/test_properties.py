@@ -1028,3 +1028,37 @@ def test_asof_joins_match_brute_force(spark, evs):
             want_fwd = float(max(vv for tt, vv in future if tt == tmin))
         assert back[eid] == want_back, ("backward", eid)
         assert fwd[eid] == want_fwd, ("forward", eid)
+
+
+@given(
+    keys=st.sets(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+    bucket_width=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ranged_islands_match_brute_force(spark, keys, bucket_width):
+    """ranged_islands (bucket-local islands + boundary stitch) == the
+    brute-force consecutive-run scan for ANY key set and ANY bucket
+    width — islands spanning several buckets, edge-aligned islands,
+    singletons, width-1 buckets (every island stitched from
+    singletons)."""
+    from direct_kafka_stream_spark.operators.scale_variants import (
+        ranged_islands,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = [
+        (r.island_start, r.island_end, r.island_len)
+        for r in ranged_islands(df, bucket_width).collect()
+    ]
+    ks = sorted(keys)
+    want = []
+    start = prev = ks[0]
+    for k in ks[1:]:
+        if k == prev + 1:
+            prev = k
+            continue
+        want.append((start, prev, prev - start + 1))
+        start = prev = k
+    want.append((start, prev, prev - start + 1))
+    assert got == want

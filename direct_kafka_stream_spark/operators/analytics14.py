@@ -73,12 +73,19 @@ def q_lateness_watermark(spark: SparkSession, d: str):
     max(local_runmax, previous blocks' high) via one broadcast join.
     Identical output to the oracle's global window, no unbounded
     partition anywhere."""
-    e = load_table(spark, d, "events")
+    return lateness_profile(load_table(spark, d, "events"))
+
+
+def lateness_profile(e, block: int = _LATE_BLOCK):
+    """Composable form over any events-shaped frame — also the
+    property-test entry point (brute-force global running max on
+    arbitrary arrival orders and small blocks,
+    tests/test_properties.py)."""
     arr = e.select(
         "event_id",
         "event_type",
         epoch_s("ts").alias("es"),
-        F.floor(F.col("event_id") / _LATE_BLOCK).alias("blk"),
+        F.floor(F.col("event_id") / block).alias("blk"),
     )
     w_local = (
         Window.partitionBy("blk")

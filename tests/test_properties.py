@@ -1062,3 +1062,67 @@ def test_ranged_islands_match_brute_force(spark, keys, bucket_width):
         start = prev = k
     want.append((start, prev, prev - start + 1))
     assert got == want
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),      # event type index
+            st.integers(min_value=0, max_value=500),    # event-time second
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    block=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lateness_stitched_runmax_matches_global(spark, evs, block):
+    """lateness_profile's block-stitched running max == the global
+    arrival-order running max for ANY arrival sequence and ANY block
+    size (down to 1, where every event stitches across blocks)."""
+    import datetime
+
+    import numpy as np
+
+    from direct_kafka_stream_spark.operators.analytics14 import (
+        _LATE_TAU,
+        lateness_profile,
+    )
+
+    base = 1_704_067_200
+    rows_ = [
+        (
+            i,
+            datetime.datetime.utcfromtimestamp(base + s),
+            i % 5,
+            "click" if t == 0 else "view",
+            1.0,
+            "{}",
+        )
+        for i, (t, s) in enumerate(evs)
+    ]
+    e = spark.createDataFrame(
+        rows_,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r.event_type: (r.n, r.n_late, r.p50_late_s, r.p95_late_s, r.max_late_s)
+        for r in lateness_profile(e, block=block).collect()
+    }
+
+    lates: dict[str, list[int]] = {}
+    high = None
+    for i, (t, s) in enumerate(evs):
+        late = max((high - s) if high is not None else 0, 0)
+        lates.setdefault("click" if t == 0 else "view", []).append(late)
+        high = s if high is None else max(high, s)
+    assert set(got) == set(lates)
+    for et, ls in lates.items():
+        n, n_late, p50, p95, mx = got[et]
+        assert n == len(ls)
+        assert n_late == sum(1 for x in ls if x > _LATE_TAU)
+        assert mx == max(ls)
+        assert abs(p50 - float(np.percentile(ls, 50))) < 1e-6
+        assert abs(p95 - float(np.percentile(ls, 95))) < 1e-6

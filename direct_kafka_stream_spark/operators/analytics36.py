@@ -170,10 +170,17 @@ def cogroup_asof_report(ev):
     )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty:
+        # Catalyst prunes cogroup INPUT columns down to the grouping
+        # key when the query's own output is discarded (e.g. a bare
+        # .count(), whose cardinality Spark derives without the
+        # values) — guard so those plans run instead of KeyError-ing;
+        # any plan that reads the output receives full-column inputs.
+        if left.empty or "user_id" not in left.columns:
             return pd.DataFrame(
                 columns=["user_id", "n_clicks", "n_converted", "total_wait_s"]
             )
+        if "user_id" not in right.columns:
+            right = pd.DataFrame({"user_id": [], "ts": []})
         p_by_user: dict[int, np.ndarray] = {
             int(u): np.sort(g["ts"].values.astype("datetime64[ns]").astype("int64"))
             for u, g in right.groupby("user_id", sort=False)
@@ -182,11 +189,17 @@ def cogroup_asof_report(ev):
         for u, g in left.groupby("user_id", sort=False):
             c_ns = g["ts"].values.astype("datetime64[ns]").astype("int64")
             p_ns = p_by_user.get(int(u), np.empty(0, dtype="int64"))
+            if len(p_ns) == 0:
+                # clicks but no purchases: np.where evaluates both
+                # branches eagerly, so the indexed path below would
+                # IndexError on the empty array
+                out.append((int(u), len(g), 0, 0))
+                continue
             idx = np.searchsorted(p_ns, c_ns, side="left")
             hit = idx < len(p_ns)
             c_s = c_ns // 1_000_000_000
             p_s = (
-                np.where(hit, p_ns[np.minimum(idx, max(len(p_ns) - 1, 0))], 0)
+                np.where(hit, p_ns[np.minimum(idx, len(p_ns) - 1)], 0)
                 // 1_000_000_000
             )
             wait = np.where(hit, p_s - c_s, 0)

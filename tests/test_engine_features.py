@@ -223,3 +223,32 @@ def test_arrow_optimized_scalar_udf_matches_row_udf(spark):
         for r in o.select("o_orderkey", arrow_udf("o_totalprice").alias("t")).collect()
     )
     assert a == b and len(a) == o.count()
+
+
+def test_cogroup_asof_pruned_and_matchless_paths(spark):
+    """Two cogroup hazards pinned: (1) a bare .count() plan lets
+    Catalyst prune the cogroup's right-side INPUT columns to the
+    grouping key, so the UDF must tolerate key-only frames; (2) a user
+    with clicks but no purchases hands the merge an empty purchase
+    array, which np.where's eager evaluation would index out of
+    bounds. Both crashed before round 7's guards."""
+    import datetime
+
+    from direct_kafka_stream_spark.operators.analytics36 import (
+        cogroup_asof_report,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (0, base, 1, "click", 1.0, "{}"),
+            (1, base, 2, "click", 1.0, "{}"),
+            (2, base, 2, "purchase", 5.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = cogroup_asof_report(ev)
+    assert out.count() == 2  # the count-only (input-pruned) plan runs
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [(1, 1, 0, 0), (2, 1, 1, 0)]

@@ -26,22 +26,47 @@ from direct_kafka_stream_spark.registry import query
 _SCRATCH = "/tmp/dks_spark_scratch"
 
 
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return True  # exists but not ours (EPERM)
+    return True
+
+
 def _scratch_dir(tag: str) -> str:
-    # best-effort GC of stale siblings (> 2 h): repeated bench/driver
-    # invocations each write a fresh unique dir, and nothing else
-    # cleans /tmp between rounds
+    # best-effort GC of stale siblings: dir names embed the creating
+    # pid, so a dead owner's dirs are reclaimed immediately while a
+    # LIVE session's dirs are never deleted out from under a
+    # still-registered table (the old 2 h age cutoff could do exactly
+    # that in a long bench session); ownerless legacy dirs fall back
+    # to a 24 h age cutoff, far above any plausible session
+    import os
     import shutil
     import time
 
     root = pathlib.Path(_SCRATCH)
     try:
-        cutoff = time.time() - 7200
+        cutoff = time.time() - 86_400
         for p in root.iterdir():
-            if p.is_dir() and p.stat().st_mtime < cutoff:
+            if not p.is_dir():
+                continue
+            parts = p.name.split("_")
+            owner = int(parts[-2]) if len(parts) >= 3 and parts[-2].isdigit() else None
+            stale = (
+                not _pid_alive(owner)
+                if owner is not None
+                else p.stat().st_mtime < cutoff
+            )
+            if stale:
                 shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass
-    return f"{_SCRATCH}/{tag}_{uuid.uuid4().hex[:12]}"
+    return f"{_SCRATCH}/{tag}_{os.getpid()}_{uuid.uuid4().hex[:12]}"
 
 
 # ---------------------------------------------------------------------------
@@ -154,13 +179,89 @@ def q_cogroup_asof(spark: SparkSession, d: str):
 _COGROUP_BUCKETS = 64
 
 
+def _cogroup_merge(left, right):
+    """Per-bucket click→next-purchase merge, FULLY vectorized: one
+    sort per side, one ``pd.merge_asof`` (by=user_id, forward), one
+    grouped aggregate — zero Python-per-user iterations. The matched
+    purchase is carried as a row INDEX (small int, exact in the
+    float64 the merge emits for misses) and the ns timestamp is
+    re-read from the int64 source array, because ns epochs (~1.7e18)
+    exceed float64's 2^53 integer range and would round."""
+    import numpy as np
+    import pandas as pd
+
+    _OUT = ["user_id", "n_clicks", "n_converted", "total_wait_s"]
+    if left.empty:
+        return pd.DataFrame(columns=_OUT)
+    if "user_id" not in left.columns:
+        # Catalyst prunes cogroup INPUT columns down to the grouping
+        # key when a plan discards the UDF's output. Spark today does
+        # this only to the RIGHT side (pinned in
+        # tests/test_engine_features.py); if a future planner prunes
+        # the LEFT, fail loudly instead of silently returning 0 rows
+        # to a .count().
+        raise RuntimeError(
+            "cogroup_asof_report: left cogroup input was pruned to "
+            f"columns {list(left.columns)} — the plan discarded the "
+            "UDF output; read the result instead of only counting it"
+        )
+    if "user_id" not in right.columns:
+        right = pd.DataFrame({"user_id": [], "ts": []})
+    l = pd.DataFrame(
+        {
+            "user_id": left["user_id"].to_numpy(np.int64),
+            "c_ns": left["ts"].to_numpy("datetime64[ns]").astype(np.int64),
+        }
+    ).sort_values("c_ns", kind="mergesort", ignore_index=True)
+    r = pd.DataFrame(
+        {
+            "user_id": right["user_id"].to_numpy(np.int64),
+            "p_ns": right["ts"].to_numpy("datetime64[ns]").astype(np.int64),
+        }
+    ).sort_values("p_ns", kind="mergesort", ignore_index=True)
+    p_ns = r["p_ns"].to_numpy()
+    r["ridx"] = np.arange(len(r), dtype=np.int64)
+    if r.empty:
+        hit = np.zeros(len(l), dtype=bool)
+        merged = l
+    else:
+        merged = pd.merge_asof(
+            l,
+            r,
+            left_on="c_ns",
+            right_on="p_ns",
+            by="user_id",
+            direction="forward",
+            allow_exact_matches=True,
+        )
+        ridx = merged["ridx"].to_numpy(np.float64)
+        hit = ~np.isnan(ridx)
+    c_s = merged["c_ns"].to_numpy() // 1_000_000_000
+    wait = np.zeros(len(merged), dtype=np.int64)
+    if hit.any():
+        p_s = p_ns[merged["ridx"].to_numpy(np.float64)[hit].astype(np.int64)]
+        wait[hit] = p_s // 1_000_000_000 - c_s[hit]
+    return (
+        pd.DataFrame(
+            {
+                "user_id": merged["user_id"].to_numpy(),
+                "hit": hit.astype(np.int64),
+                "wait": wait,
+            }
+        )
+        .groupby("user_id", sort=False, as_index=False)
+        .agg(
+            n_clicks=("hit", "size"),
+            n_converted=("hit", "sum"),
+            total_wait_s=("wait", "sum"),
+        )
+    )
+
+
 def cogroup_asof_report(ev):
     """Composable form over any events-shaped frame — also the
     foreachBatch streaming twin's per-batch transform
     (tests/test_streaming.py)."""
-    import numpy as np
-    import pandas as pd
-
     bucket = F.pmod(F.col("user_id"), F.lit(_COGROUP_BUCKETS)).alias("bucket")
     clicks = ev.filter(F.col("event_type") == "click").select(
         bucket, "event_id", "user_id", "ts"
@@ -168,51 +269,11 @@ def cogroup_asof_report(ev):
     buys = ev.filter(F.col("event_type") == "purchase").select(
         bucket, "user_id", "ts"
     )
-
-    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # Catalyst prunes cogroup INPUT columns down to the grouping
-        # key when the query's own output is discarded (e.g. a bare
-        # .count(), whose cardinality Spark derives without the
-        # values) — guard so those plans run instead of KeyError-ing;
-        # any plan that reads the output receives full-column inputs.
-        if left.empty or "user_id" not in left.columns:
-            return pd.DataFrame(
-                columns=["user_id", "n_clicks", "n_converted", "total_wait_s"]
-            )
-        if "user_id" not in right.columns:
-            right = pd.DataFrame({"user_id": [], "ts": []})
-        p_by_user: dict[int, np.ndarray] = {
-            int(u): np.sort(g["ts"].values.astype("datetime64[ns]").astype("int64"))
-            for u, g in right.groupby("user_id", sort=False)
-        }
-        out = []
-        for u, g in left.groupby("user_id", sort=False):
-            c_ns = g["ts"].values.astype("datetime64[ns]").astype("int64")
-            p_ns = p_by_user.get(int(u), np.empty(0, dtype="int64"))
-            if len(p_ns) == 0:
-                # clicks but no purchases: np.where evaluates both
-                # branches eagerly, so the indexed path below would
-                # IndexError on the empty array
-                out.append((int(u), len(g), 0, 0))
-                continue
-            idx = np.searchsorted(p_ns, c_ns, side="left")
-            hit = idx < len(p_ns)
-            c_s = c_ns // 1_000_000_000
-            p_s = (
-                np.where(hit, p_ns[np.minimum(idx, len(p_ns) - 1)], 0)
-                // 1_000_000_000
-            )
-            wait = np.where(hit, p_s - c_s, 0)
-            out.append((int(u), len(g), int(hit.sum()), int(wait.sum())))
-        return pd.DataFrame(
-            out, columns=["user_id", "n_clicks", "n_converted", "total_wait_s"]
-        )
-
     return (
         clicks.groupBy("bucket")
         .cogroup(buys.groupBy("bucket"))
         .applyInPandas(
-            merge,
+            _cogroup_merge,
             "user_id long, n_clicks bigint, n_converted bigint, total_wait_s bigint",
         )
     )
@@ -249,6 +310,14 @@ def q_bucket_join(spark: SparkSession, d: str):
 
     The result itself is scale-independent of the layout — the oracle
     is the plain join aggregate."""
+    # drop the catalog entries left by PRIOR invocations in this
+    # session (queries run sequentially, so their DataFrames have been
+    # consumed) — otherwise table metadata accumulates per invocation;
+    # external-table DROP leaves the files, which the pid-keyed scratch
+    # GC reclaims
+    for t in spark.catalog.listTables():
+        if t.name.startswith("dks_bucket_"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     scratch = _scratch_dir("bucket")
     tag = scratch.rsplit("_", 1)[1]
     o = load_table(spark, d, "orders").select("o_orderkey", "o_orderpriority")

@@ -165,7 +165,8 @@ def q_ml_linreg(spark: SparkSession, d: str):
     ).collect()[0]
     n = int(mm.n)
     det = (
-        (mm.n * ((mm.s11 or 0.0) * (mm.s22 or 0.0) - (mm.s12 or 0.0) ** 2)
+        (mm.n * ((mm.s11 or 0.0) * (mm.s22 or 0.0)
+                 - (mm.s12 or 0.0) * (mm.s12 or 0.0))
          - (mm.s1 or 0.0) * ((mm.s1 or 0.0) * (mm.s22 or 0.0) - (mm.s12 or 0.0) * (mm.s2 or 0.0))
          + (mm.s2 or 0.0) * ((mm.s1 or 0.0) * (mm.s12 or 0.0) - (mm.s11 or 0.0) * (mm.s2 or 0.0)))
         if n

@@ -131,10 +131,24 @@ _PLAN_OPS = (
 
 
 def _plan_histogram(df: DataFrame) -> dict[str, int]:
-    """Operator histogram of the POST-execution plan (AQE final plan
-    when adaptive execution re-planned)."""
+    """Operator histogram of the POST-execution AQE final plan.
+
+    The timed noop write runs through its OWN QueryExecution, so this
+    df's plan would still be the pre-AQE-finalization one; drain the
+    Dataset's own execution first (toLocalIterator keeps driver memory
+    bounded — one partition at a time) so executedPlan() is the AQE
+    final plan, and record whether finalization actually happened."""
+    for _ in df.toLocalIterator():
+        pass
     s = df._jdf.queryExecution().executedPlan().toString()
-    return {op: len(re.findall(rf"\b{op}\b", s)) for op in _PLAN_OPS if re.search(rf"\b{op}\b", s)}
+    hist = {
+        op: len(re.findall(rf"\b{op}\b", s))
+        for op in _PLAN_OPS
+        if re.search(rf"\b{op}\b", s)
+    }
+    if "AdaptiveSparkPlan" in s:
+        hist["aqe_final"] = int("isFinalPlan=true" in s)
+    return hist
 
 
 def run_queries(sf_dir: str, names: list[str]) -> None:

@@ -252,3 +252,69 @@ def test_cogroup_asof_pruned_and_matchless_paths(spark):
     assert out.count() == 2  # the count-only (input-pruned) plan runs
     rows = sorted(map(tuple, out.collect()))
     assert rows == [(1, 1, 0, 0), (2, 1, 1, 0)]
+
+
+def test_cogroup_merge_kernel_direct():
+    """The merge kernel itself (no Spark): left-side pruning must fail
+    LOUDLY (a silent empty frame would make .count() return 0 instead
+    of surfacing the planner regression), and the vectorized
+    merge_asof path must match a hand-computed as-of on interleaved
+    users, sub-second orderings, and a matchless user."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from direct_kafka_stream_spark.operators.analytics36 import _cogroup_merge
+
+    pruned_left = pd.DataFrame({"bucket": [0, 0]})
+    right = pd.DataFrame(
+        {"user_id": [1], "ts": pd.to_datetime(["2024-01-01 00:00:05"])}
+    )
+    with pytest.raises(RuntimeError, match="pruned"):
+        _cogroup_merge(pruned_left, right)
+
+    # empty left stays a legitimate empty result (purchases-only bucket)
+    empty = _cogroup_merge(pd.DataFrame({"user_id": [], "ts": []}), right)
+    assert len(empty) == 0
+
+    left = pd.DataFrame(
+        {
+            "user_id": [1, 2, 1, 3, 2],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00.400",  # u1 → purchase at 5 s
+                    "2024-01-01 00:00:03.000",  # u2 → exact match 3 s
+                    "2024-01-01 00:00:06.000",  # u1 → no later purchase
+                    "2024-01-01 00:00:01.000",  # u3 → no purchases at all
+                    "2024-01-01 00:00:03.500",  # u2 → purchase at 9 s
+                ]
+            ),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": [1, 2, 2],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:05.000",
+                    "2024-01-01 00:00:03.000",
+                    "2024-01-01 00:00:09.000",
+                ]
+            ),
+        }
+    )
+    got = (
+        _cogroup_merge(left, right)
+        .sort_values("user_id", ignore_index=True)
+        .astype(np.int64)
+    )
+    want = pd.DataFrame(
+        {
+            "user_id": [1, 2, 3],
+            "n_clicks": [2, 2, 1],
+            "n_converted": [1, 2, 0],
+            # u1: 5−0 = 5 (second-floored); u2: (3−3) + (9−3) = 6
+            "total_wait_s": [5, 6, 0],
+        }
+    ).astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)

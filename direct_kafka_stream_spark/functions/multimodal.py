@@ -2,11 +2,13 @@
 columns + typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side architecture is real and tested — schema contracts,
-partition-parallel batch iteration, struct metadata — while the codec
-step itself is stubbed (no image/audio libraries in this environment):
-``decode_image`` raises NotImplementedError unless handed a decoder,
-and tests inject ``fake_decoder`` (deterministic, content-derived) to
-exercise the full pipeline shape.
+partition-parallel batch iteration, struct metadata. The codec step
+decodes trivial raster containers (netpbm P5/P6, uncompressed 24-bit
+BMP) with the pure-numpy codecs in ``raster.py`` — the pipeline runs
+end-to-end on real encoded bytes for those — while formats needing an
+external library (JPEG/PNG/audio/video) stay an explicit stub:
+``decode_image`` raises NotImplementedError unless handed a decoder
+through the injection API.
 
 At 100 TB: binaries live in parquet (or are lazily fetched by URI
 inside the batch iterator to keep shuffle payloads small); decode and
@@ -53,14 +55,21 @@ def fake_decoder(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes, decoder: Callable | None = None) -> np.ndarray:
-    """Codec boundary. Real deployments pass Pillow/libvips/ffmpeg here;
-    this container has none, so without an injected decoder this is an
+    """Codec boundary. Real deployments pass Pillow/libvips/ffmpeg here.
+    Without an injected decoder, trivial raster containers (binary
+    netpbm P5/P6 and uncompressed 24-bit BMP) decode through the
+    pure-numpy codecs in ``raster.py`` — so those run end-to-end on
+    real bytes — while anything needing an external library stays an
     explicit stub."""
-    if decoder is None:
-        raise NotImplementedError(
-            "no image codec available in this environment; inject a decoder"
-        )
-    return decoder(payload)
+    if decoder is not None:
+        return decoder(payload)
+    from direct_kafka_stream_spark.functions import raster
+
+    if raster.sniff(bytes(payload[:2])) is not None:
+        return raster.decode_raster(payload)
+    raise NotImplementedError(
+        "no codec for this container in this environment; inject a decoder"
+    )
 
 
 def image_features(
@@ -123,6 +132,26 @@ def frame_sample(df: DataFrame, every_nth: int = 2) -> DataFrame:
 RESIZED_SCHEMA = "doc_id long, out_h int, out_w int, mean_lum double"
 
 
+def pool_mean(img: np.ndarray, out_h: int, out_w: int) -> float:
+    """Area-average pooling onto the (out_h, out_w) grid: buckets are
+    the exact, non-overlapping [ys[i], ys[i+1]) tiles (empty when
+    h < out_h), and the pooled mean weights each bucket by its pixel
+    count — the tiles PARTITION the image, so the pooled mean equals
+    the global mean EXACTLY for any (h, w, grid) (uint8 sums are exact
+    integers in float64; property-pinned in tests/test_multimodal.py)."""
+    h, w = img.shape
+    ys = np.linspace(0, h, out_h + 1).astype(int)
+    xs = np.linspace(0, w, out_w + 1).astype(int)
+    total = 0.0
+    npx = 0
+    for i in range(out_h):
+        for j in range(out_w):
+            blk = img[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+            total += float(blk.sum())
+            npx += blk.size
+    return total / npx if npx else 0.0
+
+
 def resize_images(
     df: DataFrame,
     out_h: int = 4,
@@ -134,31 +163,15 @@ def resize_images(
     — the standardize-before-embed step of an image training pipeline.
     Same architecture contract as image_features: Arrow-batched, zero
     shuffle (partition-parallel), only fixed-width outputs flow
-    downstream; the codec itself is injected (stubbed in this
-    environment)."""
+    downstream; the codec is the raster sniffer unless injected."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
                 img = decode_image(bytes(payload), decoder).astype(np.float64)
-                h, w = img.shape
-                # area-average pooling onto the target grid: buckets are
-                # the exact, non-overlapping [ys[i], ys[i+1]) tiles (empty
-                # when h < out_h), and the pooled mean weights each bucket
-                # by its pixel count — so the tiles partition the image
-                # and mean_lum equals the global mean EXACTLY for any h, w
-                ys = np.linspace(0, h, out_h + 1).astype(int)
-                xs = np.linspace(0, w, out_w + 1).astype(int)
-                total = 0.0
-                npx = 0
-                for i in range(out_h):
-                    for j in range(out_w):
-                        blk = img[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
-                        total += float(blk.sum())
-                        npx += blk.size
                 rows.append(
-                    (int(doc_id), out_h, out_w, total / npx if npx else 0.0)
+                    (int(doc_id), out_h, out_w, pool_mean(img, out_h, out_w))
                 )
             yield pd.DataFrame(
                 rows, columns=["doc_id", "out_h", "out_w", "mean_lum"]

@@ -15,11 +15,17 @@ DuckDB range() oracle reproduces the deterministic generator exactly.
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -96,3 +102,73 @@ class SyntheticStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource STREAMING WRITER: a JSONL sink with a real
+# two-phase commit (stage executor-side, publish driver-side)
+# ---------------------------------------------------------------------------
+
+
+class _StagedFile(WriterCommitMessage):
+    """Per-partition commit message: the staged temp file + row count.
+    Must be picklable — it travels executor → driver."""
+
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Exactly-once-per-batch sink protocol, the Python rendition of
+    the V2 writer contract: each task WRITES to an invisible staging
+    file and returns a commit message; only the driver's commit()
+    atomically publishes the batch (rename + manifest), and abort()
+    discards the staging files — so a failed/retried task never leaves
+    partial output visible. The reference committed Kafka offsets to
+    ZooKeeper only after the batch's sink write returned
+    (KafkaDirectStream.scala:96-105); this is that ordering, executed
+    by the engine instead of hand-rolled."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("dks_jsonl_sink requires option 'path'")
+
+    def write(self, iterator):
+        os.makedirs(f"{self.path}/_staging", exist_ok=True)
+        tmp = f"{self.path}/_staging/{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _StagedFile(tmp, n)
+
+    def commit(self, messages, batchId) -> None:
+        total = 0
+        for i, m in enumerate(messages):
+            if m is None or m.rows == 0:
+                if m is not None:
+                    os.remove(m.tmp_path)
+                continue
+            os.replace(m.tmp_path, f"{self.path}/batch-{batchId}-{i}.jsonl")
+            total += m.rows
+        with open(f"{self.path}/_commit-{batchId}.json", "w") as fh:
+            json.dump({"batchId": batchId, "rows": total}, fh)
+
+    def abort(self, messages, batchId) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.writeStream.format("dks_jsonl_sink").option("path", ...)``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dks_jsonl_sink"
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlStreamWriter:
+        return JsonlStreamWriter(self.options)

@@ -75,7 +75,12 @@ def get_session(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
-        .config("spark.ui.enabled", "false")
+        # UI off for bench/test noise; scale_probe turns it on to read
+        # per-stage shuffle bytes from the REST status API
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+        )
         .config("spark.ui.showConsoleProgress", "false")
         .config(
             "spark.sql.warehouse.dir",

@@ -11,6 +11,12 @@ Arrow batches. State passed to readers must be picklable.
 
 Driven by q_python_datasource (operators/analytics36.py), whose
 DuckDB range() oracle reproduces the deterministic generator exactly.
+
+Round 8 adds the STREAMING WRITER half (JsonlSinkDataSource /
+JsonlStreamWriter): a two-phase-commit JSONL sink — stage
+executor-side, publish atomically driver-side per batchId — driven by
+q_stream_pyds_write (operators/analytics38.py) and the protocol tests
+in tests/test_stream_machinery.py.
 """
 
 from __future__ import annotations

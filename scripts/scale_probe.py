@@ -151,21 +151,61 @@ def _plan_histogram(df: DataFrame) -> dict[str, int]:
     return hist
 
 
+def _stage_snapshot(sc) -> dict | None:
+    """Per-stage metrics from the REST status API (needs the UI, which
+    run_queries enables via SPARK_GRAFT_UI); None when unavailable."""
+    import urllib.request
+
+    try:
+        url = (
+            f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+            "/stages?details=false"
+        )
+        stages = json.load(urllib.request.urlopen(url, timeout=10))
+        return {(s["stageId"], s["attemptId"]): s for s in stages}
+    except Exception:
+        return None
+
+
 def run_queries(sf_dir: str, names: list[str]) -> None:
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")
+
     import __spark_entry__ as entry
 
     qs = entry.queries()
     spark = get_session("scale-probe-run")
+    sc = spark.sparkContext
     # session warmup: pay JVM/codegen/first-scan cost outside the clock
     load_table(spark, sf_dir, "lineitem").count()
     for name in names:
         raws = []
         df = None
+        shuffle = None
         for _ in range(2):
+            before = _stage_snapshot(sc)
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             raws.append(round(time.perf_counter() - t0, 2))
+            after = _stage_snapshot(sc)
+            if after is not None:
+                new = [
+                    s
+                    for k, s in after.items()
+                    if before is None or k not in before
+                ]
+                cand = {
+                    "write_bytes": sum(s["shuffleWriteBytes"] for s in new),
+                    "peak_stage_write_bytes": max(
+                        (s["shuffleWriteBytes"] for s in new), default=0
+                    ),
+                    "n_stages": len(new),
+                }
+                # keep the metrics of the fastest (quietest) run
+                if shuffle is None or raws[-1] == min(raws):
+                    shuffle = cand
             spark.catalog.clearCache()
         print(
             json.dumps(
@@ -174,6 +214,7 @@ def run_queries(sf_dir: str, names: list[str]) -> None:
                     "sf_dir": sf_dir,
                     "sec": min(raws),
                     "raw": raws,
+                    "shuffle": shuffle,
                     "plan": _plan_histogram(df),
                 }
             ),

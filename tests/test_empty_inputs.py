@@ -242,6 +242,10 @@ _REPRESENTATIVE = [
     "q_sql_udf",          # SQL-UDF rollup over zero orders
     "q_pandas_api",       # pandas-on-Spark groupby over zero rows
     "q_ml_linreg",        # normal-equation fit over zero rows
+    # round-8 additions
+    "q_stream_rocksdb",   # availableNow stream of zero rows, RocksDB state
+    "q_stream_listener",  # progress ledger over zero-input batches
+    "q_stream_pyds_write",  # Python sink commits zero-row batches
 ]
 
 
@@ -472,5 +476,8 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
     elif name == "q_ml_linreg":
         # zero rows: singular normal equations, NULL coefficients
         assert [tuple(r) for r in rows] == [(0, None, None, None)]
+    elif name == "q_stream_listener":
+        # the ledger row always emits: zero rows observed, zero groups
+        assert [tuple(r) for r in rows] == [(0, 0)]
     else:
         assert rows == []

@@ -141,6 +141,11 @@ def _plan_histogram(df: DataFrame) -> dict[str, int]:
     for _ in df.toLocalIterator():
         pass
     s = df._jdf.queryExecution().executedPlan().toString()
+    # a finalized AdaptiveSparkPlan prints BOTH "== Final Plan ==" and
+    # "== Initial Plan ==" sections; count operators in the final one
+    # only (the initial section would double — or, where AQE re-planned,
+    # distort — every count)
+    s = s.split("== Initial Plan ==")[0]
     hist = {
         op: len(re.findall(rf"\b{op}\b", s))
         for op in _PLAN_OPS
@@ -220,6 +225,24 @@ def run_queries(sf_dir: str, names: list[str]) -> None:
             ),
             flush=True,
         )
+
+
+def plan_only(sf_dir: str, names: list[str]) -> None:
+    """Execute each query ONCE and print its post-execution AQE final
+    plan histogram — no timing claims, usable while other work runs."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    spark = get_session("scale-probe-plans")
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        print(
+            json.dumps(
+                {"query": name, "sf_dir": sf_dir, "plan": _plan_histogram(df)}
+            ),
+            flush=True,
+        )
+        spark.catalog.clearCache()
 
 
 def shapes(n: int) -> None:
@@ -370,6 +393,8 @@ def main() -> None:
         materialize(args[1], int(args[2]) if len(args) > 2 else 10)
     elif args and args[0] == "run":
         run_queries(args[1], args[2:])
+    elif args and args[0] == "plans":
+        plan_only(args[1], args[2:])
     elif args and args[0] == "shapes":
         shapes(int(args[1]) if len(args) > 1 else 10)
     else:

@@ -1126,3 +1126,59 @@ def test_lateness_stitched_runmax_matches_global(spark, evs, block):
         assert mx == max(ls)
         assert abs(p50 - float(np.percentile(ls, 50))) < 1e-6
         assert abs(p95 - float(np.percentile(ls, 95))) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Round 8: the vectorized cogroup as-of merge kernel == brute force
+# ---------------------------------------------------------------------------
+
+_CG_EVENT = st.tuples(
+    st.integers(0, 4),                       # user_id
+    st.integers(0, 20_000_000_000),          # ts in ns (spans sub-second)
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    clicks=st.lists(_CG_EVENT, min_size=0, max_size=40),
+    buys=st.lists(_CG_EVENT, min_size=0, max_size=40),
+)
+def test_cogroup_merge_matches_brute_force(clicks, buys):
+    """The merge_asof-based kernel (operators/analytics36.py, round-8
+    vectorization of the per-user loop) against a per-click O(n·m)
+    scan: for every click, the FIRST purchase by the same user with
+    p.ts >= c.ts (full-ns comparison), waits floored to seconds only
+    at output — including ties, sub-second orderings, duplicate
+    timestamps, matchless users, and purchase-only users."""
+    import numpy as np
+    import pandas as pd
+
+    from direct_kafka_stream_spark.operators.analytics36 import _cogroup_merge
+
+    left = pd.DataFrame(
+        {
+            "user_id": [u for u, _ in clicks],
+            "ts": pd.to_datetime([t for _, t in clicks], unit="ns"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": [u for u, _ in buys],
+            "ts": pd.to_datetime([t for _, t in buys], unit="ns"),
+        }
+    )
+    got = {
+        int(r.user_id): (int(r.n_clicks), int(r.n_converted), int(r.total_wait_s))
+        for r in _cogroup_merge(left, right).itertuples()
+    }
+
+    want: dict[int, tuple[int, int, int]] = {}
+    for u, c_ns in clicks:
+        later = [t for bu, t in buys if bu == u and t >= c_ns]
+        n, conv, wait = want.get(u, (0, 0, 0))
+        if later:
+            p_ns = min(later)
+            conv += 1
+            wait += p_ns // 1_000_000_000 - c_ns // 1_000_000_000
+        want[u] = (n + 1, conv, wait)
+    assert got == want

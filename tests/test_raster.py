@@ -64,6 +64,23 @@ def test_ppm_header_comments_and_whitespace():
     assert np.array_equal(raster.decode_ppm(wrapped), img)
 
 
+def test_bmp_topdown_rows_decode():
+    """Negative biHeight = top-down row order (a real-world BMP
+    variant the encoder never emits): decoded pixels must match the
+    bottom-up encoding of the same image."""
+    import struct
+
+    img = _rng_img(23, 5, 3, 3)
+    payload = bytearray(raster.encode_bmp(img))
+    h = img.shape[0]
+    struct.pack_into("<i", payload, 22, -h)  # biHeight := -h
+    off = struct.unpack_from("<I", payload, 10)[0]
+    stride = (img.shape[1] * 3 + 3) & ~3
+    rows = np.frombuffer(bytes(payload[off:]), dtype=np.uint8).reshape(h, stride)
+    flipped = payload[:off] + rows[::-1].tobytes()  # re-order rows top-down
+    assert np.array_equal(raster.decode_bmp(bytes(flipped)), img)
+
+
 def test_decoders_reject_foreign_payloads():
     with pytest.raises(ValueError):
         raster.decode_ppm(b"BM\x00\x00")

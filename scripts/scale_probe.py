@@ -206,6 +206,12 @@ def run_queries(sf_dir: str, names: list[str]) -> None:
                     "peak_stage_write_bytes": max(
                         (s["shuffleWriteBytes"] for s in new), default=0
                     ),
+                    "spill_disk_bytes": sum(
+                        s.get("diskBytesSpilled", 0) for s in new
+                    ),
+                    "spill_mem_bytes": sum(
+                        s.get("memoryBytesSpilled", 0) for s in new
+                    ),
                     "n_stages": len(new),
                 }
                 # keep the metrics of the fastest (quietest) run

@@ -152,6 +152,14 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         return _StagedFile(tmp, n)
 
     def commit(self, messages, batchId) -> None:
+        # idempotent under batch REPLAY (the engine may retry a batch
+        # after a failure, possibly with a different partition count):
+        # drop any files a previous attempt of this batchId published,
+        # so the replay REPLACES rather than accumulates
+        import glob as _glob
+
+        for stale in _glob.glob(f"{self.path}/batch-{batchId}-*.jsonl"):
+            os.remove(stale)
         total = 0
         for i, m in enumerate(messages):
             if m is None or m.rows == 0:

@@ -88,6 +88,93 @@ def test_pyds_writer_abort_discards_staging(tmp_path):
     assert json.loads((tmp_path / "_commit-7.json").read_text())["rows"] == 0
 
 
+def test_pyds_sink_checkpoint_resume_exactly_once(spark, tmp_path):
+    """The Structured-Streaming rendition of the reference's ZooKeeper
+    offset-recovery acceptance test (reference README.md:160-176),
+    through the PYTHON sink: run availableNow over file A, then add
+    file B and restart from the SAME checkpoint — the second run must
+    process ONLY B (no reprocessing, no loss), and the published
+    output holds every row exactly once across both runs."""
+    import pandas as pd
+
+    from direct_kafka_stream_spark.sources.files import file_stream
+    from direct_kafka_stream_spark.sources.pyds import JsonlSinkDataSource
+
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "out"
+    out.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, event_type string"
+
+    def run_once():
+        q = (
+            file_stream(spark, str(src), schema)
+            .writeStream.format("dks_jsonl_sink")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    pd.DataFrame({"event_id": [1, 2, 3], "event_type": ["a", "b", "a"]}).to_parquet(
+        src / "a.parquet"
+    )
+    run_once()
+    pd.DataFrame({"event_id": [4, 5], "event_type": ["c", "a"]}).to_parquet(
+        src / "b.parquet"
+    )
+    run_once()
+
+    published = sorted(
+        json.loads(line)["event_id"]
+        for p in out.glob("batch-*.jsonl")
+        for line in p.open()
+    )
+    assert published == [1, 2, 3, 4, 5]  # exactly once, no replays/losses
+    manifests = {
+        json.loads(p.read_text())["batchId"]: json.loads(p.read_text())["rows"]
+        for p in out.glob("_commit-*.json")
+    }
+    assert manifests == {0: 3, 1: 2}
+
+
+def test_pyds_commit_replay_is_idempotent(tmp_path):
+    """A replayed batchId (engine retry) must REPLACE its previous
+    publication — including when the retry has fewer partitions —
+    never accumulate duplicates."""
+    from direct_kafka_stream_spark.sources.pyds import (
+        JsonlStreamWriter,
+        _StagedFile,
+    )
+
+    w = JsonlStreamWriter({"path": str(tmp_path)})
+
+    def stage(rows):
+        p = tmp_path / "_staging" / f"{rows[0]}.jsonl"
+        p.parent.mkdir(exist_ok=True)
+        p.write_text("".join(json.dumps({"event_id": r}) + "\n" for r in rows))
+        return _StagedFile(str(p), len(rows))
+
+    # first attempt: 3 partitions
+    w.commit([stage([1]), stage([2]), stage([3])], batchId=5)
+    assert len(list(tmp_path.glob("batch-5-*.jsonl"))) == 3
+    # replay with 2 partitions: attempt-1's third file must not survive
+    w.commit([stage([1, 2]), stage([3])], batchId=5)
+    files = sorted(tmp_path.glob("batch-5-*.jsonl"))
+    assert len(files) == 2
+    rows = sorted(
+        json.loads(line)["event_id"] for p in files for line in p.open()
+    )
+    assert rows == [1, 2, 3]
+    assert json.loads((tmp_path / "_commit-5.json").read_text())["rows"] == 3
+
+
 def test_stream_listener_ledger_accounts_every_row(spark):
     from direct_kafka_stream_spark.io import load_table
     from direct_kafka_stream_spark.operators.analytics38 import (

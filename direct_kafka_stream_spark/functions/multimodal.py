@@ -65,7 +65,7 @@ def decode_image(payload: bytes, decoder: Callable | None = None) -> np.ndarray:
         return decoder(payload)
     from direct_kafka_stream_spark.functions import raster
 
-    if raster.sniff(bytes(payload[:2])) is not None:
+    if raster.sniff(bytes(payload[:64])) is not None:
         return raster.decode_raster(payload)
     raise NotImplementedError(
         "no codec for this container in this environment; inject a decoder"

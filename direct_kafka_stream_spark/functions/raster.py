@@ -96,6 +96,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     array. Handles bottom-up and top-down (negative height) rows."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
     off = struct.unpack_from("<I", payload, 10)[0]
     hdr_size = struct.unpack_from("<I", payload, 14)[0]
     if hdr_size < 40:
@@ -128,11 +130,21 @@ def luminance(img: np.ndarray) -> np.ndarray:
 
 
 def sniff(payload: bytes) -> str | None:
-    """Container detection by magic bytes; None = not a known raster."""
-    if payload[:2] in (b"P5", b"P6"):
+    """Container detection; None = not a known raster.
+
+    Two-byte magics alone false-positive on arbitrary text ("P6 ...",
+    "BMW ...") — so require the structural byte that must follow: a
+    whitespace separator after the netpbm magic, and a plausible DIB
+    header size + BI_RGB 24 bpp at the fixed BMP offsets. Needs the
+    first ~34 bytes of the payload."""
+    if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
         return "ppm"
-    if payload[:2] == b"BM":
-        return "bmp"
+    if payload[:2] == b"BM" and len(payload) >= 34:
+        hdr = struct.unpack_from("<I", payload, 14)[0]
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if hdr in (40, 52, 56, 108, 124) and bpp == 24 and comp == 0:
+            return "bmp"
     return None
 
 

@@ -39,16 +39,20 @@ def _pid_alive(pid: int) -> bool:
 
 
 def _scratch_dir(tag: str) -> str:
-    # best-effort GC of stale siblings: dir names embed the creating
-    # pid, so a dead owner's dirs are reclaimed immediately while a
-    # LIVE session's dirs are never deleted out from under a
-    # still-registered table (the old 2 h age cutoff could do exactly
-    # that in a long bench session); ownerless legacy dirs fall back
-    # to a 24 h age cutoff, far above any plausible session
+    # best-effort GC of stale siblings, three rules:
+    # 1. this pid's PREVIOUS dirs of the SAME tag go immediately —
+    #    queries run sequentially, so the prior invocation's output
+    #    has been consumed (same contract as the dks_bucket_ catalog
+    #    drop), bounding in-session accumulation at one dir per tag;
+    # 2. a dead owner's dirs go immediately (pid embedded in the name);
+    # 3. everything else falls back to a 24 h age cutoff — covers
+    #    ownerless legacy dirs AND the pid-recycling case where a
+    #    dead owner's pid was reassigned to an unrelated live process
     import os
     import shutil
     import time
 
+    me = os.getpid()
     root = pathlib.Path(_SCRATCH)
     try:
         cutoff = time.time() - 86_400
@@ -57,16 +61,17 @@ def _scratch_dir(tag: str) -> str:
                 continue
             parts = p.name.split("_")
             owner = int(parts[-2]) if len(parts) >= 3 and parts[-2].isdigit() else None
+            own_tag = "_".join(parts[:-2]) if owner is not None else None
             stale = (
-                not _pid_alive(owner)
-                if owner is not None
-                else p.stat().st_mtime < cutoff
+                (owner == me and own_tag == tag)
+                or (owner is not None and not _pid_alive(owner))
+                or p.stat().st_mtime < cutoff
             )
             if stale:
                 shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass
-    return f"{_SCRATCH}/{tag}_{os.getpid()}_{uuid.uuid4().hex[:12]}"
+    return f"{_SCRATCH}/{tag}_{me}_{uuid.uuid4().hex[:12]}"
 
 
 # ---------------------------------------------------------------------------

@@ -55,9 +55,14 @@ def _stage_events(spark: SparkSession, d: str, scratch: str, n_files: int = 1):
 
 def _run_available_now(writer, ckpt: str) -> None:
     q = writer.option("checkpointLocation", ckpt).trigger(availableNow=True).start()
-    q.awaitTermination(300)
-    if q.isActive:  # defensive: never leave a stream running in-session
+    done = q.awaitTermination(300)
+    if not done:
+        # never return partial results: stop the stream AND fail loudly
+        # (a silent stop would hand the caller a half-populated sink)
         q.stop()
+        raise TimeoutError(
+            f"availableNow stream {q.name or q.id} did not drain in 300 s"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -239,13 +244,18 @@ def q_stream_pyds_write(spark: SparkSession, d: str):
     batchId. The published JSONL files are read back batch-side and
     aggregated; the oracle checks the round trip lost/duplicated
     nothing."""
+    return pyds_write_report(spark, d, _scratch_dir("pysink"))
+
+
+def pyds_write_report(spark: SparkSession, d: str, scratch: str):
+    """Composable form with an explicit scratch dir (tests pass their
+    own tmp dir so nothing races on the shared scratch root)."""
     from direct_kafka_stream_spark.sources.pyds import JsonlSinkDataSource
 
     try:
         spark.dataSource.register(JsonlSinkDataSource)
     except Exception:
         pass  # already registered in this session
-    scratch = _scratch_dir("pysink")
     src = _stage_events(spark, d, scratch, n_files=2)
     out_dir = f"{scratch}/out"
     pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)

@@ -76,10 +76,14 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         # UI off for bench/test noise; scale_probe turns it on to read
-        # per-stage shuffle bytes from the REST status API
+        # per-stage shuffle bytes from the REST status API ("0"/"false"
+        # count as off, like any conventional flag env var)
         .config(
             "spark.ui.enabled",
-            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+            "true"
+            if os.environ.get("SPARK_GRAFT_UI", "").lower()
+            not in ("", "0", "false", "no")
+            else "false",
         )
         .config("spark.ui.showConsoleProgress", "false")
         .config(

@@ -137,7 +137,14 @@ def _plan_histogram(df: DataFrame) -> dict[str, int]:
     df's plan would still be the pre-AQE-finalization one; drain the
     Dataset's own execution first (toLocalIterator keeps driver memory
     bounded — one partition at a time) so executedPlan() is the AQE
-    final plan, and record whether finalization actually happened."""
+    final plan, and record whether finalization actually happened.
+
+    Cost note: the drain is one EXTRA full execution after the timed
+    runs (registered queries return bounded scalar-only frames, so the
+    driver transfer is small, but the compute is real — ~+50% on a
+    min-of-2 probe of a heavy query). It happens after timing, so
+    recorded seconds are unaffected; for plan capture without any
+    timed runs use the `plans` subcommand."""
     for _ in df.toLocalIterator():
         pass
     s = df._jdf.queryExecution().executedPlan().toString()

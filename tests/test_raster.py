@@ -90,6 +90,20 @@ def test_decoders_reject_foreign_payloads():
         raster.decode_raster(b"\x89PNG unsupported")
 
 
+def test_sniff_rejects_lookalike_text():
+    """Two-byte magic collisions must NOT route into the codecs: text
+    starting with 'BM'/'P5'/'P6' stays on the explicit-stub path
+    (previously decode_bmp could raise struct.error on 'BMW ...')."""
+    for payload in (b"BM", b"BMW is a carmaker", b"P6x no separator",
+                    b"P5", b"BM" + b"\x00" * 60):
+        assert raster.sniff(payload) is None, payload
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(payload)
+    # real encodings still sniff
+    assert raster.sniff(raster.encode_ppm(_rng_img(1, 2, 2))) == "ppm"
+    assert raster.sniff(raster.encode_bmp(_rng_img(1, 2, 2, 3))) == "bmp"
+
+
 def test_decode_image_sniffs_rasters_and_stubs_the_rest():
     img = _rng_img(11, 6, 4, 3)
     lum = img.astype(np.float64).mean(axis=2)

@@ -12,23 +12,22 @@ the staging area, and the provider conf is restored after the run.
 from __future__ import annotations
 
 import json
-import pathlib
 
 import pytest
 
 from tests.conftest import SF_DIR
 
 
-def test_stream_pyds_write_two_phase_commit(spark):
+def test_stream_pyds_write_two_phase_commit(spark, tmp_path):
     """End-to-end through the registry entry, then inspect the sink
     dir: per-batch manifests sum to the published row count, staging
     is empty after commit, and ≥2 batchIds actually committed
     (maxFilesPerTrigger=1 over a 2-file source)."""
     from direct_kafka_stream_spark.operators.analytics38 import (
-        q_stream_pyds_write,
+        pyds_write_report,
     )
 
-    out = q_stream_pyds_write(spark, SF_DIR)
+    out = pyds_write_report(spark, SF_DIR, str(tmp_path / "pysink"))
     got = {r.event_type: (r.n, r.id_sum) for r in out.collect()}
 
     from direct_kafka_stream_spark.io import load_table
@@ -46,12 +45,7 @@ def test_stream_pyds_write_two_phase_commit(spark):
     }
     assert got == want
 
-    # newest pysink scratch dir = the one this invocation just wrote
-    root = pathlib.Path("/tmp/dks_spark_scratch")
-    sink = max(
-        (p / "out" for p in root.glob("pysink_*") if (p / "out").is_dir()),
-        key=lambda p: p.stat().st_mtime,
-    )
+    sink = tmp_path / "pysink" / "out"
     manifests = [json.loads(p.read_text()) for p in sink.glob("_commit-*.json")]
     published = list(sink.glob("batch-*.jsonl"))
     assert len(manifests) >= 2, "expected one commit per micro-batch"

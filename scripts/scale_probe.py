@@ -87,12 +87,26 @@ def inflate_table(spark, name: str, n: int) -> DataFrame:
         for k in keys:
             c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
         if name == "documents" and i > 0:
-            # rotate letters per copy (Caesar shift i): token lengths,
-            # whitespace and stats are preserved, but copies share
-            # almost no shingles — so the near-dup structure of each
-            # copy equals sf0.1's under a token bijection and TOTAL
-            # duplicate volume scales linearly, not quadratically
-            rot = _ALPHA[i % 26:] + _ALPHA[: i % 26]
+            # per-copy letter BIJECTION (affine cipher a·x+b mod 26,
+            # a coprime to 26): token lengths, whitespace and stats are
+            # preserved, but copies share almost no shingles — so the
+            # near-dup structure of each copy equals sf0.1's under a
+            # token bijection and TOTAL duplicate volume scales
+            # linearly, not quadratically. The affine family gives
+            # 12×26 = 312 distinct maps (a plain Caesar rotation has
+            # only 26 — beyond 26× copies would alias, multiplying
+            # token document-frequencies and silently changing the
+            # dedup workload, which round 8 measured as a bogus 7×
+            # SPEEDUP of q_containment_dedup at 100×)
+            coprimes = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+            if i >= len(coprimes) * 26:
+                raise ValueError(
+                    f"inflation {n}× exceeds the {len(coprimes) * 26} distinct "
+                    "letter bijections — copies would alias"
+                )
+            a = coprimes[(i // 26) % len(coprimes)]
+            b = i % 26
+            rot = "".join(_ALPHA[(a * k + b) % 26] for k in range(26))
             c = c.withColumn(
                 "text",
                 F.translate(

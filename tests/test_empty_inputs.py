@@ -246,6 +246,8 @@ _REPRESENTATIVE = [
     "q_stream_rocksdb",   # availableNow stream of zero rows, RocksDB state
     "q_stream_listener",  # progress ledger over zero-input batches
     "q_stream_pyds_write",  # Python sink commits zero-row batches
+    "q_stream_state_reader",  # state store of a zero-key aggregation
+    "q_stream_offset_log",  # ledger of a single zero-row batch
 ]
 
 
@@ -479,5 +481,9 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
     elif name == "q_stream_listener":
         # the ledger row always emits: zero rows observed, zero groups
         assert [tuple(r) for r in rows] == [(0, 0)]
+    elif name == "q_stream_offset_log":
+        # an empty DataFrame stages as ONE empty parquet file, so the
+        # ledger records exactly one zero-row batch, fully committed
+        assert [tuple(r) for r in rows] == [(1, 1, 1, 0)]
     else:
         assert rows == []

@@ -197,3 +197,139 @@ def test_stream_rocksdb_restores_provider_conf(spark):
     assert not [
         t.name for t in spark.catalog.listTables() if t.name.startswith("dks_rocks_")
     ]
+
+
+# ---------------------------------------------------------------------------
+# round-8 second batch: state data source reader + offset/commit ledger
+# ---------------------------------------------------------------------------
+
+
+def test_state_reader_matches_batch_aggregate(spark):
+    """The statestore read of a drained stateful aggregation must equal
+    the plain batch aggregate — key by key, including the decimal sum
+    buffer's final rounding."""
+    from direct_kafka_stream_spark.exprs import dsum
+    from direct_kafka_stream_spark.io import load_table
+    from direct_kafka_stream_spark.operators.analytics39 import (
+        q_stream_state_reader,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r.event_type: (r.n, r.total)
+        for r in q_stream_state_reader(spark, SF_DIR).collect()
+    }
+    want = {
+        r.event_type: (r.n, r.total)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total"))
+        .collect()
+    }
+    assert got == want
+    assert not spark.streams.active
+
+
+def _write_log(d, name, batch_id, lines):
+    p = d / name
+    p.mkdir(parents=True, exist_ok=True)
+    (p / str(batch_id)).write_text("\n".join(lines) + "\n")
+
+
+def _ledger_fixture(d, batches, commits=None, *, double_assign=False):
+    """Hand-craft a minimal file-source checkpoint ledger: offsets/,
+    commits/ and sources/0/ entries for the given batch ids."""
+    commits = batches if commits is None else commits
+    meta = json.dumps({"batchWatermarkMs": 0, "batchTimestampMs": 0, "conf": {}})
+    for b in batches:
+        _write_log(d, "offsets", b, ["v1", meta, json.dumps({"logOffset": b})])
+        path = "file:///src/part-0000.parquet" if double_assign else (
+            f"file:///src/part-{b:04d}.parquet"
+        )
+        _write_log(
+            d, "sources/0", b,
+            ["v1", json.dumps({"path": path, "timestamp": 0, "batchId": b})],
+        )
+    for b in commits:
+        _write_log(d, "commits", b, ["v1", json.dumps({"nextBatchWatermarkMs": 0})])
+
+
+def test_offset_ledger_accepts_clean_run(tmp_path):
+    from direct_kafka_stream_spark.operators.analytics39 import (
+        read_stream_ledger,
+    )
+
+    _ledger_fixture(tmp_path, [0, 1, 2])
+    ledger = read_stream_ledger(str(tmp_path))
+    assert ledger["batches"] == [0, 1, 2]
+    assert ledger["commits"] == [0, 1, 2]
+    assert sorted(ledger["files"].values()) == [0, 1, 2]
+
+
+def test_offset_ledger_rejects_uncommitted_batch(tmp_path):
+    """An offsets entry without a matching commit is an in-flight or
+    crashed batch — the drained-run audit must refuse it, exactly the
+    condition the reference's sink-then-ZK-commit ordering guarded."""
+    from direct_kafka_stream_spark.operators.analytics39 import (
+        read_stream_ledger,
+    )
+
+    _ledger_fixture(tmp_path, [0, 1], commits=[0])
+    with pytest.raises(RuntimeError, match="uncommitted"):
+        read_stream_ledger(str(tmp_path))
+
+
+def test_offset_ledger_rejects_hole_in_batch_ids(tmp_path):
+    from direct_kafka_stream_spark.operators.analytics39 import (
+        read_stream_ledger,
+    )
+
+    _ledger_fixture(tmp_path, [0, 2], commits=[0, 2])
+    with pytest.raises(RuntimeError, match="holes"):
+        read_stream_ledger(str(tmp_path))
+
+
+def test_offset_ledger_rejects_double_assignment(tmp_path):
+    """The same input file claimed by two batches IS double-processing;
+    the audit must name the file and both batches."""
+    from direct_kafka_stream_spark.operators.analytics39 import (
+        read_stream_ledger,
+    )
+
+    _ledger_fixture(tmp_path, [0, 1], double_assign=True)
+    with pytest.raises(RuntimeError, match="double-processing"):
+        read_stream_ledger(str(tmp_path))
+
+
+def test_offset_ledger_rejects_unknown_log_version(tmp_path):
+    """A version header this parser doesn't know must fail loudly, not
+    parse as garbage."""
+    from direct_kafka_stream_spark.operators.analytics39 import (
+        read_stream_ledger,
+    )
+
+    _ledger_fixture(tmp_path, [0])
+    (tmp_path / "offsets" / "0").write_text(
+        "v9\n{}\n" + json.dumps({"logOffset": 0}) + "\n"
+    )
+    with pytest.raises(RuntimeError, match="v1"):
+        read_stream_ledger(str(tmp_path))
+
+
+def test_offset_ledger_rejects_offset_index_mismatch(tmp_path):
+    """The file source's offset IS the metadata-log index; a recorded
+    logOffset that disagrees with the batch id means the ledger and
+    the source state have diverged."""
+    import json as _json
+
+    from direct_kafka_stream_spark.operators.analytics39 import (
+        read_stream_ledger,
+    )
+
+    _ledger_fixture(tmp_path, [0])
+    meta = _json.dumps({"batchWatermarkMs": 0, "batchTimestampMs": 0, "conf": {}})
+    (tmp_path / "offsets" / "0").write_text(
+        "v1\n" + meta + "\n" + _json.dumps({"logOffset": 7}) + "\n"
+    )
+    with pytest.raises(RuntimeError, match="logOffset"):
+        read_stream_ledger(str(tmp_path))

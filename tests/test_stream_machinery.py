@@ -333,3 +333,65 @@ def test_offset_ledger_rejects_offset_index_mismatch(tmp_path):
     )
     with pytest.raises(RuntimeError, match="logOffset"):
         read_stream_ledger(str(tmp_path))
+
+
+def test_state_reader_time_travel_matches_batch0_inputs(spark, tmp_path):
+    """State TIME TRAVEL: `option("batchId", 0)` reads the store as of
+    the FIRST micro-batch, and the offset ledger pins exactly which
+    input files that batch consumed — so the time-traveled state must
+    equal the aggregate of those files alone. This is the audit a
+    production incident needs: 'what did the state hold before batch N
+    went wrong', answered without replaying the stream (the capability
+    the reference's ZooKeeper offset history only gestured at)."""
+    from direct_kafka_stream_spark.exprs import dsum
+    from direct_kafka_stream_spark.operators.analytics38 import (
+        _run_available_now,
+        _stage_events,
+    )
+    from direct_kafka_stream_spark.operators.analytics39 import (
+        read_stream_ledger,
+    )
+    from direct_kafka_stream_spark.sources.files import (
+        events_schema,
+        file_stream,
+    )
+    from pyspark.sql import functions as F
+
+    scratch = str(tmp_path / "tt")
+    src = _stage_events(spark, SF_DIR, scratch, n_files=2)
+    ckpt = f"{scratch}/ckpt"
+    agg = (
+        file_stream(spark, src, events_schema(), max_files_per_trigger=1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total"))
+    )
+    _run_available_now(agg.writeStream.format("noop").outputMode("update"), ckpt)
+
+    ledger = read_stream_ledger(ckpt)
+    assert ledger["batches"] == [0, 1]
+    batch0_files = [p for p, b in ledger["files"].items() if b == 0]
+    assert len(batch0_files) == 1
+
+    st0 = spark.read.format("statestore").option("batchId", 0).load(ckpt)
+    got = {
+        r["key"]["event_type"]: (r["value"]["count"], float(r["value"]["sum"]))
+        for r in st0.collect()
+    }
+    want = {
+        r.event_type: (r.n, float(r.s))
+        for r in spark.read.schema(events_schema())
+        .parquet(*batch0_files)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+    # and the final state strictly extends batch 0's: counts only grow
+    st_final = spark.read.format("statestore").load(ckpt)
+    final = {
+        r["key"]["event_type"]: r["value"]["count"] for r in st_final.collect()
+    }
+    assert all(final[k] >= n for k, (n, _) in got.items())

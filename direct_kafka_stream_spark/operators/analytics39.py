@@ -169,7 +169,13 @@ def read_stream_ledger(ckpt: str) -> dict:
       * every input file is assigned to EXACTLY ONE batch in
         sources/0/<N> — a file in two batches is double-processing,
         the failure mode the reference's sink-then-commit ordering
-        (KafkaDirectStream.scala:96-105) existed to prevent."""
+        (KafkaDirectStream.scala:96-105) existed to prevent.
+
+    Scope: single file source, fewer than the source log's compaction
+    interval (default 10) batches — past that, the engine replaces
+    sources/0/<N> with <N>.compact and this parser fails LOUDLY on
+    the missing plain entry (FileNotFoundError) rather than silently
+    under-counting. The registry exhibit stages exactly 3 batches."""
     offset_ids = _log_ids(f"{ckpt}/offsets")
     commit_ids = _log_ids(f"{ckpt}/commits")
     if offset_ids != list(range(len(offset_ids))):

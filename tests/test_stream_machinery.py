@@ -12,6 +12,7 @@ the staging area, and the provider conf is restored after the run.
 from __future__ import annotations
 
 import json
+import pathlib
 
 import pytest
 
@@ -395,3 +396,56 @@ def test_state_reader_time_travel_matches_batch0_inputs(spark, tmp_path):
         r["key"]["event_type"]: r["value"]["count"] for r in st_final.collect()
     }
     assert all(final[k] >= n for k, (n, _) in got.items())
+
+
+def test_file_sink_manifest_accounts_every_published_row(spark, tmp_path):
+    """The SINK half of exactly-once: the parquet streaming sink's
+    `_spark_metadata/<batchId>` manifest lists exactly the files each
+    batch published ("add" actions) — a batch reader of the directory
+    trusts the manifest, not the directory listing, which is how
+    half-written or orphaned part files stay invisible. Reading back
+    ONLY the manifested files must reproduce the source exactly
+    (row-count conservation per batch and in total), mirroring the
+    source-side ledger audit in q_stream_offset_log."""
+    from direct_kafka_stream_spark.io import load_table
+    from direct_kafka_stream_spark.operators.analytics38 import (
+        _run_available_now,
+        _stage_events,
+    )
+    from direct_kafka_stream_spark.sources.files import (
+        events_schema,
+        file_stream,
+    )
+
+    scratch = str(tmp_path / "sink")
+    src = _stage_events(spark, SF_DIR, scratch, n_files=2)
+    out = f"{scratch}/out"
+    rows = file_stream(
+        spark, src, events_schema(), max_files_per_trigger=1
+    ).select("event_id", "event_type")
+    _run_available_now(
+        rows.writeStream.format("parquet").option("path", out),
+        f"{scratch}/ckpt",
+    )
+
+    meta = pathlib.Path(out, "_spark_metadata")
+    batch_ids = sorted(int(p.name) for p in meta.iterdir() if p.name.isdigit())
+    assert batch_ids == [0, 1]
+    manifested: list[str] = []
+    for b in batch_ids:
+        lines = (meta / str(b)).read_text().strip().splitlines()
+        assert lines[0] == "v1"
+        for line in lines[1:]:
+            entry = json.loads(line)
+            assert entry["action"] == "add"
+            manifested.append(entry["path"])
+    assert len(set(manifested)) == len(manifested), "file published twice"
+
+    src_n = load_table(spark, SF_DIR, "events").count()
+    # manifest-driven read == directory read == source count
+    by_manifest = spark.read.schema(
+        "event_id long, event_type string"
+    ).parquet(*manifested)
+    assert by_manifest.count() == src_n
+    # and Spark's own batch reader of a sink dir honors the manifest
+    assert spark.read.parquet(out).count() == src_n

@@ -6,6 +6,7 @@ guard rewrite rules rather than specific queries."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -1182,3 +1183,92 @@ def test_cogroup_merge_matches_brute_force(clicks, buys):
             wait += p_ns // 1_000_000_000 - c_ns // 1_000_000_000
         want[u] = (n + 1, conv, wait)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-8: offset/commit ledger parser — accept every valid ledger,
+# reject every single-fault mutation (no Spark needed: the ledger is
+# plain text, so hypothesis can cover the space brute force can't)
+# ---------------------------------------------------------------------------
+
+
+def _mk_ledger(root, n_batches, files_per_batch, *, drop_commit=None,
+               drop_offset=None, dup_file=False):
+    import json as _json
+
+    meta = _json.dumps({"batchWatermarkMs": 0, "batchTimestampMs": 0, "conf": {}})
+    for sub in ("offsets", "commits", "sources/0"):
+        (root / sub).mkdir(parents=True, exist_ok=True)
+    fid = 0
+    for b in range(n_batches):
+        if b != drop_offset:
+            (root / "offsets" / str(b)).write_text(
+                "v1\n" + meta + "\n" + _json.dumps({"logOffset": b}) + "\n"
+            )
+        if b != drop_commit:
+            (root / "commits" / str(b)).write_text(
+                "v1\n" + _json.dumps({"nextBatchWatermarkMs": 0}) + "\n"
+            )
+        lines = ["v1"]
+        for _ in range(files_per_batch[b]):
+            name = 0 if dup_file else fid
+            lines.append(_json.dumps(
+                {"path": f"file:///src/f{name}.parquet", "timestamp": 0,
+                 "batchId": b}
+            ))
+            fid += 1
+        (root / "sources/0" / str(b)).write_text("\n".join(lines) + "\n")
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    files_per_batch=st.lists(st.integers(min_value=1, max_value=4),
+                             min_size=1, max_size=8),
+    fault=st.sampled_from(["none", "drop_commit", "drop_offset", "dup_file"]),
+    victim=st.integers(min_value=0, max_value=7),
+)
+def test_offset_ledger_parser_total_over_fault_space(
+    tmp_path_factory, files_per_batch, fault, victim
+):
+    """For ANY batch/file layout: the parser accepts the clean ledger
+    and returns the exact file→batch assignment; dropping any single
+    commit, dropping any offsets entry (a hole), or duplicating a file
+    across batches is always rejected with the specific error."""
+    from direct_kafka_stream_spark.operators.analytics39 import (
+        read_stream_ledger,
+    )
+
+    n = len(files_per_batch)
+    victim = victim % n
+    root = tmp_path_factory.mktemp("ledger")
+    kw = {}
+    expect = None
+    if fault == "drop_commit":
+        # dropping the LAST commit of a hole-free prefix is the only
+        # undetectable-by-contiguity case; all drops must still fail
+        kw["drop_commit"] = victim
+        expect = "uncommitted"
+    elif fault == "drop_offset":
+        kw["drop_offset"] = victim
+        # dropping the final offsets entry shortens the run instead of
+        # making a hole; its orphaned commit is then the signal
+        expect = "holes" if victim < n - 1 else "uncommitted"
+    elif fault == "dup_file":
+        kw["dup_file"] = True
+        # duplication needs at least two file entries overall
+        if sum(files_per_batch) < 2:
+            kw["dup_file"] = False
+        else:
+            expect = "double-processing"
+    _mk_ledger(root, n, files_per_batch, **kw)
+
+    if expect is None:
+        ledger = read_stream_ledger(str(root))
+        assert ledger["batches"] == list(range(n))
+        got_per_batch = [0] * n
+        for b in ledger["files"].values():
+            got_per_batch[b] += 1
+        assert got_per_batch == files_per_batch
+    else:
+        with pytest.raises(RuntimeError, match=expect):
+            read_stream_ledger(str(root))

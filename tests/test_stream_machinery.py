@@ -449,3 +449,66 @@ def test_file_sink_manifest_accounts_every_published_row(spark, tmp_path):
     assert by_manifest.count() == src_n
     # and Spark's own batch reader of a sink dir honors the manifest
     assert spark.read.parquet(out).count() == src_n
+
+
+def test_restarted_stream_ledger_and_state_stay_consistent(spark, tmp_path):
+    """Recovery capstone: run a STATEFUL aggregation over file A, then
+    add file B and restart from the same checkpoint. Afterwards the
+    combined checkpoint must satisfy every exactly-once invariant at
+    once — the offset ledger accepts (contiguous, fully committed,
+    A→batch 0 and B→batch 1, nothing reprocessed), the LIVE state
+    equals the batch aggregate of A∪B (state carried across the
+    restart), and time-traveled batch-0 state equals A alone. This is
+    the reference's restart-recovery acceptance narrative (reference
+    README.md:160-176) with the audit the reference never had."""
+    import pandas as pd
+
+    from direct_kafka_stream_spark.operators.analytics38 import (
+        _run_available_now,
+    )
+    from direct_kafka_stream_spark.operators.analytics39 import (
+        read_stream_ledger,
+    )
+    from direct_kafka_stream_spark.sources.files import file_stream
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = f"{tmp_path}/ckpt"
+    schema = "k string, v long"
+
+    def run_once():
+        agg = (
+            file_stream(spark, str(src), schema)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        )
+        _run_available_now(
+            agg.writeStream.format("noop").outputMode("update"), ckpt
+        )
+
+    a = pd.DataFrame({"k": ["x", "y", "x"], "v": [1, 2, 3]})
+    b = pd.DataFrame({"k": ["x", "z"], "v": [10, 20]})
+    a.to_parquet(src / "a.parquet")
+    run_once()
+    b.to_parquet(src / "b.parquet")
+    run_once()
+
+    ledger = read_stream_ledger(ckpt)
+    assert ledger["batches"] == [0, 1]
+    by_file = {p.rsplit("/", 1)[-1]: b for p, b in ledger["files"].items()}
+    assert by_file == {"a.parquet": 0, "b.parquet": 1}
+
+    def state_at(**opts):
+        r = spark.read.format("statestore")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        # buffer fields are named for the aggregate FUNCTIONS (count,
+        # sum), not the query's output aliases — the ALIGNMENT.md rule
+        return {
+            row["key"]["k"]: (row["value"]["count"], row["value"]["sum"])
+            for row in r.load(ckpt).collect()
+        }
+
+    assert state_at() == {"x": (3, 14), "y": (1, 2), "z": (1, 20)}
+    assert state_at(batchId=0) == {"x": (2, 4), "y": (1, 2)}

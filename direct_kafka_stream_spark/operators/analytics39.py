@@ -30,7 +30,7 @@ from __future__ import annotations
 import json
 import pathlib
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import SparkSession, functions as F
 
 from direct_kafka_stream_spark.exprs import _OUT_SCALE, dsum, dsum_sql
 from direct_kafka_stream_spark.operators.analytics38 import (
@@ -103,8 +103,12 @@ def q_stream_state_reader(spark: SparkSession, d: str):
             f"{[(m.operatorId, m.operatorName) for m in meta]}"
         )
     # every staged micro-batch must be covered by the store's committed
-    # range — a short range means a batch's state never became durable
-    n_batches = len(_log_ids(f"{ckpt}/commits"))
+    # range — a short range means a batch's state never became durable.
+    # The batch count comes from the FULL ledger audit (contiguity,
+    # commits==offsets), not a bare commit-file count, so a commit-log
+    # hole is diagnosed as the offset-ledger fault it is rather than
+    # skewing this gate's arithmetic.
+    n_batches = len(read_stream_ledger(ckpt)["batches"])
     if not (meta[0].minBatchId <= 0 and meta[0].maxBatchId == n_batches - 1):
         raise RuntimeError(
             f"state batch range [{meta[0].minBatchId}, {meta[0].maxBatchId}] "
@@ -141,10 +145,17 @@ def _log_ids(log_dir: str) -> list[int]:
 def _log_lines(log_dir: str, batch_id: int) -> list[str]:
     """Payload lines of one log entry (version header stripped,
     loudly — a version this parser doesn't know must not silently
-    parse as garbage)."""
-    lines = (
-        pathlib.Path(log_dir, str(batch_id)).read_text().strip().splitlines()
-    )
+    parse as garbage; a missing entry is an audit failure in its own
+    right, not a stray IO error)."""
+    try:
+        text = pathlib.Path(log_dir, str(batch_id)).read_text()
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"{log_dir}/{batch_id} is missing — the ledger references a "
+            "batch whose entry is absent (corruption, or compaction past "
+            "this parser's documented scope)"
+        ) from None
+    lines = text.strip().splitlines()
     if not lines or lines[0] != "v1":
         raise RuntimeError(
             f"{log_dir}/{batch_id}: expected HDFSMetadataLog v1, "

@@ -1192,39 +1192,13 @@ def test_cogroup_merge_matches_brute_force(clicks, buys):
 # ---------------------------------------------------------------------------
 
 
-def _mk_ledger(root, n_batches, files_per_batch, *, drop_commit=None,
-               drop_offset=None, dup_file=False):
-    import json as _json
-
-    meta = _json.dumps({"batchWatermarkMs": 0, "batchTimestampMs": 0, "conf": {}})
-    for sub in ("offsets", "commits", "sources/0"):
-        (root / sub).mkdir(parents=True, exist_ok=True)
-    fid = 0
-    for b in range(n_batches):
-        if b != drop_offset:
-            (root / "offsets" / str(b)).write_text(
-                "v1\n" + meta + "\n" + _json.dumps({"logOffset": b}) + "\n"
-            )
-        if b != drop_commit:
-            (root / "commits" / str(b)).write_text(
-                "v1\n" + _json.dumps({"nextBatchWatermarkMs": 0}) + "\n"
-            )
-        lines = ["v1"]
-        for _ in range(files_per_batch[b]):
-            name = 0 if dup_file else fid
-            lines.append(_json.dumps(
-                {"path": f"file:///src/f{name}.parquet", "timestamp": 0,
-                 "batchId": b}
-            ))
-            fid += 1
-        (root / "sources/0" / str(b)).write_text("\n".join(lines) + "\n")
-
-
 @settings(max_examples=30, deadline=None)
 @given(
     files_per_batch=st.lists(st.integers(min_value=1, max_value=4),
                              min_size=1, max_size=8),
-    fault=st.sampled_from(["none", "drop_commit", "drop_offset", "dup_file"]),
+    fault=st.sampled_from(
+        ["none", "drop_commit", "drop_offset", "drop_source", "dup_file"]
+    ),
     victim=st.integers(min_value=0, max_value=7),
 )
 def test_offset_ledger_parser_total_over_fault_space(
@@ -1232,11 +1206,15 @@ def test_offset_ledger_parser_total_over_fault_space(
 ):
     """For ANY batch/file layout: the parser accepts the clean ledger
     and returns the exact file→batch assignment; dropping any single
-    commit, dropping any offsets entry (a hole), or duplicating a file
-    across batches is always rejected with the specific error."""
+    commit, dropping any offsets entry (a hole), dropping a sources
+    entry, or duplicating a file across batches is always rejected
+    with the specific audit error (never a stray IO exception). The
+    ledger writer is the shared fixture in test_stream_machinery —
+    one copy of the on-disk format knowledge."""
     from direct_kafka_stream_spark.operators.analytics39 import (
         read_stream_ledger,
     )
+    from tests.test_stream_machinery import _ledger_fixture
 
     n = len(files_per_batch)
     victim = victim % n
@@ -1253,6 +1231,9 @@ def test_offset_ledger_parser_total_over_fault_space(
         # dropping the final offsets entry shortens the run instead of
         # making a hole; its orphaned commit is then the signal
         expect = "holes" if victim < n - 1 else "uncommitted"
+    elif fault == "drop_source":
+        kw["drop_source"] = victim
+        expect = "missing"
     elif fault == "dup_file":
         kw["dup_file"] = True
         # duplication needs at least two file entries overall
@@ -1260,7 +1241,7 @@ def test_offset_ledger_parser_total_over_fault_space(
             kw["dup_file"] = False
         else:
             expect = "double-processing"
-    _mk_ledger(root, n, files_per_batch, **kw)
+    _ledger_fixture(root, n, files_per_batch=files_per_batch, **kw)
 
     if expect is None:
         ledger = read_stream_ledger(str(root))

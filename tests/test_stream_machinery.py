@@ -237,22 +237,33 @@ def _write_log(d, name, batch_id, lines):
     (p / str(batch_id)).write_text("\n".join(lines) + "\n")
 
 
-def _ledger_fixture(d, batches, commits=None, *, double_assign=False):
-    """Hand-craft a minimal file-source checkpoint ledger: offsets/,
-    commits/ and sources/0/ entries for the given batch ids."""
-    commits = batches if commits is None else commits
+def _ledger_fixture(d, n_batches, *, files_per_batch=None, drop_commit=None,
+                    drop_offset=None, drop_source=None, dup_file=False):
+    """Hand-craft a minimal file-source checkpoint ledger (offsets/,
+    commits/, sources/0/), optionally with exactly one injected fault.
+    The SINGLE place that knows the on-disk log format — the parser's
+    property test (tests/test_properties.py) imports this too, so a
+    format change can't leave one test file pinning a stale shape."""
+    files_per_batch = files_per_batch or [1] * n_batches
     meta = json.dumps({"batchWatermarkMs": 0, "batchTimestampMs": 0, "conf": {}})
-    for b in batches:
-        _write_log(d, "offsets", b, ["v1", meta, json.dumps({"logOffset": b})])
-        path = "file:///src/part-0000.parquet" if double_assign else (
-            f"file:///src/part-{b:04d}.parquet"
-        )
-        _write_log(
-            d, "sources/0", b,
-            ["v1", json.dumps({"path": path, "timestamp": 0, "batchId": b})],
-        )
-    for b in commits:
-        _write_log(d, "commits", b, ["v1", json.dumps({"nextBatchWatermarkMs": 0})])
+    fid = 0
+    for b in range(n_batches):
+        if b != drop_offset:
+            _write_log(d, "offsets", b, ["v1", meta, json.dumps({"logOffset": b})])
+        if b != drop_commit:
+            _write_log(
+                d, "commits", b, ["v1", json.dumps({"nextBatchWatermarkMs": 0})]
+            )
+        if b != drop_source:
+            lines = ["v1"]
+            for _ in range(files_per_batch[b]):
+                name = 0 if dup_file else fid
+                lines.append(json.dumps(
+                    {"path": f"file:///src/part-{name:04d}.parquet",
+                     "timestamp": 0, "batchId": b}
+                ))
+                fid += 1
+            _write_log(d, "sources/0", b, lines)
 
 
 def test_offset_ledger_accepts_clean_run(tmp_path):
@@ -260,7 +271,7 @@ def test_offset_ledger_accepts_clean_run(tmp_path):
         read_stream_ledger,
     )
 
-    _ledger_fixture(tmp_path, [0, 1, 2])
+    _ledger_fixture(tmp_path, 3)
     ledger = read_stream_ledger(str(tmp_path))
     assert ledger["batches"] == [0, 1, 2]
     assert ledger["commits"] == [0, 1, 2]
@@ -275,7 +286,7 @@ def test_offset_ledger_rejects_uncommitted_batch(tmp_path):
         read_stream_ledger,
     )
 
-    _ledger_fixture(tmp_path, [0, 1], commits=[0])
+    _ledger_fixture(tmp_path, 2, drop_commit=1)
     with pytest.raises(RuntimeError, match="uncommitted"):
         read_stream_ledger(str(tmp_path))
 
@@ -285,7 +296,7 @@ def test_offset_ledger_rejects_hole_in_batch_ids(tmp_path):
         read_stream_ledger,
     )
 
-    _ledger_fixture(tmp_path, [0, 2], commits=[0, 2])
+    _ledger_fixture(tmp_path, 3, drop_offset=1, drop_commit=1)
     with pytest.raises(RuntimeError, match="holes"):
         read_stream_ledger(str(tmp_path))
 
@@ -297,7 +308,7 @@ def test_offset_ledger_rejects_double_assignment(tmp_path):
         read_stream_ledger,
     )
 
-    _ledger_fixture(tmp_path, [0, 1], double_assign=True)
+    _ledger_fixture(tmp_path, 2, dup_file=True)
     with pytest.raises(RuntimeError, match="double-processing"):
         read_stream_ledger(str(tmp_path))
 
@@ -309,7 +320,7 @@ def test_offset_ledger_rejects_unknown_log_version(tmp_path):
         read_stream_ledger,
     )
 
-    _ledger_fixture(tmp_path, [0])
+    _ledger_fixture(tmp_path, 1)
     (tmp_path / "offsets" / "0").write_text(
         "v9\n{}\n" + json.dumps({"logOffset": 0}) + "\n"
     )
@@ -327,7 +338,7 @@ def test_offset_ledger_rejects_offset_index_mismatch(tmp_path):
         read_stream_ledger,
     )
 
-    _ledger_fixture(tmp_path, [0])
+    _ledger_fixture(tmp_path, 1)
     meta = _json.dumps({"batchWatermarkMs": 0, "batchTimestampMs": 0, "conf": {}})
     (tmp_path / "offsets" / "0").write_text(
         "v1\n" + meta + "\n" + _json.dumps({"logOffset": 7}) + "\n"
@@ -512,3 +523,17 @@ def test_restarted_stream_ledger_and_state_stay_consistent(spark, tmp_path):
 
     assert state_at() == {"x": (3, 14), "y": (1, 2), "z": (1, 20)}
     assert state_at(batchId=0) == {"x": (2, 4), "y": (1, 2)}
+
+
+def test_offset_ledger_rejects_missing_source_entry(tmp_path):
+    """A batch whose sources/0 entry is gone (corruption, or log
+    compaction past the parser's documented scope) must be an AUDIT
+    error — RuntimeError like every other violation — not a stray
+    FileNotFoundError escaping the contract."""
+    from direct_kafka_stream_spark.operators.analytics39 import (
+        read_stream_ledger,
+    )
+
+    _ledger_fixture(tmp_path, 2, drop_source=1)
+    with pytest.raises(RuntimeError, match="missing"):
+        read_stream_ledger(str(tmp_path))

@@ -318,3 +318,59 @@ def test_cogroup_merge_kernel_direct():
         }
     ).astype(np.int64)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_parameterized_sql_binds_values_not_syntax(spark):
+    """Parameterized SQL (spark.sql(..., args=...)) is the
+    injection-safe dynamic-query surface: named and positional markers
+    bind as VALUES during analysis, and IDENTIFIER(:param) is the only
+    sanctioned way to make a table/column name dynamic. Pins: (1)
+    parameterized == literal result, (2) a hostile parameter stays a
+    value (never parsed as SQL), (3) IDENTIFIER resolves a view name
+    from a parameter, (4) positional markers bind in order."""
+    from direct_kafka_stream_spark.io import load_table
+
+    from tests.conftest import SF_DIR
+
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("param_ev")
+    try:
+        lit = spark.sql(
+            "SELECT event_type, COUNT(*) AS n FROM param_ev "
+            "WHERE value > 50.0 GROUP BY event_type"
+        )
+        par = spark.sql(
+            "SELECT event_type, COUNT(*) AS n FROM param_ev "
+            "WHERE value > :thr GROUP BY event_type",
+            args={"thr": 50.0},
+        )
+        assert sorted(map(tuple, par.collect())) == sorted(
+            map(tuple, lit.collect())
+        )
+
+        # a classic injection payload arrives as a VALUE: zero matches,
+        # not a tautology that returns every row
+        hostile = spark.sql(
+            "SELECT COUNT(*) AS n FROM param_ev WHERE event_type = :t",
+            args={"t": "x' OR '1'='1"},
+        )
+        assert hostile.collect()[0].n == 0
+
+        # IDENTIFIER(:tbl): dynamic relation name without string-pasting
+        total = spark.sql(
+            "SELECT COUNT(*) AS n FROM IDENTIFIER(:tbl)",
+            args={"tbl": "param_ev"},
+        ).collect()[0].n
+        assert total == load_table(spark, SF_DIR, "events").count()
+
+        # positional markers bind left to right
+        pos = spark.sql(
+            "SELECT COUNT(*) AS n FROM param_ev WHERE value > ? AND value < ?",
+            args=[10.0, 20.0],
+        ).collect()[0].n
+        lit_n = spark.sql(
+            "SELECT COUNT(*) AS n FROM param_ev "
+            "WHERE value > 10.0 AND value < 20.0"
+        ).collect()[0].n
+        assert pos == lit_n
+    finally:
+        spark.catalog.dropTempView("param_ev")

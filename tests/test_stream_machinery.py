@@ -537,3 +537,73 @@ def test_offset_ledger_rejects_missing_source_entry(tmp_path):
     _ledger_fixture(tmp_path, 2, drop_source=1)
     with pytest.raises(RuntimeError, match="missing"):
         read_stream_ledger(str(tmp_path))
+
+
+def test_state_reader_join_side_buffers_full_inputs(spark, tmp_path):
+    """The state source's JOINSIDE option reads a stream-stream join's
+    buffered rows — the join's working set, which at 100 TB is the
+    thing you need to SEE when a join's state balloons. With a
+    watermark delay (1 h) far beyond the data span (3 s), nothing is
+    evicted, so each side's buffered state must equal its entire
+    input, row for row (deterministic, no timing window)."""
+    import pandas as pd
+
+    from direct_kafka_stream_spark.operators.analytics38 import (
+        _run_available_now,
+    )
+    from direct_kafka_stream_spark.sources.files import file_stream
+    from pyspark.sql import functions as F
+
+    d = tmp_path
+    (d / "l").mkdir()
+    (d / "r").mkdir()
+    left_rows = {(1, 10), (2, 20), (3, 30)}
+    right_rows = {(2, 200), (3, 300), (4, 400)}
+    pd.DataFrame(
+        {
+            "k": [k for k, _ in sorted(left_rows)],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:01", "2024-01-01 00:00:02",
+                 "2024-01-01 00:00:03"]
+            ),
+            "lv": [v for _, v in sorted(left_rows)],
+        }
+    ).to_parquet(d / "l" / "a.parquet", coerce_timestamps="us")
+    pd.DataFrame(
+        {
+            "k": [k for k, _ in sorted(right_rows)],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:02", "2024-01-01 00:00:03",
+                 "2024-01-01 00:00:04"]
+            ),
+            "rv": [v for _, v in sorted(right_rows)],
+        }
+    ).to_parquet(d / "r" / "a.parquet", coerce_timestamps="us")
+
+    L = file_stream(
+        spark, str(d / "l"), "k long, ts timestamp, lv long"
+    ).withWatermark("ts", "1 hour")
+    R = file_stream(
+        spark, str(d / "r"), "k long, ts timestamp, rv long"
+    ).withWatermark("ts", "1 hour")
+    joined = L.alias("l").join(
+        R.alias("r"),
+        (F.col("l.k") == F.col("r.k"))
+        & (
+            F.col("r.ts").between(
+                F.col("l.ts") - F.expr("interval 10 seconds"),
+                F.col("l.ts") + F.expr("interval 10 seconds"),
+            )
+        ),
+    )
+    ckpt = f"{d}/ckpt"
+    _run_available_now(joined.writeStream.format("noop"), ckpt)
+
+    def buffered(side, val_col):
+        st = spark.read.format("statestore").option("joinSide", side).load(ckpt)
+        return {
+            (r["value"]["k"], r["value"][val_col]) for r in st.collect()
+        }
+
+    assert buffered("left", "lv") == left_rows
+    assert buffered("right", "rv") == right_rows

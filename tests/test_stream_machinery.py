@@ -607,3 +607,62 @@ def test_state_reader_join_side_buffers_full_inputs(spark, tmp_path):
 
     assert buffered("left", "lv") == left_rows
     assert buffered("right", "rv") == right_rows
+
+
+def test_watermark_evicts_join_state(spark, tmp_path):
+    """The BOUNDED-STATE guarantee for stream-stream joins: three
+    waves of rows a minute apart on each side, 5 s watermark delay,
+    ±10 s join window — as the watermark advances past each wave's
+    join window, its buffered rows are EVICTED, so the final state
+    holds only the last wave (k=21), not the stream's history. This
+    is the property that keeps a 100 TB stream-stream join's state
+    size proportional to the watermark horizon instead of the stream
+    length (availableNow appends a final no-data batch precisely to
+    advance the watermark and flush evictions)."""
+    import pandas as pd
+
+    from direct_kafka_stream_spark.operators.analytics38 import (
+        _run_available_now,
+    )
+    from direct_kafka_stream_spark.sources.files import file_stream
+    from pyspark.sql import functions as F
+
+    (tmp_path / "l").mkdir()
+    (tmp_path / "r").mkdir()
+
+    def wave(p, k, ts, col, v):
+        pd.DataFrame({"k": [k], "ts": pd.to_datetime([ts]), col: [v]}).to_parquet(
+            p, coerce_timestamps="us"
+        )
+
+    times = ["2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:02:00"]
+    for i, t in enumerate(times):
+        wave(tmp_path / "l" / f"{i}.parquet", i * 10 + 1, t, "lv", i)
+        wave(tmp_path / "r" / f"{i}.parquet", i * 10 + 1, t, "rv", i * 100)
+
+    L = file_stream(
+        spark, str(tmp_path / "l"), "k long, ts timestamp, lv long",
+        max_files_per_trigger=1,
+    ).withWatermark("ts", "5 seconds")
+    R = file_stream(
+        spark, str(tmp_path / "r"), "k long, ts timestamp, rv long",
+        max_files_per_trigger=1,
+    ).withWatermark("ts", "5 seconds")
+    joined = L.alias("l").join(
+        R.alias("r"),
+        (F.col("l.k") == F.col("r.k"))
+        & (
+            F.col("r.ts").between(
+                F.col("l.ts") - F.expr("interval 10 seconds"),
+                F.col("l.ts") + F.expr("interval 10 seconds"),
+            )
+        ),
+    )
+    ckpt = f"{tmp_path}/ckpt"
+    _run_available_now(joined.writeStream.format("noop"), ckpt)
+
+    for side in ("left", "right"):
+        st = spark.read.format("statestore").option("joinSide", side).load(ckpt)
+        assert sorted(r["value"]["k"] for r in st.collect()) == [21], (
+            f"{side} state must hold only the last wave after eviction"
+        )

@@ -666,3 +666,67 @@ def test_watermark_evicts_join_state(spark, tmp_path):
         assert sorted(r["value"]["k"] for r in st.collect()) == [21], (
             f"{side} state must hold only the last wave after eviction"
         )
+
+
+def test_state_change_feed_replays_to_final_state(spark, tmp_path):
+    """The state source's CHANGE FEED (readChangeFeed=true) completes
+    the introspection trilogy — current state, time travel, and now
+    per-batch deltas: batch 0 emits updates for exactly file A's keys,
+    batch 1 only for the keys file B touched (with cumulative values,
+    untouched keys silent), and replaying the feed (last change per
+    key) reconstructs the final state read exactly. At 100 TB this is
+    the state-store audit log: what changed, when, without replaying
+    the source."""
+    import pandas as pd
+
+    from direct_kafka_stream_spark.operators.analytics38 import (
+        _run_available_now,
+    )
+    from direct_kafka_stream_spark.sources.files import file_stream
+    from pyspark.sql import functions as F
+
+    (tmp_path / "src").mkdir()
+    pd.DataFrame({"k": ["x", "y", "x"], "v": [1, 2, 3]}).to_parquet(
+        tmp_path / "src" / "a.parquet"
+    )
+    pd.DataFrame({"k": ["x", "z"], "v": [10, 20]}).to_parquet(
+        tmp_path / "src" / "b.parquet"
+    )
+    agg = (
+        file_stream(
+            spark, str(tmp_path / "src"), "k string, v long",
+            max_files_per_trigger=1,
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    ckpt = f"{tmp_path}/ckpt"
+    _run_available_now(agg.writeStream.format("noop").outputMode("update"), ckpt)
+
+    feed = [
+        (r.batch_id, r.change_type, r["key"]["k"],
+         (r["value"]["count"], r["value"]["sum"]))
+        for r in spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", 0)
+        .load(ckpt)
+        .collect()
+    ]
+    by_batch = {}
+    for b, op, k, v in feed:
+        assert op == "update"
+        by_batch.setdefault(b, {})[k] = v
+    # batch 0: exactly file A's aggregate; batch 1: only touched keys,
+    # cumulative values, y silent
+    assert by_batch[0] == {"x": (2, 4), "y": (1, 2)}
+    assert by_batch[1] == {"x": (3, 14), "z": (1, 20)}
+
+    # replay (last write per key) == the final state read
+    replay = {}
+    for b in sorted(by_batch):
+        replay.update(by_batch[b])
+    final = {
+        r["key"]["k"]: (r["value"]["count"], r["value"]["sum"])
+        for r in spark.read.format("statestore").load(ckpt).collect()
+    }
+    assert replay == final == {"x": (3, 14), "y": (1, 2), "z": (1, 20)}

@@ -1253,3 +1253,69 @@ def test_offset_ledger_parser_total_over_fault_space(
     else:
         with pytest.raises(RuntimeError, match=expect):
             read_stream_ledger(str(root))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    attempts=st.lists(
+        st.tuples(
+            st.sampled_from(["commit", "abort"]),
+            st.lists(st.integers(min_value=0, max_value=5),
+                     min_size=1, max_size=4),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_pyds_sink_protocol_over_any_attempt_sequence(
+    tmp_path_factory, attempts
+):
+    """For ANY sequence of engine retries of one batchId — aborted
+    attempts interleaved with committed ones, each with its own
+    partition count and row layout — the published output equals the
+    LAST COMMITTED attempt exactly: its row total in the manifest,
+    its partition files on disk, zero staging leftovers, and zero
+    published files if every attempt aborted. This is the replacement
+    property behind exactly-once-per-batch that the unit tests pin
+    only for two hand-picked sequences."""
+    import json as _json
+
+    from direct_kafka_stream_spark.sources.pyds import (
+        JsonlStreamWriter,
+        _StagedFile,
+    )
+
+    root = tmp_path_factory.mktemp("pysink")
+    w = JsonlStreamWriter({"path": str(root)})
+    staging = root / "_staging"
+
+    def stage(n_rows, tag):
+        staging.mkdir(exist_ok=True)
+        p = staging / f"{tag}.jsonl"
+        p.write_text(
+            "".join(_json.dumps({"i": i}) + "\n" for i in range(n_rows))
+        )
+        return _StagedFile(str(p), n_rows)
+
+    last_committed = None
+    for a_idx, (op, sizes) in enumerate(attempts):
+        msgs = [stage(n, f"a{a_idx}p{i}") for i, n in enumerate(sizes)]
+        if op == "commit":
+            w.commit(msgs, batchId=3)
+            last_committed = sizes
+        else:
+            w.abort(msgs, batchId=3)
+
+    assert not list(staging.glob("*")), "staging must drain every attempt"
+    published = sorted(root.glob("batch-3-*.jsonl"))
+    if last_committed is None:
+        assert published == []
+        assert not (root / "_commit-3.json").exists()
+    else:
+        want_files = [n for n in last_committed if n > 0]
+        got_rows = sorted(
+            sum(1 for _ in p.open()) for p in published
+        )
+        assert got_rows == sorted(want_files)
+        manifest = _json.loads((root / "_commit-3.json").read_text())
+        assert manifest == {"batchId": 3, "rows": sum(last_committed)}

@@ -497,7 +497,14 @@ def q_weighted_median(spark: SparkSession, d: str):
     Scale shape: two keyed aggregates + one bounded window + a
     bin-pruned second scan (at scale the bin filter prunes parquet row
     groups via min/max zone maps — the q_zonemap_prune effect)."""
-    cw = load_table(spark, d, "customer").select(
+    return weighted_median_report(load_table(spark, d, "customer"))
+
+
+def weighted_median_report(cust):
+    """Composable twin entry: the exact q_weighted_median computation
+    over a customer-shaped frame (tests/test_streaming.py stages
+    customer as a file stream and recomputes this per micro-batch)."""
+    cw = cust.select(
         F.col("c_mktsegment").alias("seg"),
         "c_acctbal",
         "c_custkey",

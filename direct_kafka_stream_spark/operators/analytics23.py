@@ -204,8 +204,20 @@ def q_spearman(spark: SparkSession, d: str):
     DECIMAL(38,0) (the ×2 factors cancel in the correlation). Scale
     shape: two distinct-value aggregates with bounded windows, two
     value-keyed joins, one moment rollup — no global sort anywhere."""
-    li = load_table(spark, d, "lineitem").select("l_quantity", "l_extendedprice")
-    return spearman_rho(li, "l_quantity", "l_extendedprice", _SP_QBIN, _SP_PBIN)
+    return spearman_report(load_table(spark, d, "lineitem"))
+
+
+def spearman_report(li):
+    """Composable twin entry: the exact q_spearman computation over a
+    lineitem-shaped frame (tests/test_streaming.py stages lineitem as
+    a file stream and recomputes this per micro-batch)."""
+    return spearman_rho(
+        li.select("l_quantity", "l_extendedprice"),
+        "l_quantity",
+        "l_extendedprice",
+        _SP_QBIN,
+        _SP_PBIN,
+    )
 
 
 def stitched_avg_ranks(df, col: str, bin_w: float):

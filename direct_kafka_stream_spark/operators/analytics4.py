@@ -1216,6 +1216,13 @@ def q_gini(spark: SparkSession, d: str):
     orders = load_table(spark, d, "orders")
     cust = load_table(spark, d, "customer")
     nation = load_table(spark, d, "nation")
+    return gini_report(orders, cust, nation)
+
+
+def gini_report(orders, cust, nation):
+    """Composable form over (orders, customer, nation) frames — also
+    the fact-stream-vs-static-dims twin entry point (orders stream in,
+    dims stay static; tests/test_streaming.py)."""
     rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
     joined = rev.join(
         cust, rev.o_custkey == cust.c_custkey

@@ -1599,3 +1599,128 @@ def test_incremental_curation_matches_batch_pipeline(spark, tmp_path):
         & F.col("n_chars").between(50, 100000)
     ).count()
     assert len(got) < n_gated
+
+
+# ---------------------------------------------------------------------------
+# round-8 table-staging twins: lineitem (Spearman), customer (weighted
+# median), and the fact-stream-vs-static-dims shape (Gini) — the
+# production pattern where the FACT table streams in while dimension
+# tables stay static, and the analytic is recomputed per micro-batch.
+# ---------------------------------------------------------------------------
+
+
+def _staged_table_dir(spark, tmp_path, table):
+    d = tmp_path / f"{table}_stream_src"
+    load_table(spark, SF_DIR, table).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    return str(d)
+
+
+_LINEITEM_DDL = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, "
+    "l_tax double, l_returnflag string, l_linestatus string, "
+    "l_shipdate timestamp"
+)
+_CUSTOMER_DDL = (
+    "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+    "c_mktsegment string"
+)
+
+
+def _run_table_twin(spark, tmp_path, qname, table, ddl, transform):
+    """Stage `table` as a file stream, recompute `transform` over
+    everything staged per micro-batch, and compare the final result to
+    the batch registry query."""
+    from direct_kafka_stream_spark import QUERIES
+
+    expected = sorted(
+        map(tuple, QUERIES[qname].spark(spark, SF_DIR).collect())
+    )
+    src = _staged_table_dir(spark, tmp_path, table)
+    stage = str(tmp_path / "staged")
+    result = str(tmp_path / "result")
+
+    def process(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(stage)
+        transform(spark.read.parquet(stage)).write.mode(
+            "overwrite"
+        ).parquet(result)
+
+    q = (
+        file_stream(spark, src, ddl)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = sorted(map(tuple, spark.read.parquet(result).collect()))
+    assert got == expected
+
+
+def test_streaming_lineitem_spearman_equal_batch(spark, tmp_path):
+    """Spearman over a lineitem stream: the bin-stitched rank kernel
+    is recomputable per micro-batch and lands exactly on the batch
+    answer once the stream drains."""
+    from direct_kafka_stream_spark.operators.analytics23 import (
+        spearman_report,
+    )
+
+    _run_table_twin(
+        spark, tmp_path, "q_spearman", "lineitem", _LINEITEM_DDL,
+        spearman_report,
+    )
+
+
+def test_streaming_customer_weighted_median_equal_batch(spark, tmp_path):
+    """Weighted median per segment over a customer stream: the
+    bin-then-refine two-pass is batch/stream-unified."""
+    from direct_kafka_stream_spark.operators.analytics18 import (
+        weighted_median_report,
+    )
+
+    _run_table_twin(
+        spark, tmp_path, "q_weighted_median", "customer", _CUSTOMER_DDL,
+        weighted_median_report,
+    )
+
+
+def test_streaming_orders_gini_static_dims_equal_batch(spark, tmp_path):
+    """The fact-stream-vs-static-dims shape: ORDERS stream in while
+    customer and nation stay static batch tables — each micro-batch
+    recomputes revenue concentration over all staged facts joined to
+    the unchanged dims, landing exactly on the batch Gini. This is the
+    canonical production layout (facts land continuously, dims are
+    slowly changing) the reference app approximated with its
+    store-then-process loop (KafkaDirectStream.scala:43-51)."""
+    from direct_kafka_stream_spark import QUERIES
+    from direct_kafka_stream_spark.operators.analytics4 import gini_report
+    from direct_kafka_stream_spark.sources.files import orders_schema
+
+    expected = sorted(
+        map(tuple, QUERIES["q_gini"].spark(spark, SF_DIR).collect())
+    )
+    src = _staged_table_dir(spark, tmp_path, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+    nation = load_table(spark, SF_DIR, "nation")
+    stage = str(tmp_path / "staged")
+    result = str(tmp_path / "result")
+
+    def process(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(stage)
+        gini_report(spark.read.parquet(stage), cust, nation).write.mode(
+            "overwrite"
+        ).parquet(result)
+
+    q = (
+        file_stream(spark, src, orders_schema())
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = sorted(map(tuple, spark.read.parquet(result).collect()))
+    assert got == expected

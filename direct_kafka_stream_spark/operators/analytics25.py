@@ -383,12 +383,19 @@ def q_hhi(spark: SparkSession, d: str):
     broadcast of the segments table; revenue sums in exact decimal so
     both engines square identical share doubles, and the HHI sum goes
     through decimal once more (order-independent)."""
+    return hhi_report(
+        load_table(spark, d, "orders"), load_table(spark, d, "customer")
+    )
+
+
+def hhi_report(orders, cust):
+    """Composable form over (orders, customer) frames — also the
+    fact-stream-vs-static-dims twin entry point
+    (tests/test_streaming.py)."""
     rev = (
-        load_table(spark, d, "orders")
+        orders
         .join(
-            F.broadcast(
-                load_table(spark, d, "customer").select("c_custkey", "c_mktsegment")
-            ),
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")

@@ -760,6 +760,13 @@ def q_pareto_share(spark: SparkSession, d: str):
     orders = load_table(spark, d, "orders")
     cust = load_table(spark, d, "customer")
     nation = load_table(spark, d, "nation")
+    return pareto_share_report(orders, cust, nation)
+
+
+def pareto_share_report(orders, cust, nation):
+    """Composable form over (orders, customer, nation) frames — also
+    the fact-stream-vs-static-dims twin entry point
+    (tests/test_streaming.py)."""
     rev = orders.groupBy("o_custkey").agg(
         F.round(F.sum(F.col("o_totalprice").cast(DEC)), 4)
         .cast("double")

@@ -1724,3 +1724,56 @@ def test_streaming_orders_gini_static_dims_equal_batch(spark, tmp_path):
     _await(q)
     got = sorted(map(tuple, spark.read.parquet(result).collect()))
     assert got == expected
+
+
+@pytest.mark.parametrize(
+    "qname, importer",
+    [
+        ("q_hhi", lambda: __import__(
+            "direct_kafka_stream_spark.operators.analytics25",
+            fromlist=["hhi_report"]).hhi_report),
+        ("q_pareto_share", lambda: __import__(
+            "direct_kafka_stream_spark.operators.analytics27",
+            fromlist=["pareto_share_report"]).pareto_share_report),
+    ],
+)
+def test_streaming_orders_concentration_static_dims_equal_batch(
+    spark, tmp_path, qname, importer
+):
+    """The other two concentration metrics in the fact-stream-vs-
+    static-dims shape: HHI (orders ⋈ static customer) and Pareto
+    share (orders ⋈ static customer ⋈ static nation) recomputed per
+    micro-batch over all staged facts, landing exactly on the batch
+    answers."""
+    import inspect
+
+    from direct_kafka_stream_spark import QUERIES
+    from direct_kafka_stream_spark.sources.files import orders_schema
+
+    report = importer()
+    expected = sorted(
+        map(tuple, QUERIES[qname].spark(spark, SF_DIR).collect())
+    )
+    src = _staged_table_dir(spark, tmp_path, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+    nation = load_table(spark, SF_DIR, "nation")
+    dims = (cust, nation)[: len(inspect.signature(report).parameters) - 1]
+    stage = str(tmp_path / "staged")
+    result = str(tmp_path / "result")
+
+    def process(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(stage)
+        report(spark.read.parquet(stage), *dims).write.mode(
+            "overwrite"
+        ).parquet(result)
+
+    q = (
+        file_stream(spark, src, orders_schema())
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = sorted(map(tuple, spark.read.parquet(result).collect()))
+    assert got == expected

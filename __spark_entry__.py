@@ -25,13 +25,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
-def _checked_ok() -> set[str]:
-    """Query names already verified green in a prior round's
-    CORRECTNESS_r*.json (hash_match, or a declared no-oracle rows-only
-    check that ran). Failed or never-checked names are excluded so they
-    sort to the front of the next round's check window."""
-    ok: set[str] = set()
+def _newest_green_round() -> dict[str, int]:
+    """For each query name, the NEWEST round whose CORRECTNESS_r*.json
+    shows it green (hash_match, or a declared no-oracle rows-only check
+    that ran). Never-checked or never-green names are absent."""
+    newest: dict[str, int] = {}
     for p in sorted(_HERE.glob("CORRECTNESS_r*.json")):
+        stem = p.stem.split("_r")[-1]
+        if not stem.isdigit():
+            continue
+        rnd = int(stem)
         try:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
@@ -42,17 +45,21 @@ def _checked_ok() -> set[str]:
             if row.get("hash_match") is True or (
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             ):
-                ok.add(name)
-    return ok
+                newest[name] = max(rnd, newest.get(name, 0))
+    return newest
 
 
 def _ordered_names() -> list[str]:
-    """Registry order, rotated: the correctness driver checks a bounded
-    prefix of this dict per round, so names without a green row from any
-    prior round come first (stable within each group)."""
-    done = _checked_ok()
+    """Registry order, rotated LEAST-RECENTLY-VERIFIED first: the
+    correctness driver checks a bounded prefix of this dict per round.
+    Names with no green row from any prior round sort to the very
+    front (round 0); after that, the names whose newest green row is
+    oldest — so once the ledger is closed, the driver re-validates the
+    whole registry on a rolling ~8-round cycle instead of re-checking
+    the same registry-order prefix forever."""
+    newest = _newest_green_round()
     names = list(QUERIES)
-    return sorted(names, key=lambda n: (n in done, names.index(n)))
+    return sorted(names, key=lambda n: (newest.get(n, 0), names.index(n)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -180,6 +180,27 @@ def resize_images(
     return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
 
 
+def decode_audio(
+    payload: bytes, decoder: Callable | None = None
+) -> tuple[int, np.ndarray]:
+    """Audio codec boundary, mirror of ``decode_image``: real
+    deployments pass soundfile/ffmpeg here; without an injected
+    decoder, PCM-16 RIFF/WAVE decodes through the pure-numpy codec in
+    ``wav.py`` (so that path runs end-to-end on real bytes), and
+    anything else stays an explicit stub. Returns ``(rate, samples)``
+    with samples shaped (n_frames, channels) int16."""
+    if decoder is not None:
+        return decoder(payload)
+    from direct_kafka_stream_spark.functions import wav
+
+    if wav.sniff_wav(bytes(payload[:12])):
+        return wav.decode_wav(payload)
+    raise NotImplementedError(
+        "no audio codec for this container in this environment; "
+        "inject a decoder"
+    )
+
+
 AUDIO_WINDOW_SCHEMA = (
     "doc_id long, win_idx int, byte_start long, byte_end long, rms double"
 )
@@ -251,3 +272,133 @@ def audio_windows(
             )
 
     return wins.mapInPandas(rms, schema=AUDIO_WINDOW_SCHEMA)
+
+
+WAV_WINDOW_SCHEMA = (
+    "doc_id long, win_idx int, rate int, channels int, "
+    "start_frame long, end_frame long, rms double"
+)
+
+
+def audio_windows_wav(
+    df: DataFrame,
+    win_frames: int = 256,
+    hop_frames: int = 128,
+) -> DataFrame:
+    """``audio_windows`` on REAL encoded audio: the payloads are actual
+    RIFF/WAVE PCM-16 bytes (decoded by ``wav.py``, zero injected
+    fakes), and the output RMS is over genuine int16 samples.
+
+    Three-stage plan keeping the window PLANNING JVM-side, like the
+    byte-window sibling:
+      1. one Arrow pass parses each payload's RIFF HEADER ONLY
+         (``wav.parse_header`` — chunk walk, no sample decode) and
+         re-emits the row with (data_off, rate, channels, n_frames)
+         metadata attached;
+      2. pure DataFrame algebra computes the sliding (win, hop) frame
+         grid — sequence/explode — and slices each window's exact byte
+         range out of the payload with ``substring`` (frame f of a
+         ch-channel PCM-16 stream lives at data_off + f*2*ch), so
+         window bounds and slicing never leave the JVM and a window's
+         shuffle payload is the window, not the file;
+      3. a second Arrow pass reinterprets each slice as int16 frames
+         (``np.frombuffer``) and computes channel-averaged RMS.
+
+    At 100 TB this is the speech-pipeline pre-processing shape:
+    header-parse is O(header), windows parallelize per input partition
+    with zero shuffle, and only fixed-width (doc, window) features flow
+    downstream. Docs whose stream is shorter than one window emit
+    nothing (same contract as the byte-window form)."""
+    meta_schema = (
+        "doc_id long, media binary, data_off long, rate int, "
+        "channels int, n_frames long"
+    )
+
+    def parse_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from direct_kafka_stream_spark.functions import wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                h = wav.parse_header(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id), payload, int(h["data_off"]),
+                        int(h["rate"]), int(h["channels"]), int(h["n_frames"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media", "data_off", "rate", "channels",
+                    "n_frames",
+                ],
+            )
+
+    with_meta = df.select("doc_id", "media").mapInPandas(
+        parse_meta, schema=meta_schema
+    )
+
+    frame_bytes = F.col("channels").cast("long") * 2
+    wins = (
+        with_meta.filter(F.col("n_frames") >= win_frames)
+        .select(
+            "doc_id", "media", "data_off", "rate", "channels",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.floor(
+                        (F.col("n_frames") - win_frames) / hop_frames
+                    ).cast("long"),
+                    F.lit(1).cast("long"),
+                )
+            ).alias("win_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("win_idx").cast("int").alias("win_idx"),
+            F.col("rate"),
+            F.col("channels"),
+            (F.col("win_idx") * hop_frames).cast("long").alias("start_frame"),
+            (F.col("win_idx") * hop_frames + win_frames)
+            .cast("long")
+            .alias("end_frame"),
+            # substring is 1-based; frame f starts data_off + f*2*ch in
+            F.substring(
+                F.col("media"),
+                (
+                    F.col("data_off")
+                    + F.col("win_idx") * hop_frames * frame_bytes
+                    + 1
+                ).cast("int"),
+                (F.lit(win_frames) * frame_bytes).cast("int"),
+            ).alias("chunk"),
+        )
+    )
+
+    def rms16(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, win_idx, rate, ch, f0, f1, chunk in zip(
+                pdf["doc_id"], pdf["win_idx"], pdf["rate"], pdf["channels"],
+                pdf["start_frame"], pdf["end_frame"], pdf["chunk"],
+            ):
+                arr = np.frombuffer(bytes(chunk), dtype="<i2").astype(
+                    np.float64
+                )
+                rows.append(
+                    (
+                        int(doc_id), int(win_idx), int(rate), int(ch),
+                        int(f0), int(f1),
+                        float(np.sqrt((arr * arr).mean())) if len(arr) else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "win_idx", "rate", "channels",
+                    "start_frame", "end_frame", "rms",
+                ],
+            )
+
+    return wins.mapInPandas(rms16, schema=WAV_WINDOW_SCHEMA)

@@ -79,8 +79,16 @@ def q_item_cf(spark: SparkSession, d: str):
     item CF. It is bounded explicitly: users above the basket cap are
     dropped BEFORE the self-join (the standard skew bound; a degenerate
     power user contributes mostly popularity noise anyway), making the
-    join cost Σ min(B,cap)² — linear in users. Everything downstream
-    is item-pair-keyed; the per-item top-k window is bounded by the
+    join cost Σ min(B,cap)² — linear in users. The cap is applied with
+    a COUNT window over u, not a groupBy+join-back: the join-back form
+    computed the (join+distinct) basket build TWICE and re-shuffled it;
+    the window form builds baskets once, costs one extra u-shuffle, and
+    leaves the persisted cache hash-partitioned on u — exactly the
+    clustering the pair self-join needs, so the join adds no exchange
+    on either side. (A count window is also spill-safe under user skew,
+    where a collect_set-based cap would buffer a degenerate user's
+    whole item array in one task.) Everything downstream is
+    item-pair-keyed; the per-item top-k window is bounded by the
     item's co-purchase fan-out. Ranking compares the ROUNDED cosine
     with a neighbor-id tiebreak (ALIGNMENT.md ranking rule)."""
     orders = load_table(spark, d, "orders")
@@ -90,13 +98,14 @@ def q_item_cf(spark: SparkSession, d: str):
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it"))
         .distinct()
     )
-    ok_users = (
-        baskets0.groupBy("u")
-        .agg(F.count(F.lit(1)).alias("bsz"))
+    baskets = (
+        baskets0.withColumn(
+            "bsz", F.count(F.lit(1)).over(Window.partitionBy("u"))
+        )
         .filter(F.col("bsz") <= _CF_BASKET_CAP)
-        .select("u")
+        .drop("bsz")
+        .persist()
     )
-    baskets = baskets0.join(ok_users, "u").persist()
     ni = baskets.groupBy("it").agg(F.count(F.lit(1)).alias("n"))
     a = baskets.select("u", F.col("it").alias("ia"))
     b = baskets.select("u", F.col("it").alias("ib"))

@@ -4,9 +4,12 @@ rather than opaque — the Spark 4 state data source (read a stateful
 query's store as a batch DataFrame) and the offset/commit metadata
 log (the engine-native rendition of the reference's entire purpose).
 
-The reference hand-rolled offset bookkeeping in ZooKeeper — write the
-sink, then persist ``topic:partition:offset`` strings, and on restart
-rebuild ``fromOffsets`` from the store (KafkaDirectStream.scala:84-105).
+The reference hand-rolled offset bookkeeping in ZooKeeper — each
+batch it persists the batch's STARTING offsets (``fromOffset``) as
+``topic:partition:offset`` strings via a foreachRDD registered ahead
+of the processing one, and on restart rebuilds ``fromOffsets`` from
+the store (KafkaDirectStream.scala:84-105) — so a crash mid-batch
+replays the in-flight batch: at-least-once.
 Structured Streaming keeps that same ledger itself: ``offsets/<batch>``
 is written BEFORE a micro-batch runs (intent), ``commits/<batch>``
 after it durably finishes (completion), and ``sources/0/<batch>``
@@ -179,14 +182,21 @@ def read_stream_ledger(ckpt: str) -> dict:
         source's offset IS the metadata-log index;
       * every input file is assigned to EXACTLY ONE batch in
         sources/0/<N> — a file in two batches is double-processing,
-        the failure mode the reference's sink-then-commit ordering
-        (KafkaDirectStream.scala:96-105) existed to prevent.
+        the failure mode the reference's persisted begin-offset ledger
+        (KafkaDirectStream.scala:96-105: ``fromOffset`` saved per
+        batch, replayed on restart — at-least-once) existed to bound.
 
     Scope: single file source, fewer than the source log's compaction
     interval (default 10) batches — past that, the engine replaces
     sources/0/<N> with <N>.compact and this parser fails LOUDLY on
     the missing plain entry (FileNotFoundError) rather than silently
-    under-counting. The registry exhibit stages exactly 3 batches."""
+    under-counting. Also NO WATERMARK on the audited query: with a
+    watermark, availableNow may append a trailing NO-DATA batch whose
+    logOffset repeats the previous one and whose sources/0 entry is
+    absent — a valid checkpoint this parser would reject as a ledger
+    hole. (All registry callers stream watermark-free projections, so
+    the strict logOffset==batchId form is the right audit here.) The
+    registry exhibit stages exactly 3 batches."""
     offset_ids = _log_ids(f"{ckpt}/offsets")
     commit_ids = _log_ids(f"{ckpt}/commits")
     if offset_ids != list(range(len(offset_ids))):
@@ -268,8 +278,11 @@ def q_stream_offset_log(spark: SparkSession, d: str):
     )
 
     ledger = read_stream_ledger(ckpt)
+    # Path.as_uri() percent-encodes exactly like the URIs Spark records
+    # in sources/0 — an f"file://{p}" spelling would spuriously mismatch
+    # on any scratch path containing a space or '%'.
     staged = {
-        f"file://{p}" for p in pathlib.Path(src).glob("*.parquet")
+        p.as_uri() for p in pathlib.Path(src).glob("*.parquet")
     }
     assigned = set(ledger["files"])
     if assigned != staged:

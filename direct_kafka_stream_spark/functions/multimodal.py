@@ -3,12 +3,14 @@ columns + typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side architecture is real and tested — schema contracts,
 partition-parallel batch iteration, struct metadata. The codec step
-decodes trivial raster containers (netpbm P5/P6, uncompressed 24-bit
-BMP) with the pure-numpy codecs in ``raster.py`` — the pipeline runs
-end-to-end on real encoded bytes for those — while formats needing an
-external library (JPEG/PNG/audio/video) stay an explicit stub:
-``decode_image`` raises NotImplementedError unless handed a decoder
-through the injection API.
+decodes trivial containers with the pure-numpy codecs in this package
+— netpbm P5/P6 and uncompressed 24-bit BMP (``raster.py``), PCM-16
+RIFF/WAVE (``wav.py``), and uncompressed 24-bit DIB AVI (``avi.py``)
+— so all three modalities run end-to-end on real encoded bytes —
+while formats needing an external library (JPEG/PNG/MP3/H.264/...)
+stay an explicit stub: the ``decode_*`` dispatchers raise
+NotImplementedError unless handed a decoder through the injection
+API.
 
 At 100 TB: binaries live in parquet (or are lazily fetched by URI
 inside the batch iterator to keep shuffle payloads small); decode and
@@ -402,3 +404,149 @@ def audio_windows_wav(
             )
 
     return wins.mapInPandas(rms16, schema=WAV_WINDOW_SCHEMA)
+
+
+def decode_video(
+    payload: bytes, decoder: Callable | None = None
+) -> tuple[float, np.ndarray]:
+    """Video codec boundary, mirror of ``decode_image``/``decode_audio``:
+    real deployments pass ffmpeg/PyAV here; without an injected decoder,
+    uncompressed 24-bit DIB AVI decodes through the pure-numpy codec in
+    ``avi.py`` (so that path runs end-to-end on real bytes), and
+    anything else stays an explicit stub. Returns ``(fps, frames)``
+    with frames shaped (n, h, w, 3) RGB uint8."""
+    if decoder is not None:
+        return decoder(payload)
+    from direct_kafka_stream_spark.functions import avi
+
+    if avi.sniff_avi(bytes(payload[:12])):
+        return avi.decode_avi(payload)
+    raise NotImplementedError(
+        "no video codec for this container in this environment; "
+        "inject a decoder"
+    )
+
+
+AVI_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, fps double, "
+    "mean_lum double, phash long"
+)
+
+
+def frame_sample_avi(df: DataFrame, every_nth: int = 2) -> DataFrame:
+    """``frame_sample`` on REAL encoded video: the payloads are actual
+    uncompressed-DIB AVI bytes (decoded by ``avi.py``, zero injected
+    fakes), and each sampled frame's luminance/fingerprint is computed
+    over genuine pixel data.
+
+    Three-stage plan keeping the frame PLANNING JVM-side, the same
+    shape as ``audio_windows_wav``:
+      1. one Arrow pass parses each payload's RIFF STRUCTURE ONLY
+         (``avi.parse_header`` — chunk walk, no pixel decode; it also
+         verifies the regular frame stride that makes step 2 pure
+         arithmetic) and re-emits the row with (data_off, stride_bytes,
+         frame_size, dims, n_frames, fps) metadata attached;
+      2. pure DataFrame algebra computes the every-nth frame grid —
+         sequence/explode — and slices each sampled frame's exact byte
+         range out of the payload with ``substring`` (frame i's pixels
+         live at data_off + i*stride_bytes), so sampling and slicing
+         never leave the JVM and a frame's shuffle payload is the
+         frame, not the whole video;
+      3. a second Arrow pass decodes each raw-DIB slice (bottom-up BGR
+         rows via ``avi.decode_frame``) and emits fixed-width features:
+         mean luminance + the same 64-bit average-hash fingerprint
+         ``image_features`` uses (the near-dup-frame dedup key).
+
+    At 100 TB this is the video-curation pre-processing shape:
+    header-parse is O(chunk directory), sampled frames parallelize per
+    input partition with zero shuffle, and only fixed-width
+    (doc, frame) features flow downstream — the full pixel stream never
+    crosses a stage boundary. Sampling always includes frame 0."""
+    meta_schema = (
+        "doc_id long, media binary, data_off long, stride_bytes long, "
+        "frame_size int, width int, height int, n_frames int, fps double"
+    )
+
+    def parse_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from direct_kafka_stream_spark.functions import avi
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                h = avi.parse_header(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id), payload, int(h["data_off"]),
+                        int(h["stride_bytes"]), int(h["frame_size"]),
+                        int(h["width"]), int(h["height"]),
+                        int(h["n_frames"]), float(h["fps"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media", "data_off", "stride_bytes",
+                    "frame_size", "width", "height", "n_frames", "fps",
+                ],
+            )
+
+    with_meta = df.select("doc_id", "media").mapInPandas(
+        parse_meta, schema=meta_schema
+    )
+
+    frames = with_meta.select(
+        "doc_id", "media", "data_off", "stride_bytes", "frame_size",
+        "width", "height", "fps",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n_frames") - 1, F.lit(0)),
+                F.lit(int(every_nth)),
+            )
+        ).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "width",
+        "height",
+        "fps",
+        # substring is 1-based; frame i's pixels start at data_off + i*stride
+        F.substring(
+            F.col("media"),
+            (
+                F.col("data_off") + F.col("frame_idx") * F.col("stride_bytes") + 1
+            ).cast("int"),
+            F.col("frame_size"),
+        ).alias("chunk"),
+    )
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from direct_kafka_stream_spark.functions import avi
+
+        for pdf in batches:
+            rows = []
+            for doc_id, idx, w, h, fps, chunk in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["width"],
+                pdf["height"], pdf["fps"], pdf["chunk"],
+            ):
+                img = avi.decode_frame(bytes(chunk), int(w), int(h))
+                flat = np.resize(img.astype(np.float64), (8, 8))
+                bits = (flat > flat.mean()).flatten()
+                phash = int(sum(int(b) << i for i, b in enumerate(bits)))
+                if phash >= 1 << 63:
+                    phash -= 1 << 64
+                rows.append(
+                    (
+                        int(doc_id), int(idx), int(w), int(h), float(fps),
+                        float(img.mean()), phash,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height", "fps",
+                    "mean_lum", "phash",
+                ],
+            )
+
+    return frames.mapInPandas(features, schema=AVI_FRAME_SCHEMA)

@@ -82,6 +82,7 @@ from direct_kafka_stream_spark.operators import analytics36  # noqa: F401
 from direct_kafka_stream_spark.operators import analytics37  # noqa: F401
 from direct_kafka_stream_spark.operators import analytics38  # noqa: F401
 from direct_kafka_stream_spark.operators import analytics39  # noqa: F401
+from direct_kafka_stream_spark.operators import analytics40  # noqa: F401
 
 __all__ = [
     "get_session",

@@ -82,10 +82,12 @@ def q_item_cf(spark: SparkSession, d: str):
     join cost Σ min(B,cap)² — linear in users. The cap is applied with
     a COUNT window over u, not a groupBy+join-back: the join-back form
     computed the (join+distinct) basket build TWICE and re-shuffled it;
-    the window form builds baskets once, costs one extra u-shuffle, and
-    leaves the persisted cache hash-partitioned on u — exactly the
-    clustering the pair self-join needs, so the join adds no exchange
-    on either side. (A count window is also spill-safe under user skew,
+    the window form builds baskets once. The basket build itself
+    repartitions by u BEFORE deduplicating, so the single u-exchange
+    serves the dedup aggregate (subset-clustering rule), the count
+    window, and the persisted cache feeding the pair self-join — the
+    basket set crosses the wire exactly once, and the join adds no
+    exchange on either side. (A count window is also spill-safe under user skew,
     where a collect_set-based cap would buffer a degenerate user's
     whole item array in one task.) Everything downstream is
     item-pair-keyed; the per-item top-k window is bounded by the
@@ -93,10 +95,18 @@ def q_item_cf(spark: SparkSession, d: str):
     with a neighbor-id tiebreak (ALIGNMENT.md ranking rule)."""
     orders = load_table(spark, d, "orders")
     li = load_table(spark, d, "lineitem")
+    # repartition by u FIRST: HashPartitioning(u) satisfies the (u, it)
+    # dedup's clustered distribution (subset rule), and the window, the
+    # persisted cache, and the pair self-join all need u-clustering too
+    # — so the basket set crosses the wire exactly ONCE after the join
+    # (a plain .distinct() costs an extra full (u, it) exchange before
+    # the window re-shuffles by u: 3 exchanges instead of 2, A/B'd at
+    # +12% wall in BENCH_NOTES.md round 9)
     baskets0 = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it"))
-        .distinct()
+        .repartition("u")
+        .dropDuplicates(["u", "it"])
     )
     baskets = (
         baskets0.withColumn(

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from direct_kafka_stream_spark.caching import track
 from direct_kafka_stream_spark.exprs import dsum, dsum_sql
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
@@ -116,6 +117,10 @@ def q_item_cf(spark: SparkSession, d: str):
         .drop("bsz")
         .persist()
     )
+    # ledger the cache so the registry wrapper frees it when the next
+    # query starts (persist must outlive this callable — the caller
+    # collects after return)
+    track(baskets)
     ni = baskets.groupBy("it").agg(F.count(F.lit(1)).alias("n"))
     a = baskets.select("u", F.col("it").alias("ia"))
     b = baskets.select("u", F.col("it").alias("ib"))

@@ -111,8 +111,17 @@ def q_multimodal_codec(spark: SparkSession, d: str):
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "img", "wav", "avi"])
 
-    media = docs.mapInPandas(
-        build_media, schema="doc_id long, img binary, wav binary, avi binary"
+    # three modality pipelines read this frame — persist so the encode
+    # pass runs once, not once per branch (bounded: |docs|/13 rows of
+    # ~700 B media each); tracked so the registry wrapper frees it
+    # when the next query starts
+    from direct_kafka_stream_spark.caching import track
+
+    media = track(
+        docs.mapInPandas(
+            build_media,
+            schema="doc_id long, img binary, wav binary, avi binary",
+        ).persist()
     )
 
     img_f = mm.image_features(

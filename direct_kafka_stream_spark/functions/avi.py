@@ -42,19 +42,34 @@ def _stride(w: int) -> int:
     return (w * 3 + 3) & ~3
 
 
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+def encode_avi(
+    frames: np.ndarray, fps: int | tuple[int, int] = 10
+) -> bytes:
     """Encode ``(n, h, w, 3)`` RGB uint8 frames as an uncompressed
     24-bit DIB AVI (one ``vids``/``DIB `` stream, ``00db`` frame
     chunks, ``idx1`` keyframe index — the layout every reader
-    accepts)."""
+    accepts). ``fps`` is an integer rate or an exact ``(rate, scale)``
+    integer pair for rational rates (NTSC 29.97 = ``(30000, 1001)``);
+    fractional floats are rejected, not truncated."""
     arr = np.asarray(frames, dtype=np.uint8)
     if arr.ndim != 4 or arr.shape[3] != 3:
         raise ValueError(f"AVI encoder needs (n, h, w, 3), got {arr.shape}")
     n, h, w = arr.shape[0], arr.shape[1], arr.shape[2]
     if n < 1 or h < 1 or w < 1:
         raise ValueError(f"AVI needs at least one non-empty frame, got {arr.shape}")
-    if not 1 <= int(fps) <= 0xFFFFFFFF:
-        raise ValueError(f"unrepresentable frame rate: {fps}")
+    # loud, never silent: a fractional fps would be truncated by the
+    # integer dwRate field and round-trip as a different rate (the
+    # decoder deliberately returns rate/scale as a float) — reject it;
+    # rational rates encode exactly as an integer (rate, scale) pair
+    rate, scale = fps if isinstance(fps, tuple) else (fps, 1)
+    if rate != int(rate) or scale != int(scale):
+        raise ValueError(
+            f"non-integral frame rate {fps!r}; pass an int fps or an "
+            "exact (rate, scale) integer pair"
+        )
+    rate, scale = int(rate), int(scale)
+    if not (1 <= rate <= 0xFFFFFFFF and 1 <= scale <= 0xFFFFFFFF):
+        raise ValueError(f"unrepresentable frame rate: {fps!r}")
     stride = _stride(w)
     frame_size = stride * h
     # frame pixel array == BMP pixel array: bottom-up rows, BGR, padded
@@ -64,8 +79,8 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     avih = b"avih" + struct.pack(
         "<I14I",
         56,
-        1_000_000 // int(fps),  # dwMicroSecPerFrame
-        frame_size * int(fps),  # dwMaxBytesPerSec
+        1_000_000 * scale // rate,  # dwMicroSecPerFrame
+        frame_size * rate // scale,  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
         _AVIF_HASINDEX,  # dwFlags
         n,  # dwTotalFrames
@@ -84,8 +99,8 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
         0,  # dwFlags
         0, 0,  # wPriority, wLanguage
         0,  # dwInitialFrames
-        1,  # dwScale
-        int(fps),  # dwRate (fps = rate/scale)
+        scale,  # dwScale
+        rate,  # dwRate (fps = rate/scale)
         0,  # dwStart
         n,  # dwLength (frames)
         frame_size,  # dwSuggestedBufferSize
@@ -119,20 +134,12 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
 
 
 def _walk(payload: bytes, pos: int, end: int):
-    """Yield ``(chunk_id, list_type, data_off, data_size)`` for each
-    chunk in ``payload[pos:end]``; ``list_type`` is the inner fourcc
-    for LIST chunks (with data_off/size covering the LIST BODY past
-    it), else None. Honors the RIFF pad byte; loud on truncation."""
-    while pos + 8 <= end:
-        cid = payload[pos : pos + 4]
-        size = struct.unpack_from("<I", payload, pos + 4)[0]
-        if pos + 8 + size > len(payload):
-            raise ValueError(f"truncated chunk {cid!r}: size {size} past payload end")
-        if cid == b"LIST" and size >= 4:
-            yield cid, payload[pos + 8 : pos + 12], pos + 12, size - 4
-        else:
-            yield cid, None, pos + 8, size
-        pos += 8 + size + (size % 2)
+    """Shared RIFF walker (``riff.walk_chunks``): ``(chunk_id,
+    list_type, data_off, data_size)`` per chunk, LIST form types
+    surfaced, pad byte honored, loud on truncation."""
+    from direct_kafka_stream_spark.functions import riff
+
+    return riff.walk_chunks(payload, pos, end)
 
 
 def parse_header(payload: bytes) -> dict:

@@ -74,6 +74,22 @@ def decode_image(payload: bytes, decoder: Callable | None = None) -> np.ndarray:
     )
 
 
+def ahash64(img: np.ndarray) -> int:
+    """64-bit average-hash fingerprint: resize to the 8x8 grid
+    (row-major ``np.resize`` tiling), threshold at the mean, fold the
+    bit vector into a signed long. ONE definition shared by image
+    features and video frame sampling — the near-dup key must be
+    computed identically across modalities or image-vs-frame dedup
+    silently diverges."""
+    flat = np.resize(np.asarray(img, dtype=np.float64), (8, 8))
+    bits = (flat > flat.mean()).flatten()
+    phash = int(sum(int(b) << i for i, b in enumerate(bits)))
+    # keep phash in signed-long range
+    if phash >= 1 << 63:
+        phash -= 1 << 64
+    return phash
+
+
 def image_features(
     df: DataFrame, decoder: Callable | None = None
 ) -> DataFrame:
@@ -88,13 +104,7 @@ def image_features(
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
                 img = decode_image(bytes(payload), decoder)
-                # 8x8 downsample-free average-hash style fingerprint.
-                flat = np.resize(img.astype(np.float64), (8, 8))
-                bits = (flat > flat.mean()).flatten()
-                phash = int(sum(int(b) << i for i, b in enumerate(bits)))
-                # keep phash in signed-long range
-                if phash >= 1 << 63:
-                    phash -= 1 << 64
+                phash = ahash64(img)
                 rows.append(
                     (
                         int(doc_id),
@@ -530,11 +540,7 @@ def frame_sample_avi(df: DataFrame, every_nth: int = 2) -> DataFrame:
                 pdf["height"], pdf["fps"], pdf["chunk"],
             ):
                 img = avi.decode_frame(bytes(chunk), int(w), int(h))
-                flat = np.resize(img.astype(np.float64), (8, 8))
-                bits = (flat > flat.mean()).flatten()
-                phash = int(sum(int(b) << i for i, b in enumerate(bits)))
-                if phash >= 1 << 63:
-                    phash -= 1 << 64
+                phash = ahash64(img)
                 rows.append(
                     (
                         int(doc_id), int(idx), int(w), int(h), float(fps),

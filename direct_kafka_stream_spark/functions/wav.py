@@ -63,19 +63,18 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 def _walk_chunks(payload: bytes):
     """Yield ``(chunk_id, data_offset, data_size)`` for every chunk in
-    the RIFF body, honoring the pad byte after odd-sized chunks. Raises
-    on structural truncation (a declared size past the payload end)."""
+    the RIFF body via the shared walker (``riff.walk_chunks`` — pad
+    byte after odd-sized chunks, loud truncation). WAV treats LIST
+    chunks (INFO metadata etc.) as opaque skippable blocks, so the
+    walker's list_type is dropped here."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos = 12
-    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
-    while pos + 8 <= end:
-        cid = payload[pos : pos + 4]
-        size = struct.unpack_from("<I", payload, pos + 4)[0]
-        if pos + 8 + size > len(payload):
-            raise ValueError(f"truncated chunk {cid!r}: size {size} past payload end")
-        yield cid, pos + 8, size
-        pos += 8 + size + (size % 2)  # RIFF pad byte on odd sizes
+    from direct_kafka_stream_spark.functions import riff
+
+    for cid, _ltype, off, size in riff.walk_chunks(
+        payload, 12, riff.body_end(payload)
+    ):
+        yield cid, off, size
 
 
 def parse_header(payload: bytes) -> dict:
@@ -105,6 +104,14 @@ def parse_header(payload: bytes) -> dict:
     if ch < 1:
         raise ValueError("WAV declares zero channels")
     off, size = data
+    if size % (2 * ch):
+        # a data chunk that is not a whole number of frames is
+        # truncation/corruption — dropping the tail silently would
+        # violate the loud-decoder contract
+        raise ValueError(
+            f"data chunk size {size} is not a multiple of the "
+            f"{2 * ch}-byte frame size"
+        )
     n_frames = size // (2 * ch)
     return {
         "rate": rate,

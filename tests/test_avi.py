@@ -92,6 +92,17 @@ def test_avi_decoder_rejects_structural_damage_loudly():
         avi.decode_avi(bytes(bad))
 
 
+def test_avi_fps_is_exact_or_loud():
+    """A fractional float fps must be rejected (the integer dwRate
+    field would silently truncate it); rational rates round-trip
+    exactly through an integer (rate, scale) pair."""
+    frames = _rng_frames(6, 2, 3, 3)
+    with pytest.raises(ValueError, match="non-integral"):
+        avi.encode_avi(frames, 29.97)
+    fps, back = avi.decode_avi(avi.encode_avi(frames, (30000, 1001)))
+    assert fps == 30000 / 1001 and np.array_equal(back, frames)
+
+
 def test_sniff_avi_requires_avi_form_type():
     assert avi.sniff_avi(avi.encode_avi(_rng_frames(4, 1, 2, 2), 1))
     assert not avi.sniff_avi(b"RIFF\x10\x00\x00\x00WAVE")  # RIFF but not AVI

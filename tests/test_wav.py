@@ -100,6 +100,17 @@ def test_wav_decoder_rejects_non_pcm16_loudly():
         wav.decode_wav(truncated)
 
 
+def test_wav_rejects_partial_trailing_frame_loudly():
+    """A data chunk that is not a whole number of frames is corruption;
+    silently dropping the tail would violate the loud-decoder contract."""
+    payload = bytearray(wav.encode_wav(_rng_pcm(7, 25, 2), 16000))
+    # shrink the data chunk's declared size by one byte (data size field
+    # sits at offset 40 in the canonical 44-byte layout)
+    struct.pack_into("<I", payload, 40, 25 * 4 - 1)
+    with pytest.raises(ValueError, match="not a multiple"):
+        wav.parse_header(bytes(payload))
+
+
 def test_sniff_wav_requires_wave_form_type():
     assert wav.sniff_wav(wav.encode_wav(_rng_pcm(2, 4), 8000))
     assert not wav.sniff_wav(b"RIFF\x10\x00\x00\x00AVI ")  # RIFF but not WAVE

@@ -40,16 +40,40 @@ _ROCKSDB_PROVIDER = (
 _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
 
 
-def _stage_events(spark: SparkSession, d: str, scratch: str, n_files: int = 1):
-    """Rewrite the events fixture as µs-timestamp parquet under
-    scratch/src (ns parquet is unreadable by the file stream source)
-    and return the staged path."""
-    src = f"{scratch}/src"
+# session-scoped staging memo: the five streaming exhibits all stage
+# the SAME fixture adaptation (ns->µs parquet rewrite, unreadable by
+# the file stream source otherwise), so re-staging per query priced
+# ~1 s of fixture I/O into every exhibit. Real deployments read an
+# existing landing zone; the memo reproduces that — one staging write
+# per (sf_dir, n_files) per session, every later exhibit measures the
+# STREAM. Keyed to its own scratch tag (not the calling query's
+# scratch) so an owner query's scratch GC can't invalidate it; the
+# _SUCCESS check self-heals if the 24 h sweep removes it.
+_STAGED: dict[tuple[str, int], str] = {}
+
+
+def _stage_events(
+    spark: SparkSession, d: str, scratch: str | None = None, n_files: int = 1
+):
+    """Return a µs-timestamp parquet staging of the events fixture
+    split into exactly n_files files, writing it only if this session
+    hasn't staged this (d, n_files) yet. The ``scratch`` parameter is
+    accepted for caller compatibility but staging lives in its own
+    scratch tag."""
+    import hashlib
+
+    key = (str(pathlib.Path(d).resolve()), n_files)
+    hit = _STAGED.get(key)
+    if hit is not None and pathlib.Path(hit, "_SUCCESS").exists():
+        return hit
+    tag = f"evstage_{n_files}_{hashlib.md5(key[0].encode()).hexdigest()[:8]}"
+    src = f"{_scratch_dir(tag)}/src"
     # repartition, not coalesce: coalesce can't SPLIT a 1-partition
     # source, and the multi-batch exhibits need n_files real files
     load_table(spark, d, "events").repartition(n_files).write.mode(
         "overwrite"
     ).parquet(src)
+    _STAGED[key] = src
     return src
 
 

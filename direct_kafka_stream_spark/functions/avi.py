@@ -72,6 +72,17 @@ def encode_avi(
         raise ValueError(f"unrepresentable frame rate: {fps!r}")
     stride = _stride(w)
     frame_size = stride * h
+    # the derived u32 header fields must also fit — raise the promised
+    # ValueError, not struct.error (e.g. scale=4295 overflows
+    # dwMicroSecPerFrame; 1200x1200 at fps=1000 overflows
+    # dwMaxBytesPerSec)
+    usec_per_frame = 1_000_000 * scale // rate
+    bytes_per_sec = frame_size * rate // scale
+    if usec_per_frame > 0xFFFFFFFF or bytes_per_sec > 0xFFFFFFFF:
+        raise ValueError(
+            f"frame rate {fps!r} with {w}x{h} frames overflows the AVI "
+            "header's 32-bit timing fields"
+        )
     # frame pixel array == BMP pixel array: bottom-up rows, BGR, padded
     padded = np.zeros((n, h, stride), dtype=np.uint8)
     padded[:, :, : w * 3] = arr[:, ::-1, :, ::-1].reshape(n, h, w * 3)
@@ -79,8 +90,8 @@ def encode_avi(
     avih = b"avih" + struct.pack(
         "<I14I",
         56,
-        1_000_000 * scale // rate,  # dwMicroSecPerFrame
-        frame_size * rate // scale,  # dwMaxBytesPerSec
+        usec_per_frame,  # dwMicroSecPerFrame
+        bytes_per_sec,  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
         _AVIF_HASINDEX,  # dwFlags
         n,  # dwTotalFrames
@@ -152,7 +163,9 @@ def parse_header(payload: bytes) -> dict:
     streams, non-24-bit frames, or irregular movi layouts)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
-    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    from direct_kafka_stream_spark.functions import riff
+
+    end = riff.body_end(payload)
     avih = strh = strf = None
     movi = None
     for cid, ltype, off, size in _walk(payload, 12, end):

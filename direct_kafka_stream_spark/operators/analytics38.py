@@ -32,12 +32,12 @@ from direct_kafka_stream_spark.exprs import dsum, dsum_sql
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.operators.analytics36 import _scratch_dir
 from direct_kafka_stream_spark.registry import query
-from direct_kafka_stream_spark.sources.files import events_schema, file_stream
-
-_ROCKSDB_PROVIDER = (
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+from direct_kafka_stream_spark.sources.files import (
+    PROVIDER_CONF as _PROVIDER_CONF,
+    ROCKSDB_PROVIDER as _ROCKSDB_PROVIDER,
+    events_schema,
+    file_stream,
 )
-_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
 
 
 # session-scoped staging memo: the five streaming exhibits all stage
@@ -45,28 +45,48 @@ _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
 # the file stream source otherwise), so re-staging per query priced
 # ~1 s of fixture I/O into every exhibit. Real deployments read an
 # existing landing zone; the memo reproduces that — one staging write
-# per (sf_dir, n_files) per session, every later exhibit measures the
-# STREAM. Keyed to its own scratch tag (not the calling query's
-# scratch) so an owner query's scratch GC can't invalidate it; the
-# _SUCCESS check self-heals if the 24 h sweep removes it.
-_STAGED: dict[tuple[str, int], str] = {}
+# per distinct fixture per session, every later exhibit measures the
+# STREAM. Keyed by (resolved path, n_files, SOURCE FINGERPRINT) so a
+# fixture dir rewritten in place (scale_probe re-materialization)
+# misses instead of serving stale data; staged into its own scratch
+# tag so an owner query's scratch GC can't invalidate it; each hit
+# re-touches the dir's mtime so the 24 h scratch sweep never removes
+# live staging, and the _SUCCESS check self-heals if anything else
+# does.
+_STAGED: dict[tuple, str] = {}
 
 
-def _stage_events(
-    spark: SparkSession, d: str, scratch: str | None = None, n_files: int = 1
-):
+def _fixture_sig(d: str) -> tuple:
+    """Content fingerprint of the events fixture dir: (name, size,
+    mtime_ns) per file — cheap (one listing) and changes whenever the
+    fixture is re-materialized in place."""
+    p = pathlib.Path(d) / "events.parquet"
+    files = p.rglob("*") if p.is_dir() else [p]
+    return tuple(
+        sorted(
+            (f.name, f.stat().st_size, f.stat().st_mtime_ns)
+            for f in files
+            if f.is_file()
+        )
+    )
+
+
+def _stage_events(spark: SparkSession, d: str, n_files: int = 1):
     """Return a µs-timestamp parquet staging of the events fixture
     split into exactly n_files files, writing it only if this session
-    hasn't staged this (d, n_files) yet. The ``scratch`` parameter is
-    accepted for caller compatibility but staging lives in its own
-    scratch tag."""
+    hasn't already staged this exact fixture content."""
     import hashlib
+    import os
 
-    key = (str(pathlib.Path(d).resolve()), n_files)
+    key = (str(pathlib.Path(d).resolve()), n_files, _fixture_sig(d))
     hit = _STAGED.get(key)
     if hit is not None and pathlib.Path(hit, "_SUCCESS").exists():
+        # keep the dir younger than the 24 h scratch sweep while in use
+        os.utime(pathlib.Path(hit).parent, None)
         return hit
-    tag = f"evstage_{n_files}_{hashlib.md5(key[0].encode()).hexdigest()[:8]}"
+    tag = "evstage_{}_{}".format(
+        n_files, hashlib.md5(repr(key).encode()).hexdigest()[:10]
+    )
     src = f"{_scratch_dir(tag)}/src"
     # repartition, not coalesce: coalesce can't SPLIT a 1-partition
     # source, and the multi-batch exhibits need n_files real files
@@ -119,7 +139,7 @@ def q_stream_rocksdb(spark: SparkSession, d: str):
     store provider is bound per-query at stream START, so scoping it
     this way leaves the rest of the session untouched."""
     scratch = _scratch_dir("rocksdb")
-    src = _stage_events(spark, d, scratch)
+    src = _stage_events(spark, d)
     old = spark.conf.get(_PROVIDER_CONF, None)
     spark.conf.set(_PROVIDER_CONF, _ROCKSDB_PROVIDER)
     name = f"dks_rocks_{uuid.uuid4().hex[:12]}"
@@ -183,7 +203,7 @@ def q_stream_listener(spark: SparkSession, d: str):
     from pyspark.sql.streaming import StreamingQueryListener
 
     scratch = _scratch_dir("listener")
-    src = _stage_events(spark, d, scratch, n_files=2)
+    src = _stage_events(spark, d, n_files=2)
     name = f"dks_ledger_{uuid.uuid4().hex[:12]}"
 
     class Ledger(StreamingQueryListener):
@@ -280,7 +300,7 @@ def pyds_write_report(spark: SparkSession, d: str, scratch: str):
         spark.dataSource.register(JsonlSinkDataSource)
     except Exception:
         pass  # already registered in this session
-    src = _stage_events(spark, d, scratch, n_files=2)
+    src = _stage_events(spark, d, n_files=2)
     out_dir = f"{scratch}/out"
     pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
     rows = file_stream(

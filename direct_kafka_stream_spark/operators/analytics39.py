@@ -85,7 +85,7 @@ def q_stream_state_reader(spark: SparkSession, d: str):
     |event_type| here)."""
     scratch = _scratch_dir("statereader")
     n_files = 2
-    src = _stage_events(spark, d, scratch, n_files=n_files)
+    src = _stage_events(spark, d, n_files=n_files)
     ckpt = f"{scratch}/ckpt"
     agg = (
         file_stream(spark, src, events_schema(), max_files_per_trigger=1)
@@ -266,7 +266,7 @@ def q_stream_offset_log(spark: SparkSession, d: str):
     distributed parquet scan of the assigned files."""
     scratch = _scratch_dir("offsetlog")
     n_files = 3
-    src = _stage_events(spark, d, scratch, n_files=n_files)
+    src = _stage_events(spark, d, n_files=n_files)
     ckpt = f"{scratch}/ckpt"
     out = f"{scratch}/out"
     rows = file_stream(

@@ -12,6 +12,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Stateful-stream state store configuration, shared by the streaming
+# exhibits (operators/analytics38.py) and the standalone probes
+# (scripts/stream_state_probe.py): the provider swap that trades a
+# constant per-batch checkpoint cost for bounded-heap feasibility at
+# 100 M+ distinct keys.
+PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
 
 def file_stream(
     spark: SparkSession,

@@ -37,11 +37,12 @@ from pyspark.sql import functions as F
 from direct_kafka_stream_spark import get_session
 from direct_kafka_stream_spark.exprs import dsum
 from direct_kafka_stream_spark.io import load_table
-from direct_kafka_stream_spark.operators.analytics38 import (
-    _PROVIDER_CONF,
-    _ROCKSDB_PROVIDER as _ROCKSDB,
+from direct_kafka_stream_spark.sources.files import (
+    PROVIDER_CONF as _PROVIDER_CONF,
+    ROCKSDB_PROVIDER as _ROCKSDB,
+    events_schema,
+    file_stream,
 )
-from direct_kafka_stream_spark.sources.files import events_schema, file_stream
 
 
 def _du(path: pathlib.Path) -> int:

@@ -101,6 +101,13 @@ def test_avi_fps_is_exact_or_loud():
         avi.encode_avi(frames, 29.97)
     fps, back = avi.decode_avi(avi.encode_avi(frames, (30000, 1001)))
     assert fps == 30000 / 1001 and np.array_equal(back, frames)
+    # derived u32 header fields must overflow LOUDLY (ValueError per
+    # the codec contract, not struct.error): dwMicroSecPerFrame for a
+    # huge scale, dwMaxBytesPerSec for huge frames at high rate
+    with pytest.raises(ValueError, match="32-bit"):
+        avi.encode_avi(frames, (1, 4295))
+    with pytest.raises(ValueError, match="32-bit"):
+        avi.encode_avi(np.zeros((1, 1200, 1200, 3), dtype=np.uint8), 1000)
 
 
 def test_sniff_avi_requires_avi_form_type():

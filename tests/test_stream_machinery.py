@@ -370,7 +370,7 @@ def test_state_reader_time_travel_matches_batch0_inputs(spark, tmp_path):
     from pyspark.sql import functions as F
 
     scratch = str(tmp_path / "tt")
-    src = _stage_events(spark, SF_DIR, scratch, n_files=2)
+    src = _stage_events(spark, SF_DIR, n_files=2)
     ckpt = f"{scratch}/ckpt"
     agg = (
         file_stream(spark, src, events_schema(), max_files_per_trigger=1)
@@ -429,7 +429,7 @@ def test_file_sink_manifest_accounts_every_published_row(spark, tmp_path):
     )
 
     scratch = str(tmp_path / "sink")
-    src = _stage_events(spark, SF_DIR, scratch, n_files=2)
+    src = _stage_events(spark, SF_DIR, n_files=2)
     out = f"{scratch}/out"
     rows = file_stream(
         spark, src, events_schema(), max_files_per_trigger=1

@@ -73,8 +73,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every hash-checkable query; queries
-    without an entry (approx sketches) get the rows-only check."""
+    """DuckDB-equivalent SQL for every hash-checkable query — since
+    round 10 that is ALL of them (the two approx sketches carry
+    bounded-error `within_bound` oracles; the rows-only fallback clause
+    below is kept for the driver contract but currently unused)."""
     return {
         name: QUERIES[name].oracle for name in _ordered_names() if QUERIES[name].oracle
     }

@@ -92,6 +92,26 @@ def main() -> None:
         return out
 
     sweep_results = [run_sweep() for _ in range(sweeps)]
+
+    # Band-violation rule (round-10 protocol): the two sweeps are only a
+    # valid weather filter if they AGREE — when the sweep totals differ by
+    # more than the documented 1.2x bound, at least one sweep ran inside a
+    # host stall band and the per-query min may still be inflated (the
+    # round-9 driver artifact ran sweeps 1.41x apart and printed four
+    # spurious >1.5x "regressions"). Self-heal: run ONE extra sweep and
+    # take the per-query min across all three; record the violation so
+    # the artifact is adjudicable without a judge re-bench.
+    def _sweep_total(s: dict[str, float]) -> float:
+        return sum(t for t in s.values() if t >= 0)
+
+    band_violated = False
+    if sweeps >= 2:
+        totals = [_sweep_total(s) for s in sweep_results]
+        lo, hi = min(totals), max(totals)
+        if lo > 0 and hi / lo > 1.2:
+            band_violated = True
+            sweep_results.append(run_sweep())
+
     times: dict[str, float] = {}
     for name in QUERIES:
         ok_runs = [s[name] for s in sweep_results if s.get(name, -1.0) >= 0]
@@ -154,9 +174,8 @@ def main() -> None:
         "n_queries": len(times),
         "repeat_min_of": repeat,
         "sweeps": sweeps,
-        "sweep_totals": [
-            round(sum(t for t in s.values() if t >= 0), 3) for s in sweep_results
-        ],
+        "sweep_totals": [round(_sweep_total(s), 3) for s in sweep_results],
+        "band_violated": band_violated,
     }
     if raw_before_requiet:
         payload["queries_raw_prerequiet"] = raw_before_requiet

@@ -57,6 +57,23 @@ def encode_avi(
     n, h, w = arr.shape[0], arr.shape[1], arr.shape[2]
     if n < 1 or h < 1 or w < 1:
         raise ValueError(f"AVI needs at least one non-empty frame, got {arr.shape}")
+    # loud, never struct.error: rcFrame in strh is four SIGNED 16-bit
+    # fields, so any dimension past 32767 is unrepresentable; likewise
+    # the per-chunk size and dwSuggestedBufferSize are u32, so a frame
+    # larger than 4 GiB - 1 cannot be written
+    if w > 0x7FFF or h > 0x7FFF:
+        raise ValueError(
+            f"frame dimensions {w}x{h} overflow the AVI header's signed "
+            "16-bit rcFrame fields (max 32767)"
+        )
+    # with w,h <= 32767 one frame always fits in u32, but the movi LIST
+    # and RIFF size fields cover ALL frames — bound the total up front
+    # (4 bytes 'movi' fourcc + 8-byte chunk header per frame)
+    if 4 + n * (8 + _stride(w) * h) > 0xFFFFFFFF:
+        raise ValueError(
+            f"{n} frames of {w}x{h} exceed the RIFF container's "
+            "32-bit size fields (4 GiB)"
+        )
     # loud, never silent: a fractional fps would be truncated by the
     # integer dwRate field and round-trip as a different rate (the
     # decoder deliberately returns rate/scale as a float) — reject it;

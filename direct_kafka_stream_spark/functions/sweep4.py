@@ -222,17 +222,81 @@ def q_agg_regression(spark: SparkSession, d: str):
     )
 
 
-@query("q_agg_approx_pct", oracle=None, tags=("agg", "sketch"))
+# Greenwald-Khanna accuracy parameter and its published guarantee: the
+# returned element's RANK is within eps*N of the target rank, eps =
+# 1/accuracy. The gate below checks exactly that, in rank space, with
+# ±1 rank of slack for boundary conventions.
+_GK_ACC = 10_000
+_GK_EPS = 1.0 / _GK_ACC
+
+
+@query(
+    "q_agg_approx_pct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           round(quantile_cont(l_quantity, 0.5), 4)  AS p50_exact,
+           round(quantile_cont(l_quantity, 0.95), 4) AS p95_exact,
+           TRUE AS p50_within,
+           TRUE AS p95_within
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "sketch"),
+)
 def q_agg_approx_pct(spark: SparkSession, d: str):
-    """Approximate percentiles (Greenwald-Khanna sketch): the one-pass,
-    bounded-memory, mergeable replacement for exact percentiles at
-    100 TB (exact q_agg_percentile needs a per-group sort). Different
-    sketch family than DuckDB → rows-only check, like the HLL."""
-    li = load_table(spark, d, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50"),
-        F.approx_percentile("l_quantity", F.lit(0.95), F.lit(10000)).alias("p95"),
-        F.count(F.lit(1)).alias("n_rows"),
+    """Approximate percentiles (Greenwald-Khanna sketch), verified by
+    the sketch's own published guarantee instead of a rows-only check:
+    the returned element's rank must lie within eps*N of the target
+    rank (eps = 1/accuracy). Pass 1 computes the sketch per group;
+    pass 2 broadcast-joins the (3-row) result back and counts, per
+    group, the elements strictly below / at-or-below each returned
+    value — the rank interval of the returned element — and projects
+    `p50_within`/`p95_within` booleans that the oracle asserts TRUE.
+    The exact interpolated percentiles are also emitted from both
+    engines as value anchors. At 100 TB only pass 1 ships: one pass,
+    bounded memory, mergeable — the gate's join-back is the test
+    apparatus, not the operator."""
+    li = load_table(spark, d, "lineitem").select("l_returnflag", "l_quantity")
+    ap = li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(_GK_ACC)).alias("ap50"),
+        F.approx_percentile("l_quantity", F.lit(0.95), F.lit(_GK_ACC)).alias("ap95"),
+    )
+    q = F.col("l_quantity")
+
+    def _rank_counts(ap_col: str, tag: str):
+        return [
+            F.sum((q < F.col(ap_col)).cast("long")).alias(f"lt{tag}"),
+            F.sum((q <= F.col(ap_col)).cast("long")).alias(f"le{tag}"),
+        ]
+
+    chk = (
+        li.join(F.broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_exact"),
+            F.round(F.percentile("l_quantity", F.lit(0.95)), 4).alias("p95_exact"),
+            *_rank_counts("ap50", "50"),
+            *_rank_counts("ap95", "95"),
+        )
+    )
+
+    def _within(frac: float, tag: str):
+        n = F.col("n_rows")
+        # element's rank interval is [lt+1, le]; guarantee holds iff it
+        # intersects [(frac-eps)*n, (frac+eps)*n] (±1 rank of slack)
+        return (
+            (F.col(f"lt{tag}") + 1 <= (frac + _GK_EPS) * n + 1)
+            & (F.col(f"le{tag}") >= (frac - _GK_EPS) * n - 1)
+        ).alias(f"p{tag}_within")
+
+    return chk.select(
+        "l_returnflag",
+        "n_rows",
+        "p50_exact",
+        "p95_exact",
+        _within(0.5, "50"),
+        _within(0.95, "95"),
     )
 
 

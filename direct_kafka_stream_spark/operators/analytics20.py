@@ -33,12 +33,13 @@ _CF_TOPK = 3
         SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS it
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ),
-    ok_users AS (
-        SELECT u FROM baskets0 GROUP BY u
-        HAVING COUNT(*) <= {_CF_BASKET_CAP}
-    ),
     baskets AS (
-        SELECT b.u, b.it FROM baskets0 b JOIN ok_users k ON k.u = b.u
+        -- count-window cap, same form as the Spark plan: drop every
+        -- row of any user whose DISTINCT basket exceeds the cap
+        SELECT u, it FROM (
+            SELECT u, it, COUNT(*) OVER (PARTITION BY u) AS bsz
+            FROM baskets0
+        ) WHERE bsz <= {_CF_BASKET_CAP}
     ),
     ni AS (SELECT it, COUNT(*) AS n FROM baskets GROUP BY it),
     co AS (

@@ -45,9 +45,14 @@ def _scratch_dir(tag: str) -> str:
     #    has been consumed (same contract as the dks_bucket_ catalog
     #    drop), bounding in-session accumulation at one dir per tag;
     # 2. a dead owner's dirs go immediately (pid embedded in the name);
-    # 3. everything else falls back to a 24 h age cutoff — covers
-    #    ownerless legacy dirs AND the pid-recycling case where a
-    #    dead owner's pid was reassigned to an unrelated live process
+    # 3. OWNERLESS legacy dirs fall back to a 24 h age cutoff. The
+    #    cutoff deliberately does NOT apply while the embedded owner
+    #    pid is alive: a long-running session's staged dir (e.g. the
+    #    analytics38 streaming fixture, last touched >24 h ago but
+    #    still being drained) must not be swept by a concurrent
+    #    session. Cost: a pid recycled to an unrelated live process
+    #    shields its dirs until that pid dies — bounded, and strictly
+    #    safer than deleting under a live reader.
     import os
     import shutil
     import time
@@ -65,7 +70,7 @@ def _scratch_dir(tag: str) -> str:
             stale = (
                 (owner == me and own_tag == tag)
                 or (owner is not None and not _pid_alive(owner))
-                or p.stat().st_mtime < cutoff
+                or (owner is None and p.stat().st_mtime < cutoff)
             )
             if stale:
                 shutil.rmtree(p, ignore_errors=True)

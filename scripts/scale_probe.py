@@ -23,6 +23,26 @@ run SFDIR Q [Q...]       run registered queries against SFDIR via a
 shapes [N]               the original composed-operator shape probe
                          (in-memory inflation, no materialization)
 
+Flags (before the subcommand; `run` only)
+------------------------------------------
+--shuffle-partitions N   spark.sql.shuffle.partitions for the probe
+                         session (the per-node-data-budget tunable:
+                         the pair generators' 60x memory bound is a
+                         per-TASK working-set bound, so more
+                         partitions = smaller sort runs per task)
+--driver-mem SIZE        spark.driver.memory (default 32g)
+--timeout SEC            per-run guard (default 900): breach cancels
+                         all jobs and records a DNF row instead of
+                         hanging the host (round-9 memory note, now
+                         encoded here)
+--disk-floor-gb G        free-disk floor (default 10): external-sort
+                         spill filling the root disk breaches the
+                         guard BEFORE the host wedges; the killed
+                         session is stopped cleanly and ITS OWN
+                         scratch dirs swept (never a /tmp glob — a
+                         concurrent session's dirs match the same
+                         patterns)
+
 Results are tracked in SCALE.md at the repo root.
 """
 
@@ -193,7 +213,88 @@ def _stage_snapshot(sc) -> dict | None:
         return None
 
 
-def run_queries(sf_dir: str, names: list[str]) -> None:
+def _free_gb(path: str = "/tmp") -> float:
+    import shutil
+
+    return shutil.disk_usage(path).free / 2**30
+
+
+def _session_scratch_dirs(spark) -> list[pathlib.Path]:
+    """THIS session's Spark scratch: its blockmgr local dirs (from the
+    live DiskBlockManager) and its /tmp/spark-<uuid> driver temp dir
+    (parent of the SparkFiles root). Captured BEFORE spark.stop() —
+    afterwards SparkEnv is gone."""
+    dirs: list[pathlib.Path] = []
+    try:
+        jvm = spark.sparkContext._jvm
+        env = jvm.org.apache.spark.SparkEnv.get()
+        for f in env.blockManager().diskBlockManager().localDirs():
+            dirs.append(pathlib.Path(f.getAbsolutePath()))
+        dirs.append(
+            pathlib.Path(jvm.org.apache.spark.SparkFiles.getRootDirectory()).parent
+        )
+    except Exception:
+        pass
+    return dirs
+
+
+def _sweep_spark_scratch(own_dirs: list[pathlib.Path]) -> None:
+    """Remove THIS session's leftover shuffle scratch after a guarded
+    kill + clean stop (spark.stop() frees most of it; a cancelled
+    external sort can leave stragglers). Deliberately does NOT glob
+    /tmp/blockmgr-* or /tmp/spark-*: a CONCURRENT live session's
+    scratch matches the same patterns, and deleting it kills that
+    session's jobs — measured in round 10, not hypothetical (a glob
+    sweep here failed 2 sweeps of a bench run in the next process).
+    Orphans from externally SIGKILLed runs have no live owner to ask;
+    they remain the manual round-cadence rule."""
+    import shutil
+
+    for d in own_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+class _RunGuard:
+    """Watchdog for one timed run: breaches on wall-clock timeout or on
+    the free-disk floor (external-sort spill filling the root disk),
+    cancels the session's jobs so the blocked write raises instead of
+    wedging the host. Poll cadence 2 s."""
+
+    def __init__(self, sc, timeout_s: float, disk_floor_gb: float):
+        import threading
+
+        self.reason: str | None = None
+        self._stop = threading.Event()
+
+        def watch() -> None:
+            t0 = time.perf_counter()
+            while not self._stop.wait(2.0):
+                if time.perf_counter() - t0 > timeout_s:
+                    self.reason = f"timeout>{timeout_s:g}s"
+                elif _free_gb() < disk_floor_gb:
+                    self.reason = f"disk_floor<{disk_floor_gb:g}GB"
+                else:
+                    continue
+                try:
+                    sc.cancelAllJobs()
+                except Exception:
+                    pass
+                return
+
+        self._t = threading.Thread(target=watch, daemon=True)
+        self._t.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._t.join(timeout=5)
+
+
+def run_queries(
+    sf_dir: str,
+    names: list[str],
+    timeout_s: float = 900.0,
+    disk_floor_gb: float = 10.0,
+) -> None:
     import os
 
     os.environ.setdefault("SPARK_GRAFT_UI", "1")
@@ -203,17 +304,42 @@ def run_queries(sf_dir: str, names: list[str]) -> None:
     qs = entry.queries()
     spark = get_session("scale-probe-run")
     sc = spark.sparkContext
+    conf_note = {
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "driver_mem": sc.getConf().get("spark.driver.memory"),
+        "timeout_s": timeout_s,
+        "disk_floor_gb": disk_floor_gb,
+    }
+    print(json.dumps({"probe_conf": conf_note}), flush=True)
     # session warmup: pay JVM/codegen/first-scan cost outside the clock
-    load_table(spark, sf_dir, "lineitem").count()
+    warm = "lineitem" if pathlib.Path(sf_dir, "lineitem.parquet").exists() else "documents"
+    load_table(spark, sf_dir, warm).count()
     for name in names:
         raws = []
         df = None
         shuffle = None
+        dnf = None
         for _ in range(2):
             before = _stage_snapshot(sc)
+            guard = _RunGuard(sc, timeout_s, disk_floor_gb)
             t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception:
+                elapsed = round(time.perf_counter() - t0, 2)
+                guard.stop()
+                if guard.reason is None:
+                    raise
+                dnf = {
+                    "query": name,
+                    "sf_dir": sf_dir,
+                    "dnf": guard.reason,
+                    "elapsed_at_kill_s": elapsed,
+                    "free_gb_at_kill": round(_free_gb(), 1),
+                }
+                break
+            guard.stop()
             raws.append(round(time.perf_counter() - t0, 2))
             after = _stage_snapshot(sc)
             if after is not None:
@@ -239,6 +365,18 @@ def run_queries(sf_dir: str, names: list[str]) -> None:
                 if shuffle is None or raws[-1] == min(raws):
                     shuffle = cand
             spark.catalog.clearCache()
+        if dnf is not None:
+            # guard breach: record the DNF row, then replace the
+            # session — a cancelled external sort leaves partial
+            # shuffle scratch the live session won't free
+            print(json.dumps(dnf), flush=True)
+            own = _session_scratch_dirs(spark)
+            spark.stop()
+            _sweep_spark_scratch(own)
+            spark = get_session("scale-probe-run")
+            sc = spark.sparkContext
+            load_table(spark, sf_dir, warm).count()
+            continue
         print(
             json.dumps(
                 {
@@ -415,11 +553,30 @@ def shapes(n: int) -> None:
 
 
 def main() -> None:
+    import os
+
     args = sys.argv[1:]
+    # flags must be consumed BEFORE the session exists — shuffle
+    # partitions and driver memory are session-construction settings,
+    # routed through the same env vars get_session documents
+    timeout_s, disk_floor_gb = 900.0, 10.0
+    while args and args[0].startswith("--"):
+        flag, val = args[0], args[1]
+        if flag == "--shuffle-partitions":
+            os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(int(val))
+        elif flag == "--driver-mem":
+            os.environ["SPARK_GRAFT_DRIVER_MEM"] = val
+        elif flag == "--timeout":
+            timeout_s = float(val)
+        elif flag == "--disk-floor-gb":
+            disk_floor_gb = float(val)
+        else:
+            raise SystemExit(f"unknown flag {flag}")
+        args = args[2:]
     if args and args[0] == "materialize":
         materialize(args[1], int(args[2]) if len(args) > 2 else 10)
     elif args and args[0] == "run":
-        run_queries(args[1], args[2:])
+        run_queries(args[1], args[2:], timeout_s, disk_floor_gb)
     elif args and args[0] == "plans":
         plan_only(args[1], args[2:])
     elif args and args[0] == "shapes":

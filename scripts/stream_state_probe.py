@@ -82,7 +82,12 @@ def probe(spark, sf_dir: str, provider: str, n_files: int = 4) -> dict:
             raise TimeoutError("stream did not drain in 600 s")
         wall = round(time.perf_counter() - t0, 2)
         sink_rows = spark.table(name).count()
-        n_batches = len(list((ckpt / "offsets").iterdir()))
+        # digit-named files only: checksum filesystems add .crc/.tmp
+        # siblings that would inflate the batch count (and deflate
+        # state_bytes_per_batch)
+        n_batches = len(
+            [p for p in (ckpt / "offsets").iterdir() if p.name.isdigit()]
+        )
         state_bytes = _du(ckpt / "state")
         return {
             "sf_dir": sf_dir,

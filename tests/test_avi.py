@@ -110,6 +110,21 @@ def test_avi_fps_is_exact_or_loud():
         avi.encode_avi(np.zeros((1, 1200, 1200, 3), dtype=np.uint8), 1000)
 
 
+def test_avi_dimension_overflow_is_loud():
+    """rcFrame in strh is four SIGNED 16-bit fields: any dimension past
+    32767 must raise the promised ValueError, not escape as
+    struct.error from the '4h' pack (ADVICE round 9)."""
+    with pytest.raises(ValueError, match="rcFrame"):
+        avi.encode_avi(np.zeros((1, 1, 32768, 3), dtype=np.uint8), 10)
+    with pytest.raises(ValueError, match="rcFrame"):
+        avi.encode_avi(np.zeros((1, 32768, 1, 3), dtype=np.uint8), 10)
+    # 32767-wide is representable and round-trips
+    fps, back = avi.decode_avi(
+        avi.encode_avi(np.zeros((1, 1, 32767, 3), dtype=np.uint8), 10)
+    )
+    assert back.shape == (1, 1, 32767, 3)
+
+
 def test_sniff_avi_requires_avi_form_type():
     assert avi.sniff_avi(avi.encode_avi(_rng_frames(4, 1, 2, 2), 1))
     assert not avi.sniff_avi(b"RIFF\x10\x00\x00\x00WAVE")  # RIFF but not AVI

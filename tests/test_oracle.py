@@ -65,9 +65,10 @@ def test_query_matches_oracle(spark, oracle, name):
 
 
 def test_every_query_registered_with_oracle_or_reason():
+    # round 10: the two approx sketches gained bounded-error oracles
+    # (within_bound booleans) — EVERY query now ships an oracle
     missing = [n for n, q in QUERIES.items() if q.oracle is None]
-    # approx sketches are legitimately rows-only; anything else needs SQL
-    assert set(missing) <= {"q_agg_approx", "q_agg_approx_pct"}
+    assert missing == []
 
 
 def test_entry_contract():
@@ -92,18 +93,23 @@ def test_bench_contract_shape():
     # every query iterated, failures recorded not raised
     assert "for name, q in QUERIES.items()" in src
     assert "BENCH ERROR" in src
+    # round-10 band-violation rule: sweeps disagreeing past the 1.2x
+    # bound trigger a third sweep, and the artifact records it
+    assert '"band_violated"' in src
+    assert "hi / lo > 1.2" in src
 
 
 def test_hll_sketch_error_is_bounded():
-    """The rows-only HLL query still has testable semantics: the
-    approximate distinct count must land within a few relative standard
-    deviations of the exact count (rsd=0.02 requested)."""
+    """The HLL query's bounded-error gate, exercised directly: the
+    emitted within_bound boolean (|approx - exact| <= 3*rsd * exact)
+    must be TRUE for every group, and the exact companion column must
+    equal an independently computed exact distinct count."""
     from direct_kafka_stream_spark import get_session, load_table
     from pyspark.sql import functions as F
 
     spark = get_session("tests-hll")
-    approx_rows = {
-        r.l_returnflag: r.approx_orders
+    rows = {
+        r.l_returnflag: r
         for r in QUERIES["q_agg_approx"].spark(spark, SF_DIR).collect()
     }
     exact_rows = {
@@ -113,22 +119,24 @@ def test_hll_sketch_error_is_bounded():
         .agg(F.countDistinct("l_orderkey").alias("n"))
         .collect()
     }
-    assert set(approx_rows) == set(exact_rows)
+    assert set(rows) == set(exact_rows)
     for flag, exact in exact_rows.items():
-        rel_err = abs(approx_rows[flag] - exact) / exact
-        assert rel_err <= 0.08, f"{flag}: rel_err {rel_err:.3f} exceeds 4*rsd"
+        assert rows[flag].dist_exact == exact
+        assert rows[flag].within_bound, f"{flag}: HLL estimate outside 3*rsd"
 
 
 def test_gk_percentile_sketch_error_is_bounded():
-    """The approx-percentile sketch with accuracy=10000 must land
-    within 1/accuracy-grade relative error of the exact interpolated
-    percentile (loose 2% gate — the fixture quantity range is small)."""
+    """The GK query's rank-space gate, exercised directly: the emitted
+    p50_within/p95_within booleans (returned element's rank interval
+    intersects (q±eps)*N, eps = 1/accuracy) must be TRUE for every
+    group, and the exact anchor columns must equal an independently
+    computed interpolated percentile."""
     from direct_kafka_stream_spark import get_session, load_table
     from pyspark.sql import functions as F
 
     spark = get_session("tests-gk")
-    approx = {
-        r.l_returnflag: (r.p50, r.p95)
+    rows = {
+        r.l_returnflag: r
         for r in QUERIES["q_agg_approx_pct"].spark(spark, SF_DIR).collect()
     }
     exact = {
@@ -136,15 +144,16 @@ def test_gk_percentile_sketch_error_is_bounded():
         for r in load_table(spark, SF_DIR, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
-            F.percentile("l_quantity", F.lit(0.95)).alias("p95"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_quantity", F.lit(0.95)), 4).alias("p95"),
         )
         .collect()
     }
+    assert set(rows) == set(exact)
     for flag, (e50, e95) in exact.items():
-        a50, a95 = approx[flag]
-        assert abs(a50 - e50) / e50 <= 0.02
-        assert abs(a95 - e95) / e95 <= 0.02
+        r = rows[flag]
+        assert (r.p50_exact, r.p95_exact) == (e50, e95)
+        assert r.p50_within and r.p95_within, f"{flag}: GK rank outside eps*N"
 
 
 def test_kmv_sketch_error_is_bounded():

@@ -7,8 +7,10 @@ measured evidence: near-linear cost ratios and no plan flips.
 
 Subcommands
 -----------
-materialize OUTDIR [N]   write the inflated tables as parquet under
-                         OUTDIR (key-shifted copies; document text is
+materialize OUTDIR [N] [table ...]
+                         write the inflated tables as parquet under
+                         OUTDIR — all tables, or just the named subset
+                         (key-shifted copies; document text is
                          letter-rotated per copy so copies are NOT
                          near-duplicates of each other — duplicate
                          cluster structure, and therefore candidate
@@ -35,6 +37,14 @@ Flags (before the subcommand; `run` only)
                          all jobs and records a DNF row instead of
                          hanging the host (round-9 memory note, now
                          encoded here)
+--conf K=V               extra RUNTIME-settable spark conf for the
+                         probe session (repeatable) — e.g. lower
+                         spark.sql.adaptive.advisoryPartitionSizeInBytes
+                         so AQE coalescing does not fold a raised
+                         partition count back together (coalescing is
+                         sized from map-side write bytes, which
+                         under-state the pair generators' post-shuffle
+                         explode)
 --disk-floor-gb G        free-disk floor (default 10): external-sort
                          spill filling the root disk breaches the
                          guard BEFORE the host wedges; the killed
@@ -139,12 +149,21 @@ def inflate_table(spark, name: str, n: int) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), copies)
 
 
-def materialize(outdir: str, n: int) -> None:
+def materialize(outdir: str, n: int, only: list[str] | None = None) -> None:
+    """Write the inflated tables under outdir. `only` restricts to a
+    subset (e.g. just `events` for the restart capstone, just
+    `documents` for the pair-generator envelope) — a full 100×
+    materialization is ~8 GB of parquet the single-table probes never
+    read."""
     spark = get_session("scale-probe-materialize")
     out = pathlib.Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
+    if only:
+        unknown = set(only) - set(TABLES)
+        if unknown:
+            raise SystemExit(f"unknown tables: {sorted(unknown)}")
     rows = {}
-    for name in TABLES:
+    for name in only or TABLES:
         df = inflate_table(spark, name, n)
         dest = str(out / f"{name}.parquet")
         df.write.mode("overwrite").parquet(dest)
@@ -294,6 +313,7 @@ def run_queries(
     names: list[str],
     timeout_s: float = 900.0,
     disk_floor_gb: float = 10.0,
+    extra_conf: dict[str, str] | None = None,
 ) -> None:
     import os
 
@@ -301,14 +321,25 @@ def run_queries(
 
     import __spark_entry__ as entry
 
+    def _make_session():
+        s = get_session("scale-probe-run")
+        # probe-level runtime confs (e.g. AQE advisoryPartitionSizeInBytes:
+        # coalescing sizes partitions from map-side WRITE bytes, which
+        # under-state the post-shuffle explode of the pair generators —
+        # lowering the advisory keeps the raised partition count effective)
+        for k, v in (extra_conf or {}).items():
+            s.conf.set(k, v)
+        return s
+
     qs = entry.queries()
-    spark = get_session("scale-probe-run")
+    spark = _make_session()
     sc = spark.sparkContext
     conf_note = {
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "driver_mem": sc.getConf().get("spark.driver.memory"),
         "timeout_s": timeout_s,
         "disk_floor_gb": disk_floor_gb,
+        **({"extra_conf": extra_conf} if extra_conf else {}),
     }
     print(json.dumps({"probe_conf": conf_note}), flush=True)
     # session warmup: pay JVM/codegen/first-scan cost outside the clock
@@ -373,7 +404,7 @@ def run_queries(
             own = _session_scratch_dirs(spark)
             spark.stop()
             _sweep_spark_scratch(own)
-            spark = get_session("scale-probe-run")
+            spark = _make_session()
             sc = spark.sparkContext
             load_table(spark, sf_dir, warm).count()
             continue
@@ -560,6 +591,7 @@ def main() -> None:
     # partitions and driver memory are session-construction settings,
     # routed through the same env vars get_session documents
     timeout_s, disk_floor_gb = 900.0, 10.0
+    extra_conf: dict[str, str] = {}
     while args and args[0].startswith("--"):
         flag, val = args[0], args[1]
         if flag == "--shuffle-partitions":
@@ -570,13 +602,23 @@ def main() -> None:
             timeout_s = float(val)
         elif flag == "--disk-floor-gb":
             disk_floor_gb = float(val)
+        elif flag == "--conf":
+            # runtime-settable spark confs only (set after getOrCreate),
+            # e.g. --conf spark.sql.adaptive.advisoryPartitionSizeInBytes=8m
+            k, _, v = val.partition("=")
+            extra_conf[k] = v
         else:
             raise SystemExit(f"unknown flag {flag}")
         args = args[2:]
     if args and args[0] == "materialize":
-        materialize(args[1], int(args[2]) if len(args) > 2 else 10)
+        # materialize OUTDIR [N] [table ...]
+        materialize(
+            args[1],
+            int(args[2]) if len(args) > 2 else 10,
+            args[3:] or None,
+        )
     elif args and args[0] == "run":
-        run_queries(args[1], args[2:], timeout_s, disk_floor_gb)
+        run_queries(args[1], args[2:], timeout_s, disk_floor_gb, extra_conf)
     elif args and args[0] == "plans":
         plan_only(args[1], args[2:])
     elif args and args[0] == "shapes":

@@ -450,13 +450,26 @@ def q_agg_approx(spark: SparkSession, d: str):
     TRUE against its own exact count. A wrong sketch (or a broken
     estimator) flips the boolean and fails the hash. The exact
     companion exists for the gate only; at 100 TB the sketch alone is
-    the point — one pass, fixed memory, no count-distinct expansion."""
+    the point — one pass, fixed memory, no count-distinct expansion.
+
+    Plan note: countDistinct and approx_count_distinct in ONE
+    aggregate make Catalyst insert an Expand (row-multiplying
+    projections for the mixed distinct/plain paths) over the full
+    fact table — measured 3.7 s vs 1.3 s for the plain two-distinct
+    aggregate at sf0.1. Instead, pre-aggregate on (flag, orderkey):
+    n_rows is the sum of pair counts, dist_exact is the pair count,
+    and the HLL sketch over deduplicated keys is REGISTER-IDENTICAL
+    to one over the raw rows (HLL is multiplicity-insensitive) — one
+    map-side-combined shuffle, no Expand."""
     li = load_table(spark, d, "lineitem")
+    pairs = li.groupBy("l_returnflag", "l_orderkey").agg(
+        F.count(F.lit(1)).alias("c")
+    )
     return (
-        li.groupBy("l_returnflag")
+        pairs.groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("l_orderkey").alias("dist_exact"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("dist_exact"),
             F.approx_count_distinct("l_orderkey", _HLL_RSD).alias("approx"),
         )
         .select(

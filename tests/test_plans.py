@@ -812,3 +812,52 @@ def test_pandas_api_lowers_without_python_nodes(spark):
     assert "HashAggregate" in plan
     for bad in ("EvalPython", "AttachDistributedSequence", "MapInPandas"):
         assert bad not in plan, bad
+
+
+def test_expand_census_is_closed(spark):
+    """Expand multiplies every input row once per projection, so an
+    UNINTENDED Expand over a fact table is a hot-path bug even when
+    values stay correct (q_agg_approx's mixed countDistinct +
+    approx_count_distinct aggregate planned one over all of lineitem —
+    3.7 s vs 1.3 s at sf0.1 — until its round-10 rewrite to a
+    pre-aggregated, Expand-free form). Pin the census: exactly this
+    set of queries may carry Expand, each because its SEMANTICS are a
+    row-multiplying projection (multi-distinct aggregates, ROLLUP /
+    CUBE / GROUPING SETS, overlapping sliding-window assignment,
+    UNPIVOT, and the profiling/stats queries built on those shapes).
+    A new name in this set means either a deliberate new grouping-sets
+    query (extend the pin) or an accidental plan regression (fix the
+    query)."""
+    expected = {
+        "q_agg_distinct",
+        "q_agg_rollup",
+        "q_agg_cube",
+        "q_agg_gsets",
+        "q_win_sliding",
+        "q_retention",
+        "q_unpivot",
+        "q_grouping_id",
+        "q_profile_table",
+        "q_zorder_key",
+        "q_domain_stats",
+    }
+    # iterative / streaming callables execute eagerly while being
+    # built; their returned frame's plan is the bounded tail, and
+    # building all of them here would turn a plan census into a full
+    # engine run (same exclusion set as scripts/plan_report.py)
+    skip = {
+        "q_dedup_components",
+        "q_markov_stationary",
+        "q_stream_rocksdb",
+        "q_stream_listener",
+        "q_stream_pyds_write",
+        "q_stream_state_reader",
+        "q_stream_offset_log",
+    }
+    got = set()
+    for name, q in QUERIES.items():
+        if name in skip:
+            continue
+        if "Expand" in inspect.physical_plan(q.spark(spark, SF_DIR)):
+            got.add(name)
+    assert got == expected, got.symmetric_difference(expected)

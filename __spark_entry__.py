@@ -7,6 +7,7 @@ Spark callable and (where SQL-expressible) a DuckDB oracle string.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import pathlib
 import sys
@@ -49,17 +50,66 @@ def _newest_green_round() -> dict[str, int]:
     return newest
 
 
+def _oracle_hash(text: str | None) -> str:
+    """Stable 12-hex digest of an oracle SQL text ('' for no-oracle)."""
+    return hashlib.sha256((text or "").encode()).hexdigest()[:12]
+
+
+def _load_oracle_ledger() -> dict[str, dict]:
+    """ORACLE_LEDGER.json: per query, the hash of its oracle text and
+    the round that text took effect (scripts/update_oracle_ledger.py).
+    Missing/unreadable ledger degrades to {} — every query then counts
+    as oracle-changed, i.e. plain registry order, never a crash."""
+    try:
+        return json.loads((_HERE / "ORACLE_LEDGER.json").read_text()).get(
+            "queries", {}
+        )
+    except (OSError, ValueError):
+        return {}
+
+
+def _effective_green(
+    newest: dict[str, int],
+    ledger: dict[str, dict],
+    hashes: dict[str, str],
+) -> dict[str, int]:
+    """Newest green round per name, DEMOTED to 0 (never-verified) when
+    the oracle text changed since that green round: a green row earned
+    under a different oracle does not verify the current gate (the
+    round-10 rows-only→bounded-error upgrades would otherwise wait ~7
+    rounds behind their stale greens). Pure — unit-tested on synthetic
+    dicts in tests/test_rotation.py."""
+    out: dict[str, int] = {}
+    for name, h in hashes.items():
+        green = newest.get(name, 0)
+        ent = ledger.get(name)
+        if (
+            ent is None  # never stamped — treat as brand-new oracle
+            or ent.get("hash") != h  # ledger stale: oracle edited since stamp
+            or ent.get("since_round", 0) > green  # text newer than the green
+        ):
+            green = 0
+        out[name] = green
+    return out
+
+
 def _ordered_names() -> list[str]:
     """Registry order, rotated LEAST-RECENTLY-VERIFIED first: the
     correctness driver checks a bounded prefix of this dict per round.
-    Names with no green row from any prior round sort to the very
-    front (round 0); after that, the names whose newest green row is
-    oldest — so once the ledger is closed, the driver re-validates the
-    whole registry on a rolling ~8-round cycle instead of re-checking
-    the same registry-order prefix forever."""
+    Names with no green row from any prior round — or whose ORACLE TEXT
+    changed since their newest green row (ORACLE_LEDGER.json) — sort to
+    the very front (round 0); after that, the names whose newest green
+    row is oldest — so once the ledger is closed, the driver
+    re-validates the whole registry on a rolling ~8-round cycle instead
+    of re-checking the same registry-order prefix forever."""
     newest = _newest_green_round()
+    effective = _effective_green(
+        newest,
+        _load_oracle_ledger(),
+        {n: _oracle_hash(q.oracle) for n, q in QUERIES.items()},
+    )
     names = list(QUERIES)
-    return sorted(names, key=lambda n: (newest.get(n, 0), names.index(n)))
+    return sorted(names, key=lambda n: (effective.get(n, 0), names.index(n)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -26,6 +26,49 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def sweep_total(s: dict[str, float]) -> float:
+    """Total of one sweep's per-query seconds, errors (-1) excluded."""
+    return sum(t for t in s.values() if t >= 0)
+
+
+def adjudicate_sweeps(
+    sweep_results: list[dict[str, float]],
+    extra_sweep=None,
+    band: float = 1.2,
+) -> tuple[dict[str, float], bool, list[dict[str, float]]]:
+    """Sweep adjudication (round-10 band-violation protocol), pure.
+
+    Two sweeps are only a valid weather filter if they AGREE: when the
+    sweep totals differ by more than the documented band (1.2x), at
+    least one sweep ran inside a host stall band and the per-query min
+    may still be inflated (the round-9 driver artifact ran sweeps 1.41x
+    apart and printed four spurious >1.5x "regressions"). Self-heal:
+    call `extra_sweep()` ONCE for a third sweep, record the violation,
+    and take the per-query min across ALL sweeps (a -1 error in one
+    sweep is ignored if any sweep measured the query; all-error stays
+    -1).
+
+    Returns (per_query_min, band_violated, sweeps_used). Factored out
+    of main() so tests/test_bench_protocol.py can drive it with
+    synthetic sweep dicts and a fake extra_sweep — the rule fired for
+    real exactly once (BENCH_NOTES.md round 10) before it had a unit
+    test."""
+    sweeps = list(sweep_results)
+    band_violated = False
+    if len(sweeps) >= 2:
+        totals = [sweep_total(s) for s in sweeps]
+        lo, hi = min(totals), max(totals)
+        if lo > 0 and hi / lo > band:
+            band_violated = True
+            if extra_sweep is not None:
+                sweeps.append(extra_sweep())
+    times: dict[str, float] = {}
+    for name in sweeps[0] if sweeps else ():
+        ok_runs = [s[name] for s in sweeps if s.get(name, -1.0) >= 0]
+        times[name] = min(ok_runs) if ok_runs else -1.0
+    return times, band_violated, sweeps
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -93,29 +136,15 @@ def main() -> None:
 
     sweep_results = [run_sweep() for _ in range(sweeps)]
 
-    # Band-violation rule (round-10 protocol): the two sweeps are only a
-    # valid weather filter if they AGREE — when the sweep totals differ by
-    # more than the documented 1.2x bound, at least one sweep ran inside a
-    # host stall band and the per-query min may still be inflated (the
-    # round-9 driver artifact ran sweeps 1.41x apart and printed four
-    # spurious >1.5x "regressions"). Self-heal: run ONE extra sweep and
-    # take the per-query min across all three; record the violation so
-    # the artifact is adjudicable without a judge re-bench.
-    def _sweep_total(s: dict[str, float]) -> float:
-        return sum(t for t in s.values() if t >= 0)
-
-    band_violated = False
-    if sweeps >= 2:
-        totals = [_sweep_total(s) for s in sweep_results]
-        lo, hi = min(totals), max(totals)
-        if lo > 0 and hi / lo > 1.2:
-            band_violated = True
-            sweep_results.append(run_sweep())
-
-    times: dict[str, float] = {}
-    for name in QUERIES:
-        ok_runs = [s[name] for s in sweep_results if s.get(name, -1.0) >= 0]
-        times[name] = min(ok_runs) if ok_runs else -1.0
+    # Band-violation rule (round-10 protocol): totals disagreeing >1.2x
+    # mean a stall band — adjudicate_sweeps self-heals with one extra
+    # sweep and takes the per-query min across all of them; the
+    # violation is recorded so the artifact is adjudicable without a
+    # judge re-bench. Logic lives in adjudicate_sweeps (pure, unit
+    # tested on synthetic sweeps in tests/test_bench_protocol.py).
+    times, band_violated, sweep_results = adjudicate_sweeps(
+        sweep_results, extra_sweep=run_sweep
+    )
 
     # This host shows intermittent multi-second stalls unrelated to the
     # workload (an identical query can measure 0.5s or 100s). Re-run the
@@ -174,7 +203,7 @@ def main() -> None:
         "n_queries": len(times),
         "repeat_min_of": repeat,
         "sweeps": sweeps,
-        "sweep_totals": [round(_sweep_total(s), 3) for s in sweep_results],
+        "sweep_totals": [round(sweep_total(s), 3) for s in sweep_results],
         "band_violated": band_violated,
     }
     if raw_before_requiet:

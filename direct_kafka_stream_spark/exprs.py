@@ -116,6 +116,33 @@ def u01_sql(expr: str) -> str:
     )
 
 
+def within_rel_bound(approx, exact, rel: float) -> Column:
+    """Bounded-relative-error gate: |approx - exact| <= rel * exact.
+
+    The predicate behind q_agg_approx's `within_bound` boolean (and any
+    future sketch whose published guarantee is relative error). Factored
+    out so tests can apply it to a DELIBERATELY out-of-bound estimate
+    and prove the gate can flip FALSE — a gate that is TRUE on real data
+    but cannot fail is not a gate."""
+    a = F.col(approx) if isinstance(approx, str) else approx
+    e = F.col(exact) if isinstance(exact, str) else exact
+    return F.abs(a - e) <= rel * e
+
+
+def rank_within_eps(lt, le, n, frac: float, eps: float) -> Column:
+    """Greenwald-Khanna rank-space gate: the returned element's rank
+    interval [lt+1, le] (lt = elements strictly below it, le = at or
+    below) must intersect the guaranteed band [(frac-eps)*n,
+    (frac+eps)*n], with ±1 rank of slack for boundary conventions.
+
+    Factored out of q_agg_approx_pct so tests can feed synthetic rank
+    counts that sit OUTSIDE the band and assert the boolean goes FALSE."""
+    lt_c = F.col(lt) if isinstance(lt, str) else lt
+    le_c = F.col(le) if isinstance(le, str) else le
+    n_c = F.col(n) if isinstance(n, str) else n
+    return (lt_c + 1 <= (frac + eps) * n_c + 1) & (le_c >= (frac - eps) * n_c - 1)
+
+
 def safe_corr(x, y) -> Column:
     """Pearson correlation that degrades to NULL on zero variance.
     Spark 4 runs ANSI mode, and the built-in ``corr`` aggregate's final

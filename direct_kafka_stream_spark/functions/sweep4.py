@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
 
+from direct_kafka_stream_spark.exprs import rank_within_eps
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -282,12 +283,10 @@ def q_agg_approx_pct(spark: SparkSession, d: str):
     )
 
     def _within(frac: float, tag: str):
-        n = F.col("n_rows")
-        # element's rank interval is [lt+1, le]; guarantee holds iff it
-        # intersects [(frac-eps)*n, (frac+eps)*n] (±1 rank of slack)
-        return (
-            (F.col(f"lt{tag}") + 1 <= (frac + _GK_EPS) * n + 1)
-            & (F.col(f"le{tag}") >= (frac - _GK_EPS) * n - 1)
+        # gate predicate lives in exprs.rank_within_eps so tests can
+        # drive it with synthetic out-of-band rank counts
+        return rank_within_eps(
+            f"lt{tag}", f"le{tag}", "n_rows", frac, _GK_EPS
         ).alias(f"p{tag}_within")
 
     return chk.select(

@@ -70,6 +70,16 @@ def _setsim_oracle() -> str:
     "q_setsim_prefix",
     oracle=_setsim_oracle(),
     tags=("llm", "dedup", "scale"),
+    # Probe-passed 100x knobs (SCALE.md round 10, docs/TUNING.md): the
+    # verify stage's candidate×shingle expansion externally sorts when a
+    # task's slice exceeds its execution-memory fair share — raise the
+    # initial partition count and lower the AQE advisory so coalescing
+    # (sized from UNDER-stating map-side write bytes) doesn't fold it
+    # back. 469.1 s at 100x (500 k docs), single orderly spill pass.
+    scale_confs={
+        "spark.sql.shuffle.partitions": "1024",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+    },
 )
 def q_setsim_prefix(spark: SparkSession, d: str):
     """Exact set-similarity self-join (shingle-Jaccard >= 0.6) with

@@ -57,7 +57,26 @@ def _containment_oracle() -> str:
     """
 
 
-@query("q_containment_dedup", oracle=_containment_oracle(), tags=("dedup", "llm", "scale"))
+@query(
+    "q_containment_dedup",
+    oracle=_containment_oracle(),
+    tags=("dedup", "llm", "scale"),
+    # Probe-passed 100x knobs (SCALE.md round 10, docs/TUNING.md): same
+    # pair-verify partitioning as q_setsim_prefix, PLUS a 256 MB
+    # broadcast threshold — at 100x the candidate set outgrows the
+    # 10 MB default and AQE flips the verify joins BHJ→SMJ, whose sorts
+    # carry the full candidate×shingle expansion (~68 GB scratch, the
+    # round-9 DNF). With the threshold raised the 60x plan (BHJ×5)
+    # survives verbatim: 540.0 s at 100x, ZERO spill. Deliberately a
+    # conf, not an F.broadcast hint — the hint would force a broadcast
+    # at ANY size; the conf lets AQE fall back when a corpus truly
+    # outgrows it.
+    scale_confs={
+        "spark.sql.shuffle.partitions": "1024",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        "spark.sql.autoBroadcastJoinThreshold": "268435456",
+    },
+)
 def q_containment_dedup(spark: SparkSession, d: str):
     """Asymmetric shingle-containment dedup: directed pairs where at
     least half of src's word-3-gram shingles also occur in dst —

@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.exprs import davg, davg_sql, dsum, dsum_sql
+from direct_kafka_stream_spark.exprs import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    within_rel_bound,
+)
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
 
@@ -460,7 +466,16 @@ def q_agg_approx(spark: SparkSession, d: str):
     n_rows is the sum of pair counts, dist_exact is the pair count,
     and the HLL sketch over deduplicated keys is REGISTER-IDENTICAL
     to one over the raw rows (HLL is multiplicity-insensitive) — one
-    map-side-combined shuffle, no Expand."""
+    map-side-combined shuffle, no Expand.
+
+    Null-key note: the pair pre-aggregation produces ONE group for a
+    NULL l_orderkey, so a bare count(1) over groups would count it —
+    diverging from COUNT(DISTINCT)'s null-ignoring semantics on a
+    nullable key. dist_exact is therefore count(l_orderkey) over the
+    groups (each group carries a distinct key value, so the non-null
+    group count IS the distinct non-null key count); n_rows still sums
+    every group's multiplicity, NULL-keyed rows included, matching the
+    oracle's COUNT(*)."""
     li = load_table(spark, d, "lineitem")
     pairs = li.groupBy("l_returnflag", "l_orderkey").agg(
         F.count(F.lit(1)).alias("c")
@@ -469,17 +484,16 @@ def q_agg_approx(spark: SparkSession, d: str):
         pairs.groupBy("l_returnflag")
         .agg(
             F.sum("c").alias("n_rows"),
-            F.count(F.lit(1)).alias("dist_exact"),
+            F.count("l_orderkey").alias("dist_exact"),
             F.approx_count_distinct("l_orderkey", _HLL_RSD).alias("approx"),
         )
         .select(
             "l_returnflag",
             "n_rows",
             "dist_exact",
-            (
-                F.abs(F.col("approx") - F.col("dist_exact"))
-                <= _HLL_BOUND * F.col("dist_exact")
-            ).alias("within_bound"),
+            within_rel_bound("approx", "dist_exact", _HLL_BOUND).alias(
+                "within_bound"
+            ),
         )
     )
 

@@ -41,6 +41,22 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def scale_flag_set() -> bool:
+    """Whether the scale path is active (SPARK_GRAFT_SCALE env): when
+    true, the registry wrapper applies each query's probe-passed
+    ``scale_confs`` (SCALE.md / docs/TUNING.md knobs) before building
+    its plan. Deliberately OFF by default — the sf0.1 bench and the
+    correctness driver never set it, so small-scale plans and numbers
+    are untouched; scripts/scale_probe.py `run` sets it, and a cluster
+    job sets it in its submit environment."""
+    return os.environ.get("SPARK_GRAFT_SCALE", "").lower() not in (
+        "",
+        "0",
+        "false",
+        "no",
+    )
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session.
 

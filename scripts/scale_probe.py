@@ -21,7 +21,13 @@ run SFDIR Q [Q...]       run registered queries against SFDIR via a
                          {"query": ..., "sec": ..., "plan": {...}}
                          where plan is the POST-execution AQE final
                          plan's operator histogram (join strategies,
-                         exchanges, AQE skew reads)
+                         exchanges, AQE skew reads). Each query's
+                         registry `scale_confs` (its probe-passed 100x
+                         session knobs, SCALE.md/docs/TUNING.md) are
+                         applied for its runs and restored after — a
+                         100x run needs NO --conf flags; explicit
+                         --conf still wins on conflicting keys, and
+                         --no-scale-confs probes the untuned plan
 shapes [N]               the original composed-operator shape probe
                          (in-memory inflation, no materialization)
 
@@ -45,6 +51,8 @@ Flags (before the subcommand; `run` only)
                          sized from map-side write bytes, which
                          under-state the pair generators' post-shuffle
                          explode)
+--no-scale-confs         ignore the registry's per-query scale_confs
+                         hints (A/B control for the knobs themselves)
 --disk-floor-gb G        free-disk floor (default 10): external-sort
                          spill filling the root disk breaches the
                          guard BEFORE the host wedges; the killed
@@ -314,12 +322,24 @@ def run_queries(
     timeout_s: float = 900.0,
     disk_floor_gb: float = 10.0,
     extra_conf: dict[str, str] | None = None,
+    use_scale_confs: bool = True,
 ) -> None:
     import os
 
     os.environ.setdefault("SPARK_GRAFT_UI", "1")
+    # The probe IS the scale path: set the scale flag so the registry
+    # wrapper applies each query's probe-passed `scale_confs` (SCALE.md
+    # knobs shipped with the query — a 100x run needs NO --conf flags).
+    # --no-scale-confs turns this off for A/B probing of the knobs
+    # themselves; explicit --conf values are re-asserted after the
+    # wrapper runs, so the command line always wins on conflicts.
+    if use_scale_confs:
+        os.environ["SPARK_GRAFT_SCALE"] = "1"
+    else:
+        os.environ.pop("SPARK_GRAFT_SCALE", None)
 
     import __spark_entry__ as entry
+    from direct_kafka_stream_spark import QUERIES as _REG
 
     def _make_session():
         s = get_session("scale-probe-run")
@@ -339,6 +359,7 @@ def run_queries(
         "driver_mem": sc.getConf().get("spark.driver.memory"),
         "timeout_s": timeout_s,
         "disk_floor_gb": disk_floor_gb,
+        "registry_scale_confs": use_scale_confs,
         **({"extra_conf": extra_conf} if extra_conf else {}),
     }
     print(json.dumps({"probe_conf": conf_note}), flush=True)
@@ -346,6 +367,12 @@ def run_queries(
     warm = "lineitem" if pathlib.Path(sf_dir, "lineitem.parquet").exists() else "documents"
     load_table(spark, sf_dir, warm).count()
     for name in names:
+        # snapshot this query's scale-conf keys so multi-query probes
+        # don't cross-tune: the registry wrapper sets them at plan-build
+        # time (per-job semantics on a cluster); here queries run back
+        # to back in ONE session, so restore after the timed runs
+        hints = dict(_REG[name].scale_confs) if name in _REG else {}
+        saved = {k: spark.conf.get(k) for k in hints}
         raws = []
         df = None
         shuffle = None
@@ -356,6 +383,9 @@ def run_queries(
             t0 = time.perf_counter()
             try:
                 df = qs[name](spark, sf_dir)
+                # explicit --conf outranks the registry's scale hints
+                for k, v in (extra_conf or {}).items():
+                    spark.conf.set(k, v)
                 df.write.format("noop").mode("overwrite").save()
             except Exception:
                 elapsed = round(time.perf_counter() - t0, 2)
@@ -417,10 +447,19 @@ def run_queries(
                     "raw": raws,
                     "shuffle": shuffle,
                     "plan": _plan_histogram(df),
+                    **(
+                        {"scale_confs_applied": hints}
+                        if hints and use_scale_confs
+                        else {}
+                    ),
                 }
             ),
             flush=True,
         )
+        # restore pre-query values (the histogram drain above was the
+        # last execution under this query's hints)
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 def plan_only(sf_dir: str, names: list[str]) -> None:
@@ -592,8 +631,18 @@ def main() -> None:
     # routed through the same env vars get_session documents
     timeout_s, disk_floor_gb = 900.0, 10.0
     extra_conf: dict[str, str] = {}
+    use_scale_confs = True
     while args and args[0].startswith("--"):
-        flag, val = args[0], args[1]
+        flag = args[0]
+        if flag == "--no-scale-confs":
+            # A/B control: ignore the registry's per-query scale_confs
+            # hints (probe the untuned plan)
+            use_scale_confs = False
+            args = args[1:]
+            continue
+        if len(args) < 2:
+            raise SystemExit(f"flag {flag} needs a value")
+        val = args[1]
         if flag == "--shuffle-partitions":
             os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(int(val))
         elif flag == "--driver-mem":
@@ -605,20 +654,31 @@ def main() -> None:
         elif flag == "--conf":
             # runtime-settable spark confs only (set after getOrCreate),
             # e.g. --conf spark.sql.adaptive.advisoryPartitionSizeInBytes=8m
-            k, _, v = val.partition("=")
+            k, eq, v = val.partition("=")
+            if not eq or not k:
+                # a typo like `--conf advisory16m` must not become a
+                # silent no-op conf (key set to empty string)
+                raise SystemExit(f"--conf expects K=V, got {val!r}")
             extra_conf[k] = v
         else:
             raise SystemExit(f"unknown flag {flag}")
         args = args[2:]
     if args and args[0] == "materialize":
-        # materialize OUTDIR [N] [table ...]
-        materialize(
-            args[1],
-            int(args[2]) if len(args) > 2 else 10,
-            args[3:] or None,
-        )
+        # materialize OUTDIR [N] [table ...] — N optional even when
+        # tables are named: `materialize out events` means N=10
+        n, tables = 10, args[2:]
+        if tables:
+            try:
+                n = int(tables[0])
+                tables = tables[1:]
+            except ValueError:
+                pass  # args[2] is a table name, keep the default N
+        materialize(args[1], n, list(tables) or None)
     elif args and args[0] == "run":
-        run_queries(args[1], args[2:], timeout_s, disk_floor_gb, extra_conf)
+        run_queries(
+            args[1], args[2:], timeout_s, disk_floor_gb, extra_conf,
+            use_scale_confs,
+        )
     elif args and args[0] == "plans":
         plan_only(args[1], args[2:])
     elif args and args[0] == "shapes":

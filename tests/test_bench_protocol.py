@@ -1,0 +1,84 @@
+"""Unit tests for bench.py's sweep-adjudication protocol (round-11
+directive #4): the band rule fired for real exactly once (round 10,
+BENCH_NOTES.md) — these drive the now-pure `adjudicate_sweeps` on
+synthetic sweep dicts so the self-heal path is pinned without paying a
+bench run. No SparkSession involved."""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from bench import adjudicate_sweeps, sweep_total
+
+
+def test_agreeing_sweeps_no_extra_run():
+    """Totals within 1.2x: no violation, no third sweep, per-query min."""
+    calls = []
+    s1 = {"qa": 1.0, "qb": 2.0}
+    s2 = {"qa": 1.1, "qb": 1.8}
+    times, violated, used = adjudicate_sweeps(
+        [s1, s2], extra_sweep=lambda: calls.append(1) or {}
+    )
+    assert not violated
+    assert calls == []
+    assert used == [s1, s2]
+    assert times == {"qa": 1.0, "qb": 1.8}
+
+
+def test_band_violation_triggers_exactly_one_extra_sweep():
+    """Totals 3.1/6.0 disagree >1.2x: violation recorded, extra_sweep
+    called ONCE, per-query min taken across all THREE sweeps."""
+    calls = []
+
+    def third():
+        calls.append(1)
+        return {"qa": 0.9, "qb": 2.5}
+
+    times, violated, used = adjudicate_sweeps(
+        [{"qa": 1.0, "qb": 2.1}, {"qa": 3.0, "qb": 3.0}], extra_sweep=third
+    )
+    assert violated
+    assert calls == [1]
+    assert len(used) == 3
+    assert times == {"qa": 0.9, "qb": 2.1}
+
+
+def test_errors_excluded_from_totals_and_min():
+    """A -1 (BENCH ERROR) row is excluded from the sweep total (so one
+    erroring query can't fake a band violation) and from the per-query
+    min (one good measurement wins); all-error stays -1."""
+    s1 = {"qa": -1.0, "qb": 2.0, "qc": -1.0}
+    s2 = {"qa": 0.2, "qb": 2.1, "qc": -1.0}
+    assert sweep_total(s1) == 2.0
+    times, violated, _ = adjudicate_sweeps([s1, s2], extra_sweep=lambda: {})
+    assert not violated  # totals 2.0 vs 2.3 — inside the band
+    assert times == {"qa": 0.2, "qb": 2.0, "qc": -1.0}
+
+
+def test_single_sweep_passes_through():
+    """sweeps=1 (SPARK_GRAFT_BENCH_SWEEPS=1): no band check possible."""
+    times, violated, used = adjudicate_sweeps(
+        [{"qa": 1.0}], extra_sweep=lambda: (_ for _ in ()).throw(AssertionError)
+    )
+    assert not violated and len(used) == 1 and times == {"qa": 1.0}
+
+
+def test_violation_without_extra_sweep_still_records():
+    """extra_sweep=None (a caller that only wants adjudication): the
+    violation is still recorded and the min is over the given sweeps."""
+    times, violated, used = adjudicate_sweeps(
+        [{"qa": 1.0}, {"qa": 2.0}], extra_sweep=None
+    )
+    assert violated and len(used) == 2 and times == {"qa": 1.0}
+
+
+def test_artifact_schema_fields_unchanged():
+    """The artifact keys the judge's adjudication reads must survive the
+    refactor — band_violated + sweep_totals still written by main()."""
+    src = (pathlib.Path(__file__).resolve().parent.parent / "bench.py").read_text()
+    assert '"band_violated": band_violated' in src
+    assert '"sweep_totals"' in src
+    assert "adjudicate_sweeps(" in src

@@ -94,9 +94,11 @@ def test_bench_contract_shape():
     assert "for name, q in QUERIES.items()" in src
     assert "BENCH ERROR" in src
     # round-10 band-violation rule: sweeps disagreeing past the 1.2x
-    # bound trigger a third sweep, and the artifact records it
+    # bound trigger a third sweep, and the artifact records it — logic
+    # now in the pure adjudicate_sweeps (behavior pinned by
+    # tests/test_bench_protocol.py on synthetic sweeps)
     assert '"band_violated"' in src
-    assert "hi / lo > 1.2" in src
+    assert "band: float = 1.2" in src and "adjudicate_sweeps(" in src
 
 
 def test_hll_sketch_error_is_bounded():
@@ -239,3 +241,62 @@ def test_zscore_degenerate_group_matches_oracle(spark):
     )
     assert got == want
     assert [z for _, et, z in got if et == "const"] == [0.0, 0.0, 0.0]
+
+
+def test_hll_gate_flips_false_on_out_of_bound_estimate():
+    """Negative proof for q_agg_approx's bounded-error gate: the
+    within_rel_bound predicate must go FALSE for an estimate outside
+    3*rsd of exact (exact+10% vs the 6% gate) and TRUE just inside —
+    a gate that cannot fail is not a gate. The positive companion
+    (test_hll_sketch_error_is_bounded) proves it holds on real data;
+    this proves it is live."""
+    from direct_kafka_stream_spark import get_session
+    from direct_kafka_stream_spark.exprs import within_rel_bound
+    from direct_kafka_stream_spark.operators.relational import _HLL_BOUND
+
+    spark = get_session("tests-gates")
+    df = spark.createDataFrame(
+        [
+            (1100.0, 1000.0),  # +10% — outside the 6% gate
+            (1050.0, 1000.0),  # +5% — inside
+            (930.0, 1000.0),  # -7% — outside
+            (1000.0, 1000.0),  # exact
+        ],
+        "approx double, exact double",
+    )
+    got = [
+        r.ok
+        for r in df.select(
+            within_rel_bound("approx", "exact", _HLL_BOUND).alias("ok")
+        ).collect()
+    ]
+    assert got == [False, True, False, True]
+
+
+def test_gk_gate_flips_false_on_out_of_band_rank():
+    """Negative proof for q_agg_approx_pct's rank-space gate: with
+    eps*N = 10 ranks around target rank 50_000, a returned element
+    whose rank interval sits entirely below or entirely above the
+    guaranteed band must produce FALSE from rank_within_eps, and one
+    straddling the target must produce TRUE."""
+    from direct_kafka_stream_spark import get_session
+    from direct_kafka_stream_spark.exprs import rank_within_eps
+    from direct_kafka_stream_spark.functions.sweep4 import _GK_EPS
+
+    spark = get_session("tests-gates")
+    n = 100_000  # eps*N = 10 at the registered accuracy (eps = 1e-4)
+    df = spark.createDataFrame(
+        [
+            (49_995, 50_005, n),  # straddles rank 50_000 — in band
+            (48_000, 49_000, n),  # interval entirely below the band
+            (51_000, 52_000, n),  # interval entirely above the band
+        ],
+        "lt long, le long, n long",
+    )
+    got = [
+        r.ok
+        for r in df.select(
+            rank_within_eps("lt", "le", "n", 0.5, _GK_EPS).alias("ok")
+        ).collect()
+    ]
+    assert got == [True, False, False]

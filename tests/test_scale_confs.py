@@ -1,0 +1,84 @@
+"""Per-query scale_confs hints (round-11 directive #3): the probe-passed
+100x session knobs ship WITH the query in the registry, are applied by
+the wrapper only when the scale flag is set, and never leak into the
+sf0.1 bench/correctness path."""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from direct_kafka_stream_spark import QUERIES
+
+_HERE = pathlib.Path(__file__).resolve().parent.parent
+
+
+def test_pair_generators_carry_probe_passed_confs():
+    """The two queries whose 100x completion depends on session knobs
+    (SCALE.md round 10) declare exactly those knobs."""
+    ss = dict(QUERIES["q_setsim_prefix"].scale_confs)
+    assert ss == {
+        "spark.sql.shuffle.partitions": "1024",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+    }
+    cd = dict(QUERIES["q_containment_dedup"].scale_confs)
+    assert cd == {
+        "spark.sql.shuffle.partitions": "1024",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        "spark.sql.autoBroadcastJoinThreshold": "268435456",
+    }
+
+
+def test_scale_confs_applied_only_under_flag(monkeypatch, spark, sf_dir):
+    """Flag unset: building the query leaves the session conf alone.
+    Flag set: the wrapper applies the query's hints at plan-build time."""
+    monkeypatch.delenv("SPARK_GRAFT_SCALE", raising=False)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    QUERIES["q_setsim_prefix"].spark(spark, sf_dir)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    monkeypatch.setenv("SPARK_GRAFT_SCALE", "1")
+    try:
+        QUERIES["q_setsim_prefix"].spark(spark, sf_dir)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1024"
+        assert (
+            spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+            == "16m"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+
+def test_scale_flag_env_parsing(monkeypatch):
+    from direct_kafka_stream_spark.session import scale_flag_set
+
+    for off in ("", "0", "false", "no", "FALSE", "No"):
+        monkeypatch.setenv("SPARK_GRAFT_SCALE", off)
+        assert not scale_flag_set(), off
+    monkeypatch.delenv("SPARK_GRAFT_SCALE")
+    assert not scale_flag_set()
+    for on in ("1", "true", "yes"):
+        monkeypatch.setenv("SPARK_GRAFT_SCALE", on)
+        assert scale_flag_set(), on
+
+
+def test_bench_path_never_sets_scale_flag():
+    """The sf0.1 bench numbers must measure the UNTUNED small-scale
+    plans: bench.py must not set SPARK_GRAFT_SCALE (scale_probe.py
+    `run` is the only in-repo setter)."""
+    assert "SPARK_GRAFT_SCALE" not in (_HERE / "bench.py").read_text()
+    probe = (_HERE / "scripts" / "scale_probe.py").read_text()
+    assert 'os.environ["SPARK_GRAFT_SCALE"] = "1"' in probe
+
+
+def test_scale_confs_are_runtime_settable(spark):
+    """Every declared hint must be settable on a LIVE session (static
+    confs would silently no-op in the registry wrapper)."""
+    for q in QUERIES.values():
+        for k, v in q.scale_confs:
+            old = spark.conf.get(k)
+            spark.conf.set(k, v)  # raises for static/unknown confs
+            spark.conf.set(k, old)

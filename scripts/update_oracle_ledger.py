@@ -21,6 +21,19 @@ Usage:
 The round stamp defaults to (newest CORRECTNESS_r*.json round) + 1 —
 the round currently being built. Run this after ANY oracle edit;
 tests/test_rotation.py fails until the ledger is re-synced.
+
+Bootstrap provenance (round 11): the initial since_round values were
+derived from git ground truth, not guesswork — oracle hashes were
+extracted at every end-of-round snapshot commit (r1 6b5762e … r10
+f03bcd9 via `git archive` + registry import per round in a clean
+subprocess) and since_round = 1 + the last round whose hash differs
+from the current text (first-appearance rounds fall out of the same
+rule). That sweep found FOUR queries whose newest driver green
+predates their current oracle text: the two round-10 bounded-error
+rewrites the judge named (q_agg_approx, q_agg_approx_pct) plus
+q_item_cf (r10 textual alignment of the cap form, green r6) and
+q_ab_test (r5 edit, green r4) — all four now front the rotation.
+From here the ledger is maintained incrementally by this script.
 """
 
 from __future__ import annotations

@@ -47,25 +47,30 @@ def test_effective_green_keeps_green_when_text_unchanged():
 
 
 def test_ordered_names_fronts_oracle_changed_queries():
-    """End-to-end over the real artifacts: the two round-10
-    bounded-error oracle rewrites (stamped since_round=10 in the
-    ledger, newest driver green r9 or older under the previous
-    rows-only text) sort ahead of every stably-green query — so the
-    driver's bounded prefix samples them next round instead of in ~7."""
+    """End-to-end over the real artifacts, round-state-independent:
+    EVERY query whose effective green round is 0 (never verified, or
+    oracle changed since its newest green — e.g. the round-10
+    bounded-error rewrites until the driver re-samples them) must sort
+    ahead of EVERY query with a surviving green row, so the driver's
+    bounded prefix always samples the unverified set first."""
     names = entry._ordered_names()
-    greens = entry._newest_green_round()
-    first_stable = next(
-        i
-        for i, n in enumerate(names)
-        if entry._effective_green(
-            greens,
-            entry._load_oracle_ledger(),
-            {n: entry._oracle_hash(QUERIES[n].oracle)},
-        )[n]
-        > 0
+    effective = entry._effective_green(
+        entry._newest_green_round(),
+        entry._load_oracle_ledger(),
+        {n: entry._oracle_hash(q.oracle) for n, q in QUERIES.items()},
     )
-    for q in ("q_agg_approx", "q_agg_approx_pct"):
-        assert names.index(q) < first_stable, f"{q} not fronted"
+    demoted = [n for n in names if effective[n] == 0]
+    if demoted:
+        last_demoted = max(names.index(n) for n in demoted)
+        first_stable = min(
+            (names.index(n) for n in names if effective[n] > 0), default=len(names)
+        )
+        assert last_demoted < first_stable, (
+            f"demoted query sorted after a stably-green one: "
+            f"{names[last_demoted]} vs {names[first_stable]}"
+        )
+    # ties broken by registry order (stable, deterministic)
+    assert sorted(names, key=lambda n: (effective[n], list(QUERIES).index(n))) == names
 
 
 def test_oracle_ledger_is_synced_to_registry():

@@ -58,12 +58,16 @@ def _oracle_hash(text: str | None) -> str:
 def _load_oracle_ledger() -> dict[str, dict]:
     """ORACLE_LEDGER.json: per query, the hash of its oracle text and
     the round that text took effect (scripts/update_oracle_ledger.py).
-    Missing/unreadable ledger degrades to {} — every query then counts
-    as oracle-changed, i.e. plain registry order, never a crash."""
+    Missing, unreadable, or STRUCTURALLY malformed ledger content
+    degrades to {} / entry-drop — every affected query then counts as
+    oracle-changed, i.e. plain registry order; this is the driver's
+    entry path, so it must never crash on a bad file."""
     try:
-        return json.loads((_HERE / "ORACLE_LEDGER.json").read_text()).get(
-            "queries", {}
-        )
+        data = json.loads((_HERE / "ORACLE_LEDGER.json").read_text())
+        queries = data.get("queries", {}) if isinstance(data, dict) else {}
+        return {
+            n: e for n, e in queries.items() if isinstance(e, dict)
+        } if isinstance(queries, dict) else {}
     except (OSError, ValueError):
         return {}
 

@@ -41,6 +41,15 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _env_flag(name: str) -> bool:
+    """Conventional boolean env flag: unset/''/'0'/'false'/'no'/'off'
+    (any case) are OFF, anything else is ON. One parser for every flag
+    env var here — 'off' MUST read as off (an operator exporting
+    SPARK_GRAFT_SCALE=off to disable the scale path would otherwise
+    silently get the 1024-partition/256 MB-broadcast confs applied)."""
+    return os.environ.get(name, "").lower() not in ("", "0", "false", "no", "off")
+
+
 def scale_flag_set() -> bool:
     """Whether the scale path is active (SPARK_GRAFT_SCALE env): when
     true, the registry wrapper applies each query's probe-passed
@@ -49,12 +58,7 @@ def scale_flag_set() -> bool:
     correctness driver never set it, so small-scale plans and numbers
     are untouched; scripts/scale_probe.py `run` sets it, and a cluster
     job sets it in its submit environment."""
-    return os.environ.get("SPARK_GRAFT_SCALE", "").lower() not in (
-        "",
-        "0",
-        "false",
-        "no",
-    )
+    return _env_flag("SPARK_GRAFT_SCALE")
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
@@ -92,15 +96,8 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         # UI off for bench/test noise; scale_probe turns it on to read
-        # per-stage shuffle bytes from the REST status API ("0"/"false"
-        # count as off, like any conventional flag env var)
-        .config(
-            "spark.ui.enabled",
-            "true"
-            if os.environ.get("SPARK_GRAFT_UI", "").lower()
-            not in ("", "0", "false", "no")
-            else "false",
-        )
+        # per-stage shuffle bytes from the REST status API
+        .config("spark.ui.enabled", "true" if _env_flag("SPARK_GRAFT_UI") else "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config(
             "spark.sql.warehouse.dir",

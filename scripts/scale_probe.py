@@ -372,7 +372,9 @@ def run_queries(
         # time (per-job semantics on a cluster); here queries run back
         # to back in ONE session, so restore after the timed runs
         hints = dict(_REG[name].scale_confs) if name in _REG else {}
-        saved = {k: spark.conf.get(k) for k in hints}
+        # get(k, None): a hint key with no Spark-defined default must
+        # snapshot as "was unset", not throw before the run
+        saved = {k: spark.conf.get(k, None) for k in hints}
         raws = []
         df = None
         shuffle = None
@@ -457,9 +459,13 @@ def run_queries(
             flush=True,
         )
         # restore pre-query values (the histogram drain above was the
-        # last execution under this query's hints)
+        # last execution under this query's hints); a key that was
+        # unset before goes back to unset, not to a pinned default
         for k, v in saved.items():
-            spark.conf.set(k, v)
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def plan_only(sf_dir: str, names: list[str]) -> None:
@@ -666,13 +672,18 @@ def main() -> None:
     if args and args[0] == "materialize":
         # materialize OUTDIR [N] [table ...] — N optional even when
         # tables are named: `materialize out events` means N=10
+        if len(args) < 2:
+            raise SystemExit("materialize needs an OUTDIR")
         n, tables = 10, args[2:]
-        if tables:
+        # args[2] is the count only if it is NOT a known table name
+        # (so a hypothetical digit-named table could never be silently
+        # reinterpreted as a huge inflation factor) and parses as int
+        if tables and tables[0] not in TABLES:
             try:
                 n = int(tables[0])
                 tables = tables[1:]
             except ValueError:
-                pass  # args[2] is a table name, keep the default N
+                pass  # unknown token: let materialize() report it
         materialize(args[1], n, list(tables) or None)
     elif args and args[0] == "run":
         run_queries(

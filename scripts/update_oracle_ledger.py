@@ -67,7 +67,10 @@ def main() -> None:
     check_only = "--check" in args
     rnd = current_round()
     if "--round" in args:
-        rnd = int(args[args.index("--round") + 1])
+        try:
+            rnd = int(args[args.index("--round") + 1])
+        except (IndexError, ValueError):
+            raise SystemExit("--round expects an integer round number")
 
     ledger: dict[str, dict] = {}
     if LEDGER.exists():

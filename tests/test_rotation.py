@@ -100,3 +100,24 @@ def test_ledger_missing_degrades_to_registry_order(monkeypatch):
     monkeypatch.setattr(entry, "_load_oracle_ledger", lambda: {})
     names = entry._ordered_names()
     assert names == list(QUERIES)
+
+
+def test_ledger_malformed_content_never_crashes(tmp_path, monkeypatch):
+    """Structurally malformed-but-parseable ledger JSON (non-object
+    root, non-dict queries, non-dict entry) must degrade — dropped
+    entries count as oracle-changed — because _load_oracle_ledger sits
+    on the driver's queries()/oracle_sql() entry path."""
+    for content in ("null", "[]", '{"queries": null}', '{"queries": []}'):
+        (tmp_path / "ORACLE_LEDGER.json").write_text(content)
+        monkeypatch.setattr(entry, "_HERE", tmp_path)
+        assert entry._load_oracle_ledger() == {}
+    (tmp_path / "ORACLE_LEDGER.json").write_text(
+        '{"queries": {"q_bad": "h1", "q_ok": {"hash": "h2", "since_round": 3}}}'
+    )
+    assert entry._load_oracle_ledger() == {
+        "q_ok": {"hash": "h2", "since_round": 3}
+    }
+    # and a non-dict VALUE that slipped through historical files would
+    # demote, not crash, inside _effective_green via the dict filter
+    monkeypatch.undo()
+    assert entry._ordered_names()  # real ledger still loads

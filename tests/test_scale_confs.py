@@ -55,7 +55,7 @@ def test_scale_confs_applied_only_under_flag(monkeypatch, spark, sf_dir):
 def test_scale_flag_env_parsing(monkeypatch):
     from direct_kafka_stream_spark.session import scale_flag_set
 
-    for off in ("", "0", "false", "no", "FALSE", "No"):
+    for off in ("", "0", "false", "no", "off", "FALSE", "No", "OFF"):
         monkeypatch.setenv("SPARK_GRAFT_SCALE", off)
         assert not scale_flag_set(), off
     monkeypatch.delenv("SPARK_GRAFT_SCALE")

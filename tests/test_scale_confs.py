@@ -82,3 +82,60 @@ def test_scale_confs_are_runtime_settable(spark):
             old = spark.conf.get(k)
             spark.conf.set(k, v)  # raises for static/unknown confs
             spark.conf.set(k, old)
+
+
+def test_probe_run_restores_session_confs(monkeypatch, spark, capsys):
+    """Integration: scale_probe.run_queries applies a query's hints for
+    its runs (recorded in the output row) and restores the session's
+    prior conf values afterwards — multi-query probes must not
+    cross-tune. Runs for real at sf0.001 (seconds)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe_it", _HERE / "scripts" / "scale_probe.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    monkeypatch.delenv("SPARK_GRAFT_SCALE", raising=False)
+    fixture_before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    # Baseline AS THE PROBE SEES IT: get_session on an existing session
+    # applies its runtime-settable builder configs (Spark 4 getOrCreate
+    # semantics — shuffle partitions goes to the env-derived default),
+    # so capture the post-get_session values, exactly what run_queries'
+    # own snapshot sees before the first query applies its hints.
+    from direct_kafka_stream_spark import get_session
+
+    probe_session = get_session("scale-probe-run")
+    before = {
+        k: probe_session.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    assert before["spark.sql.shuffle.partitions"] != "1024"
+    try:
+        mod.run_queries(
+            "/root/testdata/sf0.001",
+            ["q_containment_dedup"],
+            timeout_s=600.0,
+            disk_floor_gb=1.0,
+        )
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_SCALE", raising=False)
+    out = capsys.readouterr().out
+    assert '"scale_confs_applied"' in out
+    assert '"spark.sql.shuffle.partitions": "1024"' in out
+    for k, v in before.items():
+        assert spark.conf.get(k) == v, f"{k} not restored"
+    # undo the probe-session retune so the shared test session keeps
+    # the conftest fixture's values for whatever runs after this test
+    for k, v in fixture_before.items():
+        spark.conf.set(k, v)

@@ -63,7 +63,10 @@ def adjudicate_sweeps(
             if extra_sweep is not None:
                 sweeps.append(extra_sweep())
     times: dict[str, float] = {}
-    for name in sweeps[0] if sweeps else ():
+    # Union of keys across ALL sweeps: a query present only in a later
+    # sweep (e.g. the self-heal third sweep after a partial first one)
+    # must not be silently dropped from the artifact.
+    for name in sorted({k for s in sweeps for k in s}):
         ok_runs = [s[name] for s in sweeps if s.get(name, -1.0) >= 0]
         times[name] = min(ok_runs) if ok_runs else -1.0
     return times, band_violated, sweeps

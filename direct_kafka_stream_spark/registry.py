@@ -10,6 +10,7 @@ driver, the pytest suite, and bench.py all iterate this one dict.
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,10 +51,20 @@ def query(
     ``scale_confs`` ships a query's probe-passed 100x session knobs with
     the query itself, so a cluster job gets the working plan without
     reading SCALE.md: when the scale flag is set (SPARK_GRAFT_SCALE),
-    the wrapper applies them before building the plan. They persist on
-    the session for the rest of the job — the per-job model of a real
-    cluster submit; scripts/scale_probe.py snapshots and restores them
-    around each probed query so multi-query probes don't cross-tune.
+    the wrapper applies them before building the plan.
+
+    CONTRACT — the confs PERSIST on the session after the wrapper
+    returns. The wrapper cannot restore them itself: the DataFrame it
+    returns is lazy, and AQE/broadcast confs are read at EXECUTION
+    time, so restoring before the caller materializes would defeat the
+    hint. This is the per-job model of a real cluster submit (one
+    query, one session, confs die with the job). Any consumer that runs
+    SEVERAL registered queries in ONE session under the scale flag WILL
+    cross-tune (e.g. q_containment_dedup's 256MB broadcast threshold
+    leaking into later joins) unless it wraps each query in
+    ``scale_conf_guard`` below — which is exactly what
+    scripts/scale_probe.py does. bench.py and the correctness driver
+    never set the flag, so they are unaffected.
     """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
@@ -83,3 +94,36 @@ def query(
         return wrapped
 
     return deco
+
+
+@contextmanager
+def scale_conf_guard(spark: SparkSession, name: str):
+    """Snapshot/restore a query's ``scale_confs`` keys around one
+    materialization, so a multi-query scale JOB (several registered
+    queries in one session under SPARK_GRAFT_SCALE) doesn't cross-tune.
+
+    Usage::
+
+        with scale_conf_guard(spark, "q_containment_dedup"):
+            df = QUERIES["q_containment_dedup"].spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+
+    Restore semantics: ``spark.conf.get(k, None)`` returns the key's
+    ConfigEntry DEFAULT (not None) for Spark-defined keys that were
+    never explicitly set, so restore re-pins that default explicitly —
+    value-equivalent to unset. Only a key with no ConfigEntry at all
+    snapshots as None and is truly unset on exit.
+    """
+    hints = dict(QUERIES[name].scale_confs) if name in QUERIES else {}
+    saved = {k: spark.conf.get(k, None) for k in hints}
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)

@@ -333,11 +333,32 @@ def run_queries(
     # --no-scale-confs turns this off for A/B probing of the knobs
     # themselves; explicit --conf values are re-asserted after the
     # wrapper runs, so the command line always wins on conflicts.
+    # Save/restore the prior env value so an in-process caller (the
+    # integration test, or any library user) doesn't inherit the flag.
+    _prior_scale = os.environ.get("SPARK_GRAFT_SCALE")
     if use_scale_confs:
         os.environ["SPARK_GRAFT_SCALE"] = "1"
     else:
         os.environ.pop("SPARK_GRAFT_SCALE", None)
+    try:
+        _run_queries_inner(
+            sf_dir, names, timeout_s, disk_floor_gb, extra_conf, use_scale_confs
+        )
+    finally:
+        if _prior_scale is None:
+            os.environ.pop("SPARK_GRAFT_SCALE", None)
+        else:
+            os.environ["SPARK_GRAFT_SCALE"] = _prior_scale
 
+
+def _run_queries_inner(
+    sf_dir: str,
+    names: list[str],
+    timeout_s: float,
+    disk_floor_gb: float,
+    extra_conf: dict[str, str] | None,
+    use_scale_confs: bool,
+) -> None:
     import __spark_entry__ as entry
     from direct_kafka_stream_spark import QUERIES as _REG
 
@@ -458,9 +479,14 @@ def run_queries(
             ),
             flush=True,
         )
-        # restore pre-query values (the histogram drain above was the
-        # last execution under this query's hints); a key that was
-        # unset before goes back to unset, not to a pinned default
+        # Restore pre-query values (the histogram drain above was the
+        # last execution under this query's hints). Note the snapshot
+        # semantics: for Spark-defined keys, spark.conf.get(k, None)
+        # returns the ConfigEntry DEFAULT (e.g. 64MB for
+        # advisoryPartitionSizeInBytes) rather than None, so restore
+        # re-pins that default explicitly — value-equivalent to unset.
+        # Only a key with no ConfigEntry snapshots as None and is
+        # truly unset here.
         for k, v in saved.items():
             if v is None:
                 spark.conf.unset(k)

@@ -82,3 +82,13 @@ def test_artifact_schema_fields_unchanged():
     assert '"band_violated": band_violated' in src
     assert '"sweep_totals"' in src
     assert "adjudicate_sweeps(" in src
+
+def test_union_of_keys_across_sweeps():
+    """A query present only in a LATER sweep (e.g. the self-heal third
+    sweep after a partial first one) must appear in the artifact, not
+    be silently dropped by iterating sweep[0]'s keys only."""
+    s1 = {"qa": 1.0, "qc": 2.0}
+    s2 = {"qa": 1.1, "qb": 0.5, "qc": 1.8}
+    times, violated, _ = adjudicate_sweeps([s1, s2], extra_sweep=None)
+    assert not violated  # totals 3.0 vs 3.4 — inside the band
+    assert times == {"qa": 1.0, "qb": 0.5, "qc": 1.8}

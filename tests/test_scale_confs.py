@@ -139,3 +139,68 @@ def test_probe_run_restores_session_confs(monkeypatch, spark, capsys):
     # the conftest fixture's values for whatever runs after this test
     for k, v in fixture_before.items():
         spark.conf.set(k, v)
+
+def test_scale_conf_guard_restores(monkeypatch, spark, sf_dir):
+    """registry.scale_conf_guard (the documented tool for multi-query
+    scale JOBS): hints applied inside the block persist through the
+    caller's materialization, then restore on exit — including the
+    re-pinned ConfigEntry default for keys that were never set."""
+    from direct_kafka_stream_spark.registry import scale_conf_guard
+
+    keys = (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    before = {k: spark.conf.get(k, None) for k in keys}
+    monkeypatch.setenv("SPARK_GRAFT_SCALE", "1")
+    with scale_conf_guard(spark, "q_containment_dedup"):
+        df = QUERIES["q_containment_dedup"].spark(spark, "/root/testdata/sf0.001")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1024"
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "268435456"
+        df.write.format("noop").mode("overwrite").save()
+    after = {k: spark.conf.get(k, None) for k in keys}
+    assert after == before
+
+    # exceptions still restore
+    try:
+        with scale_conf_guard(spark, "q_setsim_prefix"):
+            spark.conf.set("spark.sql.shuffle.partitions", "1024")
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before[
+        "spark.sql.shuffle.partitions"
+    ]
+
+
+def test_probe_run_restores_scale_env(monkeypatch, spark, capsys):
+    """run_queries must not leave SPARK_GRAFT_SCALE in the process env
+    after it returns (in-process callers would silently inherit the
+    scale flag)."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe_env_it", _HERE / "scripts" / "scale_probe.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    monkeypatch.delenv("SPARK_GRAFT_SCALE", raising=False)
+    mod.run_queries(
+        "/root/testdata/sf0.001", ["q_scan"], timeout_s=300.0, disk_floor_gb=1.0
+    )
+    assert _os.environ.get("SPARK_GRAFT_SCALE") is None
+    capsys.readouterr()
+
+    monkeypatch.setenv("SPARK_GRAFT_SCALE", "0")
+    mod.run_queries(
+        "/root/testdata/sf0.001",
+        ["q_scan"],
+        timeout_s=300.0,
+        disk_floor_gb=1.0,
+        use_scale_confs=False,
+    )
+    assert _os.environ.get("SPARK_GRAFT_SCALE") == "0"
+    capsys.readouterr()

@@ -196,18 +196,22 @@ def _plan_histogram(df: DataFrame) -> dict[str, int]:
 
     The timed noop write runs through its OWN QueryExecution, so this
     df's plan would still be the pre-AQE-finalization one; drain the
-    Dataset's own execution first (toLocalIterator keeps driver memory
-    bounded — one partition at a time) so executedPlan() is the AQE
-    final plan, and record whether finalization actually happened.
+    Dataset's own execution first so executedPlan() is the AQE final
+    plan, and record whether finalization actually happened.
+
+    The drain executes the Dataset's OWN QueryExecution JVM-side in a
+    single parallel job with zero row transfer:
+    ``queryExecution().toRdd().count()``. (The obvious alternative,
+    ``toLocalIterator``, runs ONE JOB PER PARTITION of the final
+    stage — at 200x under the 1024-partition scale confs that is
+    hours of serial single-partition jobs for a drain whose rows
+    nobody reads; it hung the round-12 200x probe until replaced.)
 
     Cost note: the drain is one EXTRA full execution after the timed
-    runs (registered queries return bounded scalar-only frames, so the
-    driver transfer is small, but the compute is real — ~+50% on a
-    min-of-2 probe of a heavy query). It happens after timing, so
-    recorded seconds are unaffected; for plan capture without any
-    timed runs use the `plans` subcommand."""
-    for _ in df.toLocalIterator():
-        pass
+    runs (~+50% on a min-of-2 probe of a heavy query). It happens
+    after timing, so recorded seconds are unaffected; for plan
+    capture without any timed runs use the `plans` subcommand."""
+    df._jdf.queryExecution().toRdd().count()
     s = df._jdf.queryExecution().executedPlan().toString()
     # a finalized AdaptiveSparkPlan prints BOTH "== Final Plan ==" and
     # "== Initial Plan ==" sections; count operators in the final one
@@ -461,6 +465,20 @@ def _run_queries_inner(
             sc = spark.sparkContext
             load_table(spark, sf_dir, warm).count()
             continue
+        # the histogram drain is one more full execution — guard it
+        # like the timed runs (a spilling drain must not ride through
+        # the disk floor unwatched); a breached drain records the
+        # reason in place of the histogram, keeping the timed raws
+        guard = _RunGuard(sc, timeout_s, disk_floor_gb)
+        try:
+            plan = _plan_histogram(df)
+        except Exception:
+            if guard.reason is None:
+                guard.stop()
+                raise
+            plan = {"drain_dnf": guard.reason}
+        finally:
+            guard.stop()
         print(
             json.dumps(
                 {
@@ -469,7 +487,7 @@ def _run_queries_inner(
                     "sec": min(raws),
                     "raw": raws,
                     "shuffle": shuffle,
-                    "plan": _plan_histogram(df),
+                    "plan": plan,
                     **(
                         {"scale_confs_applied": hints}
                         if hints and use_scale_confs

@@ -9,6 +9,9 @@ would be partitioned/bucketed tables behind a catalog; the loader shape
 
 from __future__ import annotations
 
+import os
+import urllib.parse
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -46,6 +49,60 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema[col].dataType, LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
     return df
+
+
+# Per-core input-bytes floor under which a scan cannot feed every core:
+# Spark chops files into splits of at most maxPartitionBytes (default
+# 128 MB), and our single-row-group fixture files cannot split at all —
+# so when the WHOLE input is smaller than cores × split size, the scan
+# stage is guaranteed to run on fewer tasks than cores.
+_SPREAD_BYTES_PER_CORE = 128 * 1024 * 1024
+
+
+def _local_input_bytes(df: DataFrame) -> int | None:
+    """Total bytes behind a DataFrame's file scans, when every input is
+    a local file; None when unknown (non-file scheme, stat failure, or
+    no file inputs) — callers must treat None as 'do not touch'."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        total = 0
+        for u in files:
+            parsed = urllib.parse.urlparse(u)
+            if parsed.scheme not in ("file", ""):
+                return None
+            total += os.stat(parsed.path).st_size
+        return total
+    except Exception:
+        return None
+
+
+def spread_scan(df: DataFrame, key: str) -> DataFrame:
+    """Repartition a narrow scan across all cores — ONLY when the input
+    is provably too small to feed them (guide §2.5 'input skew: one
+    huge unsplittable file'; our fixture parquet is one file with ONE
+    row group, so every scan stage is a single task and all per-row
+    compute — md5 fan-outs, shingling, decimal moment sums — runs on
+    one core of local[N]).
+
+    Scale-adaptive by construction, not a local[32] constant: the gate
+    compares the scan's total input bytes against cores × 128 MB (the
+    default maxPartitionBytes split size). At 100 TB the inputs dwarf
+    the threshold on any core count, the gate short-circuits, and the
+    plan is byte-identical to the unspread one — so the probe-passed
+    SCALE.md envelopes still hold (the scale_probe's inflated tables
+    are multi-file but MB-sized, still under the threshold → spread,
+    matching the probed plans). Keyed (hash) repartition so no
+    determinism sort is needed; key must be high-cardinality relative
+    to the core count (table primary keys are)."""
+    from direct_kafka_stream_spark.session import default_parallelism
+
+    cores = default_parallelism()
+    total = _local_input_bytes(df)
+    if total is None or total >= cores * _SPREAD_BYTES_PER_CORE:
+        return df
+    return df.repartition(cores, key)
 
 
 def load_tables(

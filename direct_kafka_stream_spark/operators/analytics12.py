@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 
 from direct_kafka_stream_spark.exprs import dsum, dsum_sql
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 
@@ -71,7 +71,7 @@ def q_ols_multi(spark: SparkSession, d: str):
     determinant expressions are written in the SAME operation order
     on both sides, so the IEEE arithmetic is bit-identical; final
     coefficients rounded 6dp."""
-    li = load_table(spark, d, "lineitem")
+    li = spread_scan(load_table(spark, d, "lineitem"), "l_orderkey")
     q, disc, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
     m = li.agg(
         F.count(F.lit(1)).cast("double").alias("n"),

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.operators.llm import _BUCKET16_SQL
 from direct_kafka_stream_spark.registry import query
 
@@ -103,7 +103,7 @@ def q_setsim_prefix(spark: SparkSession, d: str):
     when two documents genuinely share a rare shingle."""
     from direct_kafka_stream_spark.operators.llm import _shingles_from_docs
 
-    docs = load_table(spark, d, "documents")
+    docs = spread_scan(load_table(spark, d, "documents"), "doc_id")
     tok = (
         _shingles_from_docs(docs)
         .select("doc_id", F.col("shingle").alias("word"))

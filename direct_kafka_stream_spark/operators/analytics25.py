@@ -14,7 +14,7 @@ from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from direct_kafka_stream_spark.exprs import DEC, bounded_window_key
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 # Containment dedup: candidate pairs must share at least one RARE
@@ -107,7 +107,7 @@ def q_containment_dedup(spark: SparkSession, d: str):
     already accepted above)."""
     from direct_kafka_stream_spark.operators.llm import _shingles_from_docs
 
-    docs = load_table(spark, d, "documents")
+    docs = spread_scan(load_table(spark, d, "documents"), "doc_id")
     sh = (
         _shingles_from_docs(docs)
         .select("doc_id", F.xxhash64("shingle").alias("sid"))

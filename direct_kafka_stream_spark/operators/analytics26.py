@@ -20,7 +20,7 @@ from direct_kafka_stream_spark.exprs import (
     dsum,
     dsum_sql,
 )
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 
@@ -515,7 +515,7 @@ def q_ridge_closed(spark: SparkSession, d: str):
     aggregation, then scalar arithmetic on one row. The determinant
     expressions share operation order verbatim with the oracle so IEEE
     arithmetic is bit-identical; coefficients rounded 6 dp."""
-    li = load_table(spark, d, "lineitem")
+    li = spread_scan(load_table(spark, d, "lineitem"), "l_orderkey")
     q, disc, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
     m = li.agg(
         F.count(F.lit(1)).cast("double").alias("n"),

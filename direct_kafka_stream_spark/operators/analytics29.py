@@ -38,7 +38,7 @@ from direct_kafka_stream_spark.exprs import (
     u01,
     u01_sql,
 )
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 
@@ -511,7 +511,9 @@ def q_bootstrap_poisson(spark: SparkSession, d: str):
     most replicates draw weight 0 and are dropped) at se=0 on both
     engines rather than relying on engine-specific NULL handling in
     GREATEST."""
-    return bootstrap_poisson_table(load_table(spark, d, "events"))
+    return bootstrap_poisson_table(
+        spread_scan(load_table(spark, d, "events"), "event_id")
+    )
 
 
 def bootstrap_poisson_table(events):

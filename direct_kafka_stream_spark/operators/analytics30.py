@@ -40,7 +40,7 @@ from direct_kafka_stream_spark.exprs import (
     u01,
     u01_sql,
 )
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 # Two-sided 97.5% / 80% normal quantiles used by MDE and CUPED z-reads.
@@ -448,7 +448,9 @@ def q_permutation_test(spark: SparkSession, d: str):
     2R rows. Means are exact 4 dp decimal sums over exact counts, so
     every replicate diff is bit-identical across engines and the
     extreme-count comparison can never diverge."""
-    return permutation_test_stat(load_table(spark, d, "events"))
+    return permutation_test_stat(
+        spread_scan(load_table(spark, d, "events"), "event_id")
+    )
 
 
 def permutation_test_stat(events):

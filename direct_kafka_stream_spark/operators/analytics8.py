@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
 
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 # --- HyperLogLog parameters -------------------------------------------------
@@ -218,7 +218,7 @@ def q_cms_heavy_hitters(spark: SparkSession, d: str):
     no tolerance anywhere."""
     from direct_kafka_stream_spark.operators.llm import _tokens
 
-    docs = load_table(spark, d, "documents")
+    docs = spread_scan(load_table(spark, d, "documents"), "doc_id")
     words = docs.select(F.explode(_tokens()).alias("word"))
     words = words.persist()
     salts = spark.range(_CMS_D).select(F.col("id").cast("int").alias("s"))

@@ -64,15 +64,16 @@ def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Hash-repartition a small-file scan across all cores. The
     documents fixture arrives as one parquet file → ONE input partition,
     which serializes every CPU-bound per-row stage (shingling, md5,
-    higher-order array transforms) onto a single core. The repartition
-    ships a few MB once and buys full parallelism — the same call that,
-    at 100 TB, balances skewed file sizes after a selective filter.
-    Keyed (not round-robin) so no determinism sort is needed. Uses the
-    env-derived core count rather than sparkContext (which a Spark
-    Connect session doesn't expose)."""
-    from direct_kafka_stream_spark.session import default_parallelism
+    higher-order array transforms) onto a single core. Round 12: now
+    GATED on input size (io.spread_scan) — when the scan is already
+    wide enough to feed every core (the 100 TB case), the extra
+    exchange is skipped outright instead of shuffling the whole corpus
+    for nothing; under the threshold the behavior is exactly the old
+    unconditional repartition. Keyed (not round-robin) so no
+    determinism sort is needed."""
+    from direct_kafka_stream_spark.io import spread_scan
 
-    return df.repartition(default_parallelism(), key)
+    return spread_scan(df, key)
 
 
 def _words(docs: DataFrame) -> DataFrame:

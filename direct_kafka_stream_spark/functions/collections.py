@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
 
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -227,7 +227,7 @@ def q_array_fns2(spark: SparkSession, d: str):
     expressions over per-row arrays — zero shuffles. Array-valued
     intermediates are joined to scalar CSV strings in the FINAL
     projection (driver canon can't sort array cells)."""
-    li = load_table(spark, d, "lineitem")
+    li = spread_scan(load_table(spark, d, "lineitem"), "l_orderkey")
     arr = F.array("l_orderkey", "l_partkey", "l_suppkey")
     with_null = F.array(
         F.col("l_orderkey"), F.lit(None).cast("long"), F.col("l_suppkey")
@@ -276,7 +276,7 @@ def q_map_higher_order(spark: SparkSession, d: str):
     flattened to rows for the oracle (DuckDB replays the same entries
     relationally). The map never leaves the scan stage: zero shuffles,
     zero UDFs."""
-    e = load_table(spark, d, "events")
+    e = spread_scan(load_table(spark, d, "events"), "event_id")
     kv = F.from_json("props", "map<string,int>")
     m1 = F.create_map(
         F.lit("k"),

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 
@@ -284,7 +284,7 @@ def q_xml_roundtrip(spark: SparkSession, d: str):
     projection (DuckDB never sees XML — the round-trip IS the
     engine-side property under test, same contract as
     q_csv_roundtrip). One codegen stage, no shuffle."""
-    o = load_table(spark, d, "orders")
+    o = spread_scan(load_table(spark, d, "orders"), "o_orderkey")
     doc = F.to_xml(
         F.struct("o_orderkey", "o_custkey", "o_orderstatus"),
         {"rowTag": "order"},

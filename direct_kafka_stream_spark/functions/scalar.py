@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
 
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 
@@ -118,7 +118,7 @@ def q_date_fns(spark: SparkSession, d: str):
     tags=("functions",),
 )
 def q_math_fns(spark: SparkSession, d: str):
-    li = load_table(spark, d, "lineitem")
+    li = spread_scan(load_table(spark, d, "lineitem"), "l_orderkey")
     return li.select(
         "l_orderkey",
         "l_linenumber",

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 
 from direct_kafka_stream_spark.exprs import rank_within_eps
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 
@@ -156,7 +156,7 @@ def q_math_fns2(spark: SparkSession, d: str):
     """Math sweep 2: trig/angle conversions (rounded 6 dp — libm
     implementations differ in the last ulp), cube root, log2,
     factorial (exact integers, line numbers ≤ 7)."""
-    li = load_table(spark, d, "lineitem")
+    li = spread_scan(load_table(spark, d, "lineitem"), "l_orderkey")
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -187,7 +187,7 @@ def q_agg_modern(spark: SparkSession, d: str):
     the interpolated 0.5-quantile in both engines (a per-group sort at
     scale; prefer approx_percentile when 100-TB exactness isn't
     required)."""
-    li = load_table(spark, d, "lineitem")
+    li = spread_scan(load_table(spark, d, "lineitem"), "l_orderkey")
     return li.groupBy("l_linestatus").agg(
         F.count_if(F.col("l_quantity") > 30).alias("n_heavy"),
         F.round(F.median("l_quantity"), 6).alias("med_qty"),

@@ -17,7 +17,7 @@ from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from direct_kafka_stream_spark.exprs import DEC, bounded_window_key
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 # nDCG cut-off and the positional discount weights 1/log2(r+1),
@@ -485,7 +485,7 @@ def q_table_checksum(spark: SparkSession, d: str):
     Scale shape: one scan, one partition-keyed map-side-combinable
     aggregate; both folds are commutative so the result is independent
     of row order and parallelism."""
-    li = load_table(spark, d, "lineitem")
+    li = spread_scan(load_table(spark, d, "lineitem"), "l_orderkey")
     row_str = F.concat_ws(
         "|",
         F.col("l_orderkey").cast("string"),

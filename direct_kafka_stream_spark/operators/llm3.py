@@ -13,7 +13,7 @@ from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from direct_kafka_stream_spark.exprs import bounded_window_key
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 _BPE_TOPK = 10
@@ -166,7 +166,7 @@ def q_textcat_profiles(spark: SparkSession, d: str):
     top-20 profile table broadcasts onto the distinct doc-trigram
     stream; the per-doc argmax window is bounded at |langs| rows per
     doc. Ranking windows use fully tie-broken ORDER BYs throughout."""
-    docs = load_table(spark, d, "documents").filter(F.length("text") >= 3)
+    docs = spread_scan(load_table(spark, d, "documents"), "doc_id").filter(F.length("text") >= 3)
     tri = docs.select(
         "doc_id",
         "lang",

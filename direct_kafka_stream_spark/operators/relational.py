@@ -30,7 +30,7 @@ from direct_kafka_stream_spark.exprs import (
     dsum_sql,
     within_rel_bound,
 )
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 
@@ -352,7 +352,7 @@ def q_join_multiway(spark: SparkSession, d: str):
 def q_agg_global(spark: SparkSession, d: str):
     """Ungrouped aggregate — partial aggregation map-side, single final
     reduce. Exact-decimal sums keep the result shuffle-order stable."""
-    li = load_table(spark, d, "lineitem")
+    li = spread_scan(load_table(spark, d, "lineitem"), "l_orderkey")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum("l_extendedprice").alias("sum_price"),
@@ -384,7 +384,7 @@ def q_agg_global(spark: SparkSession, d: str):
 )
 def q_agg_group(spark: SparkSession, d: str):
     """TPC-H Q1 shape: hash aggregate over two low-cardinality keys."""
-    li = load_table(spark, d, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    li = spread_scan(load_table(spark, d, "lineitem"), "l_orderkey").filter(F.col("l_shipdate") <= "1998-09-02")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty"),
         dsum("l_extendedprice").alias("sum_base_price"),
@@ -419,7 +419,7 @@ def q_distinct(spark: SparkSession, d: str):
 )
 def q_agg_distinct(spark: SparkSession, d: str):
     """COUNT(DISTINCT) — Spark expands to a two-phase aggregate."""
-    li = load_table(spark, d, "lineitem")
+    li = spread_scan(load_table(spark, d, "lineitem"), "l_orderkey")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("dist_orders"),
         F.countDistinct("l_suppkey").alias("dist_supps"),
@@ -508,7 +508,7 @@ def q_agg_approx(spark: SparkSession, d: str):
     tags=("agg",),
 )
 def q_agg_rollup(spark: SparkSession, d: str):
-    li = load_table(spark, d, "lineitem")
+    li = spread_scan(load_table(spark, d, "lineitem"), "l_orderkey")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty")
     )
@@ -524,7 +524,7 @@ def q_agg_rollup(spark: SparkSession, d: str):
     tags=("agg",),
 )
 def q_agg_cube(spark: SparkSession, d: str):
-    li = load_table(spark, d, "lineitem")
+    li = spread_scan(load_table(spark, d, "lineitem"), "l_orderkey")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty")
     )
@@ -542,7 +542,7 @@ def q_agg_cube(spark: SparkSession, d: str):
 )
 def q_agg_gsets(spark: SparkSession, d: str):
     """GROUPING SETS via the SQL surface (no DataFrame equivalent)."""
-    load_table(spark, d, "lineitem").createOrReplaceTempView("lineitem")
+    spread_scan(load_table(spark, d, "lineitem"), "l_orderkey").createOrReplaceTempView("lineitem")
     return spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus,

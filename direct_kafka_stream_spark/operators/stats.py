@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 
 from direct_kafka_stream_spark.exprs import dsum, dsum_sql, safe_corr
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 
@@ -61,7 +61,7 @@ def q_agg_percentile(spark: SparkSession, d: str):
     """Exact interpolated percentiles. At 100 TB the approx_percentile
     sketch (rows-only checkable) replaces this for single-pass cost;
     the exact form needs a per-group sort."""
-    li = load_table(spark, d, "lineitem")
+    li = spread_scan(load_table(spark, d, "lineitem"), "l_orderkey")
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
         F.round(F.percentile("l_quantity", F.lit(0.95)), 6).alias("p95_qty"),

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 
 from direct_kafka_stream_spark.exprs import davg_sql, dsum, dsum_sql
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 _VOL = "l_extendedprice * (1 - l_discount)"
@@ -752,5 +752,5 @@ def q_tpch_q1(spark: SparkSession, d: str):
     structure on both engines. Same SQL string runs on Spark and the
     DuckDB oracle. Reference anchor: the aggregate-over-stream hook at
     KDS:43-51."""
-    load_table(spark, d, "lineitem").createOrReplaceTempView("lineitem")
+    spread_scan(load_table(spark, d, "lineitem"), "l_orderkey").createOrReplaceTempView("lineitem")
     return spark.sql(_Q1_SQL)

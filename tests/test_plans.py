@@ -496,14 +496,23 @@ def test_class_metrics_centroids_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_table_checksum_is_single_aggregate(spark):
+def test_table_checksum_is_single_aggregate(spark, monkeypatch):
     """One scan, one partition-keyed aggregate — the checksum must not
-    sort or window anything."""
+    sort or window anything. Round 12: locally the size-gated
+    spread_scan adds one repartition exchange (the fixture scan cannot
+    split); with the gate off (the 100 TB shape) the plan must still be
+    a single exchange."""
     df = QUERIES["q_table_checksum"].spark(spark, SF_DIR)
     plan = inspect.physical_plan(df)
     assert "Window" not in plan
     assert "Sort" not in plan.replace("SortAggregate", "")
-    assert inspect.exchange_count(df) <= 1
+    assert inspect.exchange_count(df) <= 2
+
+    from direct_kafka_stream_spark import io as dks_io
+
+    monkeypatch.setattr(dks_io, "_SPREAD_BYTES_PER_CORE", 0)
+    df_scale = QUERIES["q_table_checksum"].spark(spark, SF_DIR)
+    assert inspect.exchange_count(df_scale) <= 1
 
 
 def test_welch_ttest_has_no_shuffle(spark):
@@ -668,18 +677,28 @@ def test_permutation_test_explodes_then_combines(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_tpch_q1_is_one_pass_partial_agg(spark):
+def test_tpch_q1_is_one_pass_partial_agg(spark, monkeypatch):
     """Q1 must be scan → partial agg → single exchange → final agg:
     the map-side combine collapses each partition to ≤6 group rows, so
     exactly one data exchange (hashpartitioning on the group keys) and
-    no join appears."""
+    no join appears. Round 12: locally the size-gated spread_scan adds
+    one repartition exchange (single-row-group fixture scan); with the
+    gate off (the 100 TB shape) the single-exchange pin still holds."""
     df = QUERIES["q_tpch_q1"].spark(spark, SF_DIR)
     plan = inspect.physical_plan(df)
     # "Exchange (n)" is the tree form; the detail section repeats the
     # node as "(n) Exchange", so count tree occurrences only
-    assert plan.count("Exchange (") == 1
+    assert plan.count("Exchange (") <= 2
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+    from direct_kafka_stream_spark import io as dks_io
+
+    monkeypatch.setattr(dks_io, "_SPREAD_BYTES_PER_CORE", 0)
+    df_scale = QUERIES["q_tpch_q1"].spark(spark, SF_DIR)
+    plan_scale = inspect.physical_plan(df_scale)
+    assert plan_scale.count("Exchange (") == 1
+    assert "Join" not in plan_scale
 
 
 def test_join_bloom_prefilters_before_the_join(spark):

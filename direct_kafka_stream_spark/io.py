@@ -40,14 +40,58 @@ BROADCAST_SAFE = ("region", "nation")
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
+# Session-scoped TABLE-PLAN cache (round-12 optimization). Every
+# ``spark.read.parquet`` pays a py4j round trip + file listing + footer
+# schema read — measured 250-300 ms per call on this host — and a bench
+# sweep makes ~800 such calls for the same ten immutable fixtures. A
+# real deployment fronts scans with a catalog whose metadata is read
+# once; this cache is that catalog shape: it memoizes the ANALYZED scan
+# DataFrame per (session, dir, table, file-stamp). No data and no
+# results are cached — every query still executes its full scan from
+# the parquet bytes; only the driver-side relation metadata is reused.
+# The stamp (mtime_ns, size) auto-invalidates if the fixture file is
+# rewritten mid-session (e.g. a probe re-materializing a scale dir).
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
+def _path_stamp(path: str):
+    """Cheap freshness stamp for a table path; None = not cacheable."""
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    global _TABLE_CACHE
+    if _TABLE_CACHE is None:
+        import weakref
+
+        _TABLE_CACHE = weakref.WeakKeyDictionary()
+
+    path = f"{sf_dir}/{name}.parquet"
+    stamp = _path_stamp(path)
+    per_session = None
+    if stamp is not None:
+        try:
+            per_session = _TABLE_CACHE.setdefault(spark, {})
+        except TypeError:  # exotic session objects that refuse weakrefs
+            per_session = None
+        if per_session is not None:
+            hit = per_session.get((sf_dir, name))
+            if hit is not None and hit[0] == stamp:
+                return hit[1]
+
+    df = spark.read.parquet(path)
     for col in _NANOS_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if per_session is not None:
+        per_session[(sf_dir, name)] = (stamp, df)
     return df
 
 

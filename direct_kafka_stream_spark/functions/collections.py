@@ -142,7 +142,7 @@ def q_collect(spark: SparkSession, d: str):
 def q_map_fns(spark: SparkSession, d: str):
     """JSON payload → MapType → element access (the schema-on-read path
     the reference used downstream of its opaque string payloads)."""
-    e = load_table(spark, d, "events")
+    e = spread_scan(load_table(spark, d, "events"), "event_id")
     m = F.from_json("props", "map<string,int>")
     return e.select(
         "event_id",
@@ -168,7 +168,7 @@ def q_json_fns(spark: SparkSession, d: str):
     string form is identical to get_json_object's) — one JSON decode
     instead of two, which is the difference that matters when the
     payload column is TBs wide."""
-    e = load_table(spark, d, "events")
+    e = spread_scan(load_table(spark, d, "events"), "event_id")
     parsed = e.withColumn("j", F.from_json("props", "k INT"))  # parse once
     return parsed.select(
         "event_id",

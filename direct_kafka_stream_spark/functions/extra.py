@@ -233,7 +233,7 @@ def q_json_roundtrip(spark: SparkSession, d: str):
     reverse). Field order in the serialized document follows struct
     declaration order in both engines; extraction result is cast to
     BIGINT on both sides."""
-    e = load_table(spark, d, "events")
+    e = spread_scan(load_table(spark, d, "events"), "event_id")
     j = F.to_json(F.struct("event_id", "user_id", "event_type"))
     return e.select(
         "event_id",

@@ -342,7 +342,7 @@ def q_variant(spark: SparkSession, d: str):
     per-row string re-parsing downstream — the open-schema ingestion
     path for the reference's JSON payloads, reference README.md:167).
     Oracle is DuckDB's JSON extraction of the same paths."""
-    e = load_table(spark, d, "events")
+    e = spread_scan(load_table(spark, d, "events"), "event_id")
     v = F.parse_json("props")
     return e.select(
         "event_id",
@@ -479,7 +479,7 @@ def q_format_str(spark: SparkSession, d: str):
     """C-style printf formatting (identical %d/%.2f/%s semantics in
     both engines) + zero-padded fixed-width keys — the formatting
     layer of export/reporting sinks."""
-    li = load_table(spark, d, "lineitem")
+    li = spread_scan(load_table(spark, d, "lineitem"), "l_orderkey")
     return li.select(
         "l_orderkey",
         "l_linenumber",

@@ -141,8 +141,17 @@ def q_ml_linreg(spark: SparkSession, d: str):
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import LinearRegression
 
-    li = load_table(spark, d, "lineitem").select(
-        "l_quantity", "l_discount", "l_extendedprice"
+    from direct_kafka_stream_spark.io import spread_scan
+
+    # Project to the three feature columns FIRST, then spread: both the
+    # singularity-gate moment pass and ML's WLS treeAggregate otherwise
+    # run single-task on the unsplittable fixture scan (guide §2.5),
+    # and the spread exchange carries only the three doubles.
+    li = spread_scan(
+        load_table(spark, d, "lineitem").select(
+            "l_quantity", "l_discount", "l_extendedprice"
+        ),
+        "l_extendedprice",  # near-continuous → even spread over cores
     )
     # Singularity gate (one moment pass, SAME arithmetic as the
     # oracle): ML's WLS degrades a singular system to zero

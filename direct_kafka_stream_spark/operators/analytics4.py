@@ -16,7 +16,7 @@ from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from direct_kafka_stream_spark.exprs import bounded_window_key
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 
@@ -418,7 +418,7 @@ def q_compress_ratio(spark: SparkSession, d: str):
     rollup is source-sized. Documents under 4 words have no 4-grams
     and drop out on both engines (WHERE len >= 4 / explode of an
     empty sequence)."""
-    docs = load_table(spark, d, "documents")
+    docs = spread_scan(load_table(spark, d, "documents"), "doc_id")
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     tokd = docs.select("doc_id", "source", toks.alias("toks"))
     grams = tokd.filter(F.size("toks") >= _CR_N).select(

@@ -521,7 +521,7 @@ def q_text_entropy(spark: SparkSession, d: str):
     the same counts table (no second scan of the corpus); entropy is a
     second doc-keyed aggregation. Both shuffles are token-table-sized,
     partitioned by doc — no skew (a doc's tokens are bounded)."""
-    return text_entropy_report(load_table(spark, d, "documents"))
+    return text_entropy_report(spread_scan(load_table(spark, d, "documents"), "doc_id"))
 
 
 def text_entropy_report(docs):

@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.caching import track
 from direct_kafka_stream_spark.exprs import dsum, dsum_sql
 from direct_kafka_stream_spark.io import load_table
 from direct_kafka_stream_spark.registry import query
@@ -87,9 +86,9 @@ def q_item_cf(spark: SparkSession, d: str):
     the window form builds baskets once. The basket build itself
     repartitions by u BEFORE deduplicating, so the single u-exchange
     serves the dedup aggregate (subset-clustering rule), the count
-    window, and the persisted cache feeding the pair self-join — the
-    basket set crosses the wire exactly once, and the join adds no
-    exchange on either side. (A count window is also spill-safe under user skew,
+    window, and — via AQE runtime stage reuse — every downstream
+    reference to the basket set: it crosses the wire exactly once, and
+    the pair self-join adds no exchange on either side. (A count window is also spill-safe under user skew,
     where a collect_set-based cap would buffer a degenerate user's
     whole item array in one task.) Everything downstream is
     item-pair-keyed; the per-item top-k window is bounded by the
@@ -98,8 +97,8 @@ def q_item_cf(spark: SparkSession, d: str):
     orders = load_table(spark, d, "orders")
     li = load_table(spark, d, "lineitem")
     # repartition by u FIRST: HashPartitioning(u) satisfies the (u, it)
-    # dedup's clustered distribution (subset rule), and the window, the
-    # persisted cache, and the pair self-join all need u-clustering too
+    # dedup's clustered distribution (subset rule), and the window and
+    # the pair self-join need u-clustering too
     # — so the basket set crosses the wire exactly ONCE after the join
     # (a plain .distinct() costs an extra full (u, it) exchange before
     # the window re-shuffles by u: 3 exchanges instead of 2, A/B'd at
@@ -116,12 +115,19 @@ def q_item_cf(spark: SparkSession, d: str):
         )
         .filter(F.col("bsz") <= _CF_BASKET_CAP)
         .drop("bsz")
-        .persist()
     )
-    # ledger the cache so the registry wrapper frees it when the next
-    # query starts (persist must outlive this callable — the caller
-    # collects after return)
-    track(baskets)
+    # Round 12: NOT persisted. The four downstream references (ni, the
+    # a/b self-join sides, and sim's two union branches) all hang off
+    # the SAME repartition("u") exchange, and AQE's runtime stage reuse
+    # turns them into ReusedExchange reads of one shuffle output (the
+    # executed final plan carries 5 ReusedExchange nodes,
+    # plans/r12/q_item_cf_after.txt). The previous persist() bought the
+    # same single-computation guarantee but WORSE: an AQE-cached plan
+    # reports unknown output partitioning, so the self-join re-shuffled
+    # BOTH cached sides (2x ~112 MB exchanges at sf0.1) on top of the
+    # memory-store writes. Measured min-of-4 interleaved: 7.60 s
+    # (persist) -> 6.64 s (reuse), and the ni joins now flip to
+    # runtime broadcasts.
     ni = baskets.groupBy("it").agg(F.count(F.lit(1)).alias("n"))
     a = baskets.select("u", F.col("it").alias("ia"))
     b = baskets.select("u", F.col("it").alias("ib"))

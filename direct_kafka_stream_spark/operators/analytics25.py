@@ -112,7 +112,11 @@ def q_containment_dedup(spark: SparkSession, d: str):
         _shingles_from_docs(docs)
         .select("doc_id", F.xxhash64("shingle").alias("sid"))
         .distinct()
-        .persist()
+        # Round 12: not persisted — every downstream reference (size,
+        # df census, candidate + verify joins) hangs off the distinct's
+        # one (doc_id, sid) exchange, and AQE stage reuse reads that
+        # shuffle output instead of re-shingling; measured 0.67x vs the
+        # persist (which forgot its partitioning under AQE caching).
     )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = (

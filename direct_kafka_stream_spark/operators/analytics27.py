@@ -389,10 +389,11 @@ def q_naive_bayes(spark: SparkSession, d: str):
     # training counts are then a re-aggregation of it (Σ tf), so the
     # corpus is never exploded twice and the cached table is the
     # compressed per-doc census, not the raw token stream
-    dtf = _materialized(
-        vt.groupBy("doc_id", "lang", "word").agg(
-            F.count(F.lit(1)).alias("tf")
-        )
+    # Round 12: not persisted — cnt and contrib both hang off the same
+    # (doc_id, lang, word) aggregate exchange; AQE stage reuse serves
+    # both (measured 0.87x vs the persist).
+    dtf = vt.groupBy("doc_id", "lang", "word").agg(
+        F.count(F.lit(1)).alias("tf")
     )
     cnt = dtf.groupBy(F.col("lang").alias("clang"), "word").agg(
         F.sum("tf").alias("c")

@@ -15,7 +15,7 @@ from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from direct_kafka_stream_spark.exprs import DEC, dsum_sql
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 # Retrieval-eval probe count (first _MRR_PROBES vec_ids are queries).
@@ -856,7 +856,7 @@ def q_whiten_embed(spark: SparkSession, d: str):
     (map-side combinable) and broadcasts back onto one exploded scan;
     the check is a second dimension-keyed aggregate. Zero-variance
     dims yield NULL z (NULLIF guard) rather than infinities."""
-    emb = load_table(spark, d, "embeddings")
+    emb = spread_scan(load_table(spark, d, "embeddings"), "vec_id")
     ev = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "xf")
     ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))

@@ -15,7 +15,7 @@ from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from direct_kafka_stream_spark.exprs import DEC, dsum_sql, u01, u01_sql
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 _TOKENS_SQL = "len(list_filter(string_split(text, ' '), w -> w != ''))"
@@ -184,7 +184,7 @@ def q_kcenter_coreset(spark: SparkSession, d: str):
     is k rows. Distances fold (x_i−c_i)² in array-index order on both
     engines (bit-identical doubles, 6 dp round), so the argmax and
     tie-break can never diverge."""
-    e = load_table(spark, d, "embeddings")
+    e = spread_scan(load_table(spark, d, "embeddings"), "vec_id")
     centers = [(0, 0, None)]  # (step, vec_id, sel_d2)
     for step in range(1, _KC_K):
         ids = [c[1] for c in centers]

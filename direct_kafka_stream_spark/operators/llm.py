@@ -26,7 +26,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from direct_kafka_stream_spark.io import load_table
+from direct_kafka_stream_spark.io import load_table, spread_scan
 from direct_kafka_stream_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -761,7 +761,7 @@ def q_dedup_embed(spark: SparkSession, d: str):
     with high cosine), making this the scale path for embedding dedup;
     at 100 TB, more hyperplanes → 2^k buckets keeps per-bucket pair
     counts bounded."""
-    e = load_table(spark, d, "embeddings").select(
+    e = spread_scan(load_table(spark, d, "embeddings"), "vec_id").select(
         "vec_id", "embedding", _bucket16_col().alias("bucket")
     )
     a = e.select(

@@ -108,17 +108,23 @@ def q_containment_dedup(spark: SparkSession, d: str):
     from direct_kafka_stream_spark.operators.llm import _shingles_from_docs
 
     docs = spread_scan(load_table(spark, d, "documents"), "doc_id")
-    sh = (
+    from direct_kafka_stream_spark.caching import track
+
+    # Round 13: persist RESTORED (tracked, freed when the next query
+    # starts). The round-12 stage-reuse variant won a warm interleaved
+    # A/B (0.67x) but lost badly in every cold adjudicated run at 32
+    # cores (driver 3.37 s -> 7.28 s; the 8-core run stayed at 3.35 s):
+    # the verify-join stage re-derived the candidate expansion from the
+    # reused (doc_id, sid) exchange per consumer instead of reading a
+    # memory-store table, burning ~150 s of task CPU in the final stage.
+    # Guide §5's caching rule (reused AND expensive to recompute) is the
+    # governing trade here, confirmed cold both directions this round.
+    sh = track(
         _shingles_from_docs(docs)
         .select("doc_id", F.xxhash64("shingle").alias("sid"))
         .distinct()
-        # Round 12: not persisted — every downstream reference (size,
-        # df census, candidate + verify joins) hangs off the distinct's
-        # one (doc_id, sid) exchange, and AQE stage reuse reads that
-        # shuffle output instead of re-shingling; measured 0.67x vs the
-        # persist (which forgot its partitioning under AQE caching).
+        .persist()
     )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = (
         sh.groupBy("sid")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -133,20 +139,41 @@ def q_containment_dedup(spark: SparkSession, d: str):
         .select("da", "db")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("da"), "sid")
-    sb = sh.select(F.col("doc_id").alias("db2"), F.col("sid").alias("sidb"))
-    ix = (
-        cand.join(sa, "da")
-        .join(sb, (F.col("db") == F.col("db2")) & (F.col("sid") == F.col("sidb")))
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    za = sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    out = ix.join(za, "da").select(
-        F.col("da").alias("src"),
-        F.col("db").alias("dst"),
-        F.col("shared").cast("bigint").alias("shared"),
-        F.round(F.col("shared").cast("double") / F.col("na"), 6).alias("containment"),
+    # Round 13: verify via per-doc shingle-id ARRAYS instead of the
+    # exploded pair x shingle join+aggregate. The old shape expanded
+    # cand ⋈ sa to 56M rows at sf0.1 (871,908 candidate pairs x 52
+    # shingles/doc) and hash-aggregated them (~170 s of task CPU in the
+    # final stage — the round-12 cold regression the driver measured at
+    # 7.28 s / 32 cores). |A ∩ B| on the SAME distinct sid sets via
+    # array_intersect is the identical count (sh is distinct by
+    # construction), computed in one codegen pass over the candidate
+    # table joined to two doc-count-sized array tables — the
+    # _jaccard_on_pairs shape every other dedup verifier here uses
+    # (guide §2.3: shuffle keys and compact per-doc state, never the
+    # pair x shingle expansion).
+    arr = sh.groupBy("doc_id").agg(F.collect_list("sid").alias("ss"))
+    wa = arr.select(F.col("doc_id").alias("da"), F.col("ss").alias("ssa"))
+    wb = arr.select(F.col("doc_id").alias("db"), F.col("ss").alias("ssb"))
+    out = (
+        cand.join(wa, "da")
+        .join(wb, "db")
+        # project the intersection size ONCE — two array_intersect
+        # copies in one projection are not collapsed by codegen CSE
+        # and the intersect is the whole per-pair cost
+        .select(
+            "da",
+            "db",
+            F.size(F.array_intersect("ssa", "ssb")).alias("shared0"),
+            F.size("ssa").alias("na"),
+        )
+        .select(
+            F.col("da").alias("src"),
+            F.col("db").alias("dst"),
+            F.col("shared0").cast("bigint").alias("shared"),
+            F.round(
+                F.col("shared0").cast("double") / F.col("na"), 6
+            ).alias("containment"),
+        )
     )
     return out.filter(F.col("containment") >= _CT_TAU)
 

@@ -55,10 +55,25 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ig
 
 
 def _path_stamp(path: str):
-    """Cheap freshness stamp for a table path; None = not cacheable."""
+    """Cheap freshness stamp for a table path; None = not cacheable.
+
+    A directory-backed table (the multi-file scale-probe dirs) folds
+    every contained file's (mtime_ns, size) into the stamp: directory
+    mtime alone only changes when entries are added/removed, so an
+    in-place rewrite of a part file would otherwise serve a stale
+    cached relation. The single-file fixture fast path stays one stat."""
     try:
         st = os.stat(path)
-        return (st.st_mtime_ns, st.st_size)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        mt, sz, n = st.st_mtime_ns, 0, 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                fst = os.stat(os.path.join(root, f))
+                mt = max(mt, fst.st_mtime_ns)
+                sz += fst.st_size
+                n += 1
+        return (mt, sz, n)
     except OSError:
         return None
 
@@ -75,14 +90,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     path = f"{sf_dir}/{name}.parquet"
     stamp = _path_stamp(path)
+    # Read-affecting confs are part of the cache key: the analyzed scan
+    # bakes in whatever inferTimestampNTZ/nanosAsLong were active when
+    # it was first built, and a driver-provided session may call
+    # load_table BEFORE tune_session pins them — the relation must be
+    # re-derived once the confs change, not served frozen.
+    try:
+        conf_key = (
+            spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", None),
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None),
+        )
+    except Exception:
+        conf_key = None
     per_session = None
-    if stamp is not None:
+    if stamp is not None and conf_key is not None:
         try:
             per_session = _TABLE_CACHE.setdefault(spark, {})
         except TypeError:  # exotic session objects that refuse weakrefs
             per_session = None
         if per_session is not None:
-            hit = per_session.get((sf_dir, name))
+            hit = per_session.get((sf_dir, name, conf_key))
             if hit is not None and hit[0] == stamp:
                 return hit[1]
 
@@ -91,7 +118,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema[col].dataType, LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
     if per_session is not None:
-        per_session[(sf_dir, name)] = (stamp, df)
+        per_session[(sf_dir, name, conf_key)] = (stamp, df)
     return df
 
 
@@ -116,7 +143,10 @@ def _local_input_bytes(df: DataFrame) -> int | None:
             parsed = urllib.parse.urlparse(u)
             if parsed.scheme not in ("file", ""):
                 return None
-            total += os.stat(parsed.path).st_size
+            # inputFiles() URIs are percent-encoded; stat the decoded
+            # path or any space/non-ASCII fixture path silently turns
+            # the spread off via the except below
+            total += os.stat(urllib.parse.unquote(parsed.path)).st_size
         return total
     except Exception:
         return None
@@ -142,7 +172,13 @@ def spread_scan(df: DataFrame, key: str) -> DataFrame:
     to the core count (table primary keys are)."""
     from direct_kafka_stream_spark.session import default_parallelism
 
-    cores = default_parallelism()
+    # Prefer the SESSION's actual scheduling width (a verify driver may
+    # hand a local[4] session on a 32-CPU host); env/cpu-count only as
+    # the Spark Connect fallback where no SparkContext is reachable.
+    try:
+        cores = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        cores = default_parallelism()
     total = _local_input_bytes(df)
     if total is None or total >= cores * _SPREAD_BYTES_PER_CORE:
         return df

@@ -378,8 +378,6 @@ def q_naive_bayes(spark: SparkSession, d: str):
         .limit(_NB_V)
         .select("word")
     )
-    from direct_kafka_stream_spark.operators.llm import _materialized
-
     vt = toks.join(F.broadcast(vocab), "word")
     cls = docs.groupBy(F.col("lang").alias("clang")).agg(
         F.count(F.lit(1)).alias("n_docs")

@@ -167,13 +167,24 @@ def q_textcat_profiles(spark: SparkSession, d: str):
     stream; the per-doc argmax window is bounded at |langs| rows per
     doc. Ranking windows use fully tie-broken ORDER BYs throughout."""
     docs = spread_scan(load_table(spark, d, "documents"), "doc_id").filter(F.length("text") >= 3)
-    tri = docs.select(
+    # Round 13: lower(text) is projected ONCE before the per-position
+    # transform — inside the lambda it re-lowercased the whole document
+    # per trigram position (O(len²) char work per doc). The position
+    # sequence stays bounded by length(text), NOT length(lt): the
+    # oracle generates positions from the original length and
+    # substrings the lowered text, and Unicode lowercasing can change
+    # a string's length (e.g. U+0130), so the two bounds must not be
+    # conflated. Same trigrams, same counts.
+    lowered = docs.select(
+        "doc_id", "lang", F.lower("text").alias("lt"), F.length("text").alias("n0")
+    )
+    tri = lowered.select(
         "doc_id",
         "lang",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.length("text") - 2),
-                lambda i: F.lower(F.col("text")).substr(i, F.lit(3)),
+                F.sequence(F.lit(1), F.col("n0") - 2),
+                lambda i: F.col("lt").substr(i, F.lit(3)),
             )
         ).alias("tg"),
     )
